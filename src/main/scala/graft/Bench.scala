@@ -1,23 +1,28 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every catalog query against SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line with total + per-query wall seconds.
+  * A warm-up pass (q1_pricing) is executed first so JVM/codegen warmup and
+  * the shared-session bootstrap don't bill to the first measured query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.local("graft-bench")
+
+    // warm-up: session + codegen + parquet footer caches
+    try SparkEntry.queries("q1_pricing")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    val results = Queries.all.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try q.spark(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the engine.
+  *
+  * All knobs here are scale-oriented: AQE on (runtime re-plan, skew-join
+  * splitting, partition coalescing), shuffle partitions sized to the local
+  * core count (the driver overrides via SPARK_GRAFT_CPUS on a real run),
+  * UTC session timezone for oracle parity.
+  */
+object GraftSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // the driver's testdata writes event ts as parquet TIMESTAMP(NANOS)
+      // which Spark otherwise refuses to read:
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).master(s"local[$cpus]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Configure an externally-created session (e.g. the driver's) with the
+    * engine-required confs that can be set at runtime.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () } // static conf on some builds; builder path sets it
+    spark
+  }
+}
+
+/** Batch catalog over a testdata scale-factor directory (TESTDATA.md). */
+final case class Tables(spark: SparkSession, sfDir: String) {
+  private def read(name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region: DataFrame     = read("region")
+  def nation: DataFrame     = read("nation")
+  def customer: DataFrame   = read("customer")
+  def supplier: DataFrame   = read("supplier")
+  def part: DataFrame       = read("part")
+  def orders: DataFrame     = read("orders")
+  def lineitem: DataFrame   = read("lineitem")
+  def documents: DataFrame  = read("documents")
+  def embeddings: DataFrame = read("embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS); with nanosAsLong=true Spark
+    * surfaces it as LongType nanos. Normalize to a proper TimestampType
+    * column (microsecond precision) so every downstream operator sees an
+    * event-time column, same as the reference's cast-to-timestamp ingest
+    * (kafka-spark-configmap.yaml:64,175,254).
+    */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = read("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+}

@@ -1,0 +1,687 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.operators.{Serving, SteamOps}
+
+/** The correctness-gate query catalog: every operator from SURVEY.md §2
+  * (the reference's inventory) plus the training-data-pipeline extensions,
+  * each expressed over the driver's testdata tables with a matching DuckDB
+  * oracle SQL statement.
+  *
+  * Cross-engine determinism rules used throughout (so hash-compare works):
+  *  - money/value aggregation in integer cents (`sum(round(x*100)::long)`)
+  *    then divide — integer aggregation is order-independent and exact;
+  *  - timestamps output as 'yyyy-MM-dd HH:mm:ss' strings (sidesteps
+  *    ns-vs-µs parquet physical types);
+  *  - every top-k has a total-order tie-break;
+  *  - float similarity rounded to 4 decimals before ranking/thresholding;
+  *  - content hashing via md5 (bit-identical in every engine).
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      operators: String, // SURVEY.md §2 ids covered
+      spark: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private val Fmt     = "yyyy-MM-dd HH:mm:ss"
+  private val DuckFmt = "%Y-%m-%d %H:%M:%S"
+
+  /** 2-dp double → exact integer cents. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def sqlCents(e: String): String = s"CAST(round(($e)*100,0) AS BIGINT)"
+
+  private def t(spark: SparkSession, sfDir: String) = Tables(spark, sfDir)
+
+  /** events with the review-analog columns used by the Steam-parity
+    * queries: recommended := event_type ∈ {purchase, signup},
+    * value in integer cents.
+    */
+  private def reviewishEvents(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir).events
+      .withColumn("recommended", col("event_type").isin("purchase", "signup"))
+      .withColumn("cents", cents(col("value")))
+
+  private val sqlReviewishEvents =
+    s"""SELECT *, event_type IN ('purchase','signup') AS recommended,
+       |  ${sqlCents("value")} AS cents FROM events""".stripMargin
+
+  /** Tokenized documents (distinct tokens per doc), shared by the dedup
+    * queries. `maxId` bounds the quadratic candidate stage.
+    */
+  private def docToks(spark: SparkSession, sfDir: String, maxId: Long): DataFrame =
+    Dedup.explodedDistinctTokens(
+      t(spark, sfDir).documents.filter(col("doc_id") < maxId), "doc_id", "text")
+
+  private def sqlDocToks(maxId: Long) =
+    s"""SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |FROM documents WHERE doc_id < $maxId""".stripMargin
+
+  // ===========================================================================
+  // Steam-parity queries (§2.A/B/C re-expressed over the testdata)
+  // ===========================================================================
+
+  private val qParseProject = Q(
+    "q_parse_project",
+    "A6,B1,B2,B3,B4,B5,B12",
+    (s, d) =>
+      t(s, d).events.select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type").as("etype"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        date_format(col("ts"), Fmt).as("ts_str"),
+        col("value")),
+    Some(s"""SELECT event_id, user_id, event_type AS etype,
+            |  CAST(props->>'k' AS INTEGER) AS k,
+            |  strftime(ts, '$DuckFmt') AS ts_str, value
+            |FROM events""".stripMargin))
+
+  private val qSentimentWindow = Q(
+    "q_sentiment_window",
+    "C1,C2,C4,C5",
+    (s, d) =>
+      reviewishEvents(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("recommended"))
+        .agg(count(lit(1)).as("total_reviews"), sum(col("cents")).as("sc"))
+        .select(
+          date_format(col("window.start"), Fmt).as("w_start"),
+          date_format(col("window.end"), Fmt).as("w_end"),
+          col("recommended"),
+          col("total_reviews"),
+          (col("sc") / col("total_reviews") / 100.0).as("avg_value")),
+    Some(s"""WITH ev AS ($sqlReviewishEvents)
+            |SELECT strftime(date_trunc('hour', ts), '$DuckFmt') AS w_start,
+            |  strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '$DuckFmt') AS w_end,
+            |  recommended, CAST(count(*) AS BIGINT) AS total_reviews,
+            |  CAST(sum(cents) AS BIGINT) / count(*) / 100.0 AS avg_value
+            |FROM ev GROUP BY 1, 2, 3""".stripMargin))
+
+  private val qReviewBomb = Q(
+    "q_review_bomb",
+    "C7,C8,B6,B7,B8,B9,B10",
+    (s, d) =>
+      reviewishEvents(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("total_reviews"),
+          sum(when(col("recommended") === false, 1).otherwise(0)).as("negative_count"),
+          sum(when(col("recommended") === true, 1).otherwise(0)).as("positive_count"),
+          sum(col("cents")).as("sc"))
+        .withColumn("avg_value", col("sc") / col("total_reviews") / 100.0)
+        .withColumn("negative_ratio", col("negative_count") / col("total_reviews"))
+        .withColumn("positive_ratio", col("positive_count") / col("total_reviews"))
+        .withColumn(
+          "is_review_bomb",
+          when(col("negative_ratio") > 0.65 && col("total_reviews") > 10, lit(true))
+            .otherwise(lit(false)))
+        .drop("sc"),
+    Some(s"""WITH ev AS ($sqlReviewishEvents),
+            |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS total_reviews,
+            |  CAST(sum(CASE WHEN recommended = false THEN 1 ELSE 0 END) AS BIGINT) AS negative_count,
+            |  CAST(sum(CASE WHEN recommended = true THEN 1 ELSE 0 END) AS BIGINT) AS positive_count,
+            |  CAST(sum(cents) AS BIGINT) AS sc
+            |FROM ev GROUP BY 1)
+            |SELECT user_id, total_reviews, negative_count, positive_count,
+            |  sc / total_reviews / 100.0 AS avg_value,
+            |  negative_count / total_reviews AS negative_ratio,
+            |  positive_count / total_reviews AS positive_ratio,
+            |  CASE WHEN negative_count / total_reviews > 0.65 AND total_reviews > 10
+            |       THEN true ELSE false END AS is_review_bomb
+            |FROM a""".stripMargin))
+
+  private val qGenreCount = Q(
+    "q_genre_count",
+    "C9,C10",
+    (s, d) =>
+      SteamOps
+        .genreCount(t(s, d).documents.select(TF.tokens(col("text")).as("genres")))
+        .filter(col("genre") =!= ""),
+    Some("""SELECT tok AS genre, CAST(count(*) AS BIGINT) AS total_games
+           |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+           |WHERE tok <> '' GROUP BY 1""".stripMargin))
+
+  private val qPlayerWindow = Q(
+    "q_player_window",
+    "C3,C5,C6",
+    (s, d) =>
+      reviewishEvents(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(max(col("cents")).as("mx"), count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+        .select(
+          date_format(col("window.start"), Fmt).as("w_start"),
+          date_format(col("window.end"), Fmt).as("w_end"),
+          col("user_id"),
+          (col("mx") / 100.0).as("max_value"),
+          (col("sc") / col("n") / 100.0).as("avg_value")),
+    Some(s"""WITH ev AS ($sqlReviewishEvents)
+            |SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '$DuckFmt') AS w_start,
+            |  strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes', '$DuckFmt') AS w_end,
+            |  user_id,
+            |  CAST(max(cents) AS BIGINT) / 100.0 AS max_value,
+            |  CAST(sum(cents) AS BIGINT) / count(*) / 100.0 AS avg_value
+            |FROM ev GROUP BY 1, 2, 3""".stripMargin))
+
+  private val qRegexClean = Q(
+    "q_regex_clean",
+    "B11",
+    (s, d) =>
+      t(s, d).documents.select(
+        col("doc_id"),
+        length(TF.stripTags(col("text"))).cast("long").as("clean_len"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("text")).as("fp")),
+    Some("""SELECT doc_id,
+           |  CAST(length(regexp_replace(text, '<[^>]*>', '', 'g')) AS BIGINT) AS clean_len,
+           |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+           |  md5(text) AS fp
+           |FROM documents""".stripMargin))
+
+  // ===========================================================================
+  // Serving-layer queries (§2.D)
+  // ===========================================================================
+
+  /** the steam_players-style hot table, re-used by D1/D2. */
+  private def playerHot(s: SparkSession, d: String): DataFrame =
+    reviewishEvents(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(max(col("cents")).as("mx"))
+
+  private val sqlPlayerHot =
+    s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS w, user_id,
+       |  CAST(max(${sqlCents("value")}) AS BIGINT) AS mx
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val qReaggTopk = Q(
+    "q_reagg_topk",
+    "D1,D2",
+    (s, d) =>
+      Serving.topK(
+        Serving.reAggregate(
+          playerHot(s, d),
+          Seq("user_id"),
+          Seq(max(col("mx")).as("pk"), count(lit(1)).as("n_windows"))),
+        10,
+        col("pk").desc,
+        col("user_id").asc)
+        .select(col("user_id"), (col("pk") / 100.0).as("peak_value"), col("n_windows")),
+    Some(s"""WITH hot AS ($sqlPlayerHot)
+            |SELECT user_id, CAST(max(mx) AS BIGINT) / 100.0 AS peak_value,
+            |  CAST(count(*) AS BIGINT) AS n_windows
+            |FROM hot GROUP BY 1
+            |ORDER BY CAST(max(mx) AS BIGINT) DESC, user_id LIMIT 10""".stripMargin))
+
+  private val qFmtProject = Q(
+    "q_fmt_project",
+    "D3",
+    (s, d) =>
+      reviewishEvents(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), sum(col("cents")).as("sc"), count(lit(1)).as("n"))
+        .select(
+          concat(lit("user_"), col("user_id").cast("string")).as("label"),
+          date_format(col("first_ts"), Fmt).as("first_seen"),
+          (col("sc") / 100.0).as("total_value"),
+          round(col("sc") / col("n") / 100.0, 2).as("avg_value_r"),
+          lit("events").as("src")),
+    Some(s"""WITH ev AS ($sqlReviewishEvents)
+            |SELECT 'user_' || CAST(user_id AS VARCHAR) AS label,
+            |  strftime(min(ts), '$DuckFmt') AS first_seen,
+            |  CAST(sum(cents) AS BIGINT) / 100.0 AS total_value,
+            |  round(CAST(sum(cents) AS BIGINT) / count(*) / 100.0, 2) AS avg_value_r,
+            |  'events' AS src
+            |FROM ev GROUP BY user_id""".stripMargin))
+
+  private val qCondLabel = Q(
+    "q_cond_label",
+    "D4",
+    (s, d) =>
+      reviewishEvents(s, d)
+        .select(Serving.sentimentLabel(col("recommended")).as("sentiment"))
+        .groupBy("sentiment")
+        .agg(count(lit(1)).as("n")),
+    Some("""SELECT CASE WHEN event_type IN ('purchase','signup') THEN 'Positive'
+           |            ELSE 'Negative' END AS sentiment,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM events GROUP BY 1""".stripMargin))
+
+  private val qFilterCount = Q(
+    "q_filter_count",
+    "D5,D6",
+    (s, d) =>
+      Serving.filterCount(
+        t(s, d).events,
+        col("event_type") === "error" && col("value") > 100,
+        "n_alerts"),
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_alerts
+           |FROM events WHERE event_type = 'error' AND value > 100""".stripMargin))
+
+  private val qArgmaxLatest = Q(
+    "q_argmax_latest",
+    "D7",
+    (s, d) =>
+      Serving
+        .latest(t(s, d).events, col("ts").desc, col("event_id").desc)
+        .select(
+          col("event_id"),
+          date_format(col("ts"), Fmt).as("ts_str"),
+          col("event_type"),
+          col("value")),
+    Some(s"""SELECT event_id, strftime(ts, '$DuckFmt') AS ts_str, event_type, value
+            |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin))
+
+  private val qUnionSummary = Q(
+    "q_union_summary",
+    "D8",
+    (s, d) =>
+      Serving.unionSummary(Seq(
+        "events"     -> t(s, d).events,
+        "documents"  -> t(s, d).documents,
+        "embeddings" -> t(s, d).embeddings)),
+    Some("""SELECT 'events' AS metric, CAST(count(*) AS BIGINT) AS value FROM events
+           |UNION ALL
+           |SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
+           |UNION ALL
+           |SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings""".stripMargin))
+
+  // ===========================================================================
+  // Relational completeness (beyond the reference: joins, distinct, SQL
+  // windows, rollup — §2.E scope fence, provided as engine capabilities)
+  // ===========================================================================
+
+  private val qPricing = Q(
+    "q1_pricing",
+    "A6,C4,C5 (TPC-H Q1 shape: scan+filter pushdown+partial agg)",
+    (s, d) => {
+      val li = t(s, d).lineitem
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2001-06-01 00:00:00")))
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          cents(col("l_quantity")).as("qc"),
+          cents(col("l_extendedprice")).as("ec"),
+          cents(col("l_discount")).as("dc"),
+          cents(col("l_tax")).as("tc"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("qc")).as("sq"),
+          sum(col("ec")).as("se"),
+          sum(col("ec") * (lit(100) - col("dc"))).as("sd"),
+          sum(col("ec") * (lit(100) - col("dc")) * (lit(100) + col("tc"))).as("sch"),
+          sum(col("dc")).as("sdc"),
+          count(lit(1)).as("count_order"))
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          (col("sq") / 100.0).as("sum_qty"),
+          (col("se") / 100.0).as("sum_base_price"),
+          (col("sd") / 10000.0).as("sum_disc_price"),
+          (col("sch") / 1000000.0).as("sum_charge"),
+          (col("sq") / col("count_order") / 100.0).as("avg_qty"),
+          (col("se") / col("count_order") / 100.0).as("avg_price"),
+          (col("sdc") / col("count_order") / 100.0).as("avg_disc"),
+          col("count_order"))
+    },
+    Some(s"""WITH li AS (SELECT l_returnflag, l_linestatus,
+            |  ${sqlCents("l_quantity")} AS qc, ${sqlCents("l_extendedprice")} AS ec,
+            |  ${sqlCents("l_discount")} AS dc, ${sqlCents("l_tax")} AS tc
+            |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00')
+            |SELECT l_returnflag, l_linestatus,
+            |  CAST(sum(qc) AS BIGINT) / 100.0 AS sum_qty,
+            |  CAST(sum(ec) AS BIGINT) / 100.0 AS sum_base_price,
+            |  CAST(sum(ec * (100 - dc)) AS BIGINT) / 10000.0 AS sum_disc_price,
+            |  CAST(sum(ec * (100 - dc) * (100 + tc)) AS BIGINT) / 1000000.0 AS sum_charge,
+            |  CAST(sum(qc) AS BIGINT) / count(*) / 100.0 AS avg_qty,
+            |  CAST(sum(ec) AS BIGINT) / count(*) / 100.0 AS avg_price,
+            |  CAST(sum(dc) AS BIGINT) / count(*) / 100.0 AS avg_disc,
+            |  CAST(count(*) AS BIGINT) AS count_order
+            |FROM li GROUP BY 1, 2""".stripMargin))
+
+  private val qJoinBroadcast = Q(
+    "q_join_broadcast",
+    "join (broadcast dim + shuffle fact), filter pushdown",
+    (s, d) => {
+      val tt = t(s, d)
+      val li = tt.lineitem.select(
+        col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev"))
+      val o = tt.orders
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = tt.customer.select(col("c_custkey"), col("c_mktsegment"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("rev")).as("r"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"))
+        .select(
+          col("c_mktsegment"),
+          (col("r") / 10000.0).as("revenue"),
+          col("n_orders"),
+          col("n_items"))
+    },
+    Some(s"""SELECT c_mktsegment,
+            |  CAST(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS BIGINT) / 10000.0 AS revenue,
+            |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+            |  CAST(count(*) AS BIGINT) AS n_items
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            |GROUP BY 1""".stripMargin))
+
+  private val qJoinSemiAnti = Q(
+    "q_join_semi_anti",
+    "left_semi/left_anti joins",
+    (s, d) => {
+      val tt = t(s, d)
+      val withO = tt.customer
+        .join(tt.orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("with_orders"))
+      val noO = tt.customer
+        .join(tt.orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("no_orders"))
+      withO
+        .join(noO, Seq("c_nationkey"), "full_outer")
+        .join(broadcast(t(s, d).nation), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("n_name"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("no_orders"), lit(0L)).as("no_orders"))
+    },
+    Some("""WITH w AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS with_orders FROM customer c
+           |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) GROUP BY 1),
+           |x AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS no_orders FROM customer c
+           |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) GROUP BY 1)
+           |SELECT n_name, coalesce(w.with_orders, 0) AS with_orders,
+           |  coalesce(x.no_orders, 0) AS no_orders
+           |FROM w FULL OUTER JOIN x USING (c_nationkey)
+           |JOIN nation ON c_nationkey = n_nationkey""".stripMargin))
+
+  private val qDistinctAgg = Q(
+    "q_distinct_agg",
+    "distinct aggregation",
+    (s, d) =>
+      t(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+          count(lit(1)).as("n_rows")),
+    Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           |  CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS n_part_supp,
+           |  CAST(count(*) AS BIGINT) AS n_rows
+           |FROM lineitem GROUP BY 1""".stripMargin))
+
+  private val qWindowRank = Q(
+    "q_window_rank",
+    "SQL window functions: row_number, lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d).customer
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(w))
+        .filter(col("rnk") <= 3)
+        .join(broadcast(t(s, d).nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("rnk"), col("c_name"), col("c_acctbal"), col("prev_bal"))
+    },
+    Some("""SELECT n_name, CAST(rnk AS INTEGER) AS rnk, c_name, c_acctbal, prev_bal FROM (
+           |  SELECT c_nationkey, c_name, c_acctbal,
+           |    row_number() OVER w AS rnk, lag(c_acctbal, 1) OVER w AS prev_bal
+           |  FROM customer
+           |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+           |) JOIN nation ON c_nationkey = n_nationkey WHERE rnk <= 3""".stripMargin))
+
+  private val qRollup = Q(
+    "q_rollup",
+    "rollup / grouping sets",
+    (s, d) =>
+      t(s, d).lineitem
+        .select(col("l_returnflag"), col("l_linestatus"), cents(col("l_quantity")).as("qc"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("qc")).as("sq"), count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          (col("sq") / 100.0).as("sum_qty"),
+          col("n")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            |  CAST(sum(${sqlCents("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
+
+  // ===========================================================================
+  // Training-data pipeline: dedup / similarity / text analysis
+  // ===========================================================================
+
+  private val qDedupExact = Q(
+    "q_dedup_exact",
+    "exact dedup (content-hash groupBy)",
+    (s, d) =>
+      t(s, d).documents
+        .select(
+          col("lang"),
+          md5(concat_ws(" ", array_sort(array_distinct(TF.tokens(col("text")))))).as("fp"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dupes")),
+    Some("""WITH f AS (SELECT lang,
+           |  md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), 'string_agg', ' ')) AS fp
+           |FROM documents)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+           |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dupes
+           |FROM f GROUP BY 1""".stripMargin))
+
+  private val qDedupJaccard = Q(
+    "q_dedup_jaccard",
+    "n-gram Jaccard near-dup (exact ground truth)",
+    (s, d) =>
+      Dedup.jaccardPairs(
+        t(s, d).documents.filter(col("doc_id") < 500), "doc_id", "text", 0.9),
+    Some(s"""WITH toks AS (${sqlDocToks(500)}),
+            |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+            |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+            |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+            |SELECT doc_a, doc_b, common / (sa.nt + sb.nt - common) AS jaccard
+            |FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+            |WHERE common / (sa.nt + sb.nt - common) >= 0.9""".stripMargin))
+
+  private val MinhashHashes = 16
+  private val MinhashBands  = 4
+
+  private val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    "MinHash + LSH banding near-dup candidates",
+    (s, d) =>
+      Dedup.minhashCandidates(
+        t(s, d).documents.filter(col("doc_id") < 2000),
+        "doc_id", "text", MinhashHashes, MinhashBands, maxBucket = 0),
+    Some {
+      val r = MinhashHashes / MinhashBands
+      val sigCols = (0 until MinhashHashes)
+        .map(i => s"min(md5('h$i:' || tok)) AS s$i").mkString(",\n  ")
+      val bandSelects = (0 until MinhashBands).map { b =>
+        val cs = (b * r until (b + 1) * r).map(i => s"s$i").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bkey FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (${sqlDocToks(2000)}),
+         |sigs AS (SELECT doc_id,
+         |  $sigCols
+         |FROM toks GROUP BY doc_id),
+         |bands AS (
+         |$bandSelects
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+    })
+
+  private val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    "SimHash near-dup (bit-sketch + Hamming)",
+    (s, d) =>
+      Dedup.simhashCandidates(
+        t(s, d).documents.filter(col("doc_id") < 2000), "doc_id", "text", maxHamming = 3),
+    Some {
+      val sums = (0 until Dedup.SimhashBits).map { j =>
+        val nib  = j / 4 + 1
+        val mask = 1 << (j % 4)
+        s"sum(CASE WHEN ((CASE WHEN ascii(substr(hx,$nib,1)) <= 57 THEN ascii(substr(hx,$nib,1)) - 48 ELSE ascii(substr(hx,$nib,1)) - 87 END) & $mask) > 0 THEN 1 ELSE -1 END) AS b$j"
+      }.mkString(",\n  ")
+      val sh = (0 until Dedup.SimhashBits)
+        .map(j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH toks AS (${sqlDocToks(2000)}),
+         |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+         |bits AS (SELECT doc_id,
+         |  $sums
+         |FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $sh AS simhash FROM bits),
+         |bk AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+    })
+
+  private val qKnnCosine = Q(
+    "q_knn_cosine",
+    "ANN baseline: brute-force cosine top-k",
+    (s, d) => {
+      val e = t(s, d).embeddings
+      Similarity.knnCosine(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank").cast("int").as("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           |s AS (SELECT query_id, neighbor_id,
+           |  round(list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 4) AS cos_sim
+           |FROM q, c)
+           |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM s) WHERE rank <= 5""".stripMargin))
+
+  private val qEmbedNearDup = Q(
+    "q_embed_neardup",
+    "embedding-cosine near-dup pairs",
+    (s, d) =>
+      Similarity.cosineNearDupPairs(t(s, d).embeddings, "vec_id", "embedding", 0.4),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM v),
+           |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round(list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2), 4) AS cos_sim
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin))
+
+  private val sqlToks = """string_split_regex(trim(text), '\s+')"""
+
+  private val qTextQuality = Q(
+    "q_text_quality",
+    "quality scoring + language-ID + fingerprint",
+    (s, d) => {
+      val txt = col("text")
+      val fp  = md5(concat_ws(" ", array_sort(array_distinct(TF.tokens(txt)))))
+      t(s, d).documents
+        .select(
+          col("doc_id"),
+          TF.tokenCount(txt).cast("long").as("n_tokens"),
+          length(txt).cast("long").as("n_chars_actual"),
+          TF.punctRatio(txt).as("punct_ratio"),
+          TF.stopwordRatio(txt).as("stopword_ratio"),
+          TF.qualityScore(txt).as("quality"),
+          TF.langIdGuess(txt).as("lang_guess"),
+          fp.as("fp"))
+        .withColumn(
+          "is_dup",
+          (count(lit(1)).over(Window.partitionBy(col("fp"))) > 1))
+    },
+    Some {
+      val stops = TF.Stopwords.map(w => s"'$w'").mkString(", ")
+      // mirror TF.langIdGuess's fold exactly: strict >, earlier language wins ties
+      val scoreDefs = TF.LangMarkers.map { case (lang, marks) =>
+        val ms = marks.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter($sqlToks, t -> t IN ($ms))) AS sc_$lang"
+      }.mkString(",\n  ")
+      val fold = TF.LangMarkers.foldLeft(("'und'", "0")) { case ((bl, bs), (lang, _)) =>
+        (s"(CASE WHEN sc_$lang > $bs THEN '$lang' ELSE $bl END)", s"greatest(sc_$lang, $bs)")
+      }._1
+      s"""WITH base AS (SELECT doc_id, text,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlToks) END AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text) END AS punct_ratio,
+         |  len(list_filter($sqlToks, t -> t IN ($stops))) AS n_stop,
+         |  $scoreDefs,
+         |  md5(list_aggregate(list_sort(list_distinct($sqlToks)), 'string_agg', ' ')) AS fp
+         |FROM documents),
+         |m AS (SELECT doc_id, n_tokens, n_chars_actual, punct_ratio,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END AS stopword_ratio,
+         |  (least(n_tokens, 64) / 64.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+         |    + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END) * 4.0, 1.0) * 0.2 AS quality,
+         |  $fold AS lang_guess, fp
+         |FROM base)
+         |SELECT doc_id, n_tokens, n_chars_actual, punct_ratio, stopword_ratio, quality,
+         |  lang_guess, fp, (count(*) OVER (PARTITION BY fp)) > 1 AS is_dup
+         |FROM m""".stripMargin
+    })
+
+  private val qLangProfile = Q(
+    "q_lang_profile",
+    "language profile / token budgeting",
+    (s, d) =>
+      t(s, d).documents
+        .select(
+          col("lang"),
+          col("n_chars"),
+          TF.tokenCount(col("text")).cast("long").as("nt"),
+          TF.langIdGuess(col("text")).as("guess"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")) / count(lit(1))).as("avg_chars"),
+          sum(col("nt")).as("sum_tokens"),
+          sum(when(col("guess") === col("lang"), 1).otherwise(0)).as("langid_agree")),
+    Some {
+      val scoreDefs = TF.LangMarkers.map { case (lang, marks) =>
+        val ms = marks.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter($sqlToks, t -> t IN ($ms))) AS sc_$lang"
+      }.mkString(",\n  ")
+      val fold = TF.LangMarkers.foldLeft(("'und'", "0")) { case ((bl, bs), (lang, _)) =>
+        (s"(CASE WHEN sc_$lang > $bs THEN '$lang' ELSE $bl END)", s"greatest(sc_$lang, $bs)")
+      }._1
+      s"""WITH base AS (SELECT lang, n_chars,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlToks) END AS BIGINT) AS nt,
+         |  $scoreDefs
+         |FROM documents),
+         |g AS (SELECT lang, n_chars, nt, $fold AS guess FROM base)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars,
+         |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS langid_agree
+         |FROM g GROUP BY 1""".stripMargin
+    })
+
+  /** Full catalog. */
+  val all: Seq[Q] = Seq(
+    qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
+    qRegexClean, qReaggTopk, qFmtProject, qCondLabel, qFilterCount,
+    qArgmaxLatest, qUnionSummary, qPricing, qJoinBroadcast, qJoinSemiAnti,
+    qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
+    qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
+    qLangProfile)
+}

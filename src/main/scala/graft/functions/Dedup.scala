@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Four families, each with a distinct scale profile:
+  *  - exact (content-hash groupBy): one shuffle on a 32-char key; at 100 TB
+  *    the md5 keys are ~uniform so no skew, and partial aggregation makes
+  *    the shuffle carry only (hash, min_id, count) per key per partition.
+  *  - MinHash + LSH banding: signatures are computed per-row (map-side,
+  *    codegen'd — no UDF), candidate generation shuffles only (band, key)
+  *    pairs; the quadratic blow-up is confined to same-bucket groups.
+  *  - SimHash: per-row bit-vector signature; near-dup = small Hamming
+  *    distance within same signature prefix buckets.
+  *  - n-gram Jaccard: exact pairwise ground truth via token inverted index;
+  *    O(pairs-sharing-a-token) — only usable on bounded candidate sets,
+  *    which is exactly how it's used here (verification of the sketches).
+  *
+  * All hash functions are md5-based so the DuckDB oracle reproduces them
+  * bit-for-bit (md5 is engine-independent).
+  */
+object Dedup {
+
+  import TextFunctions.tokens
+
+  /** Distinct tokens per row, exploded: (idCol, tok). `array_distinct`
+    * before `explode` keeps the dedup map-side (no shuffle).
+    */
+  def explodedDistinctTokens(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), explode(array_distinct(tokens(col(text)))).as("tok"))
+
+  /** Exact dedup summary: per group key, distinct-content counts.
+    * Representative row = min(id) per fingerprint (deterministic).
+    */
+  def exactDedupStats(df: DataFrame, id: String, text: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), col(id), TextFunctions.fingerprint(col(text)).as("fp"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dupes"))
+
+  /** Exact dedup: keep the min-id row per normalized-content fingerprint. */
+  def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
+    val fp = df.withColumn("fp", TextFunctions.fingerprint(col(text)))
+    val keep = fp.groupBy(col("fp")).agg(min(col(id)).as(id))
+    fp.join(keep, Seq("fp", id), "left_semi").drop("fp")
+  }
+
+  /** MinHash signature columns: s_i = min over tokens of md5("h<i>:" ++ tok).
+    * A true MinHash into the 128-bit md5 space; min over hex strings is a
+    * total order identical in every engine.
+    */
+  def minhashSigExprs(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"h$i:"), col("tok")))).as(s"s$i")
+    }
+
+  /** LSH band keys from a signature row: band b hashes hashes [b*r, b*r+r). */
+  def bandKeyExpr(band: Int, rowsPerBand: Int): Column = {
+    val cols = (band * rowsPerBand until (band + 1) * rowsPerBand).map(i => col(s"s$i"))
+    md5(concat_ws("|", cols: _*))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one band bucket.
+    * Returns distinct (doc_a < doc_b) id pairs.
+    *
+    * Scale: the only shuffles are the per-doc signature aggregation (keyed
+    * by doc id) and the band-bucket self-join (keyed by 32-char band key).
+    * Bucket sizes are the skew risk at 100 TB — a pathological bucket of m
+    * near-identical docs yields m² pairs; AQE skew-join splitting plus a
+    * bucket-size cap (`maxBucket`) bound it.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      id: String,
+      text: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val r = numHashes / bands
+    val sigs = explodedDistinctTokens(df, id, text)
+      .groupBy(col(id))
+      .agg(minhashSigExprs(numHashes).head, minhashSigExprs(numHashes).tail: _*)
+    val banded = (0 until bands)
+      .map(b => sigs.select(col(id), lit(b).as("band"), bandKeyExpr(b, r).as("bkey")))
+      .reduce(_.unionAll(_))
+    val capped =
+      if (maxBucket > 0)
+        banded
+          .withColumn("bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+          .filter(col("bsz") <= maxBucket)
+          .drop("bsz")
+      else banded
+    val a = capped.select(col(id).as("doc_a"), col("band"), col("bkey"))
+    val b = capped.select(col(id).as("doc_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact n-gram (word n=1 shingle) Jaccard similarity for all pairs that
+    * share at least one token. Ground truth for the sketch-based methods.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      threshold: Double): DataFrame = {
+    val toks = explodedDistinctTokens(df, id, text)
+    val sizes = toks.groupBy(col(id)).agg(count(lit(1)).as("nt"))
+    val a = toks.select(col(id).as("doc_a"), col("tok"))
+    val b = toks.select(col(id).as("doc_b"), col("tok"))
+    val common = a
+      .join(b, Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.withColumnRenamed(id, "doc_a").withColumnRenamed("nt", "na")), Seq("doc_a"))
+      .join(broadcast(sizes.withColumnRenamed(id, "doc_b").withColumnRenamed("nt", "nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash bit width used by [[simhashExpr]]. */
+  val SimhashBits = 32
+
+  /** Hex-char → nibble value via ascii arithmetic — the one primitive that
+    * is identical in Spark and the SQL oracle (`ascii`).
+    */
+  private def hexVal(c: Column): Column = {
+    val a = ascii(c)
+    when(a <= 57, a - 48).otherwise(a - 87)
+  }
+
+  /** 32-bit SimHash over whitespace tokens. Bit j (0-based, from md5 hex
+    * nibble j/4, bit j%4 of the nibble) is set iff the sum over tokens of
+    * (+1 if the token's md5 has that bit set else -1) is positive.
+    * Pure column algebra → codegen'd, oracle-reproducible.
+    */
+  def simhashExpr(text: Column): Column = {
+    val hashes = transform(array_distinct(tokens(text)), t => md5(t))
+    val bits = (0 until SimhashBits).map { j =>
+      val nibbleIdx = j / 4 // 1-based substring position below
+      val bitMask   = 1 << (j % 4)
+      val perTok = transform(
+        hashes,
+        h => {
+          val nib = hexVal(substring(h, nibbleIdx + 1, 1))
+          when((nib.bitwiseAND(lit(bitMask))) > 0, lit(1)).otherwise(lit(-1))
+        })
+      val s = aggregate(perTok, lit(0), (acc, x) => acc + x)
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup candidates: same upper-16-bit prefix bucket, Hamming
+    * distance ≤ maxHamming. (Prefix-bucket is one LSH table; production
+    * would rotate bits for multiple tables — same plan shape.)
+    */
+  def simhashCandidates(
+      df: DataFrame,
+      id: String,
+      text: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(id), simhashExpr(col(text)).as("simhash"))
+    val bucketed = sh.withColumn("bucket", shiftright(col("simhash"), 16))
+    val a = bucketed.select(col(id).as("doc_a"), col("simhash").as("ha"), col("bucket"))
+    val b = bucketed.select(col(id).as("doc_b"), col("simhash").as("hb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k — the exact baseline; one broadcast of the
+  *    query set against a full scan of the corpus (linear in corpus size,
+  *    embarrassingly parallel — this is the right plan even at 100 TB when
+  *    the query set is small, because it is one pass with no shuffle).
+  *  - sign-random-projection LSH — corpus bucketed by a b-bit hypercube
+  *    code; candidate generation joins only within buckets, turning the
+  *    quadratic all-pairs problem into per-bucket quadratic with bounded
+  *    bucket sizes (an IVF-style scale path).
+  *
+  * All dot products run in double precision through `zip_with` +
+  * `aggregate` — codegen'd catalyst expressions, sequential left-to-right
+  * fold, so the oracle can reproduce the exact float semantics.
+  */
+object Similarity {
+
+  /** Cast an array<float> column to array<double> (exact widening). */
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm squared. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Brute-force cosine top-k: for every query vector, the k most similar
+    * corpus vectors. Similarities are rounded to `roundTo` decimals before
+    * ranking and ties broken by corpus id, making the result deterministic
+    * across engines (double summation order varies in the last ulp).
+    *
+    * Plan shape: broadcast(queries) × scan(corpus) → per-query window
+    * top-k. The only shuffle is the final rank over (query partitions).
+    */
+  def knnCosine(
+      queries: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      roundTo: Int = 4): DataFrame = {
+    val q = queries.select(
+      col(id).as("query_id"),
+      toDouble(col(vec)).as("qv"))
+    val c = corpus.select(
+      col(id).as("neighbor_id"),
+      toDouble(col(vec)).as("cv"))
+    val scored = c
+      .join(broadcast(q))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All embedding pairs (a < b) with rounded cosine ≥ threshold — the
+    * embedding-space near-duplicate detector. Brute force; bound the input
+    * (or use [[lshCandidates]]) at scale.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      roundTo: Int = 4): DataFrame = {
+    val v = df.select(col(id), toDouble(col(vec)).as("v"), norm2(toDouble(col(vec))).as("n2"))
+    val a = v.select(col(id).as("vec_a"), col("v").as("va"), col("n2").as("na"))
+    val b = v.select(col(id).as("vec_b"), col("v").as("vb"), col("n2").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), roundTo))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived value in [-0.5, 0.5). Engine-independent, no RNG state.
+    */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"p$plane:d$dim".getBytes("UTF-8"))
+      .take(4)
+      .map("%02x".format(_))
+      .mkString
+    (java.lang.Long.parseLong(hex, 16).toDouble / 0xffffffffL.toDouble) - 0.5
+  }
+
+  /** b-bit sign-random-projection code for a vector column of length `dims`. */
+  def srpCode(v: Column, dims: Int, bitsB: Int): Column = {
+    val bits = (0 until bitsB).map { p =>
+      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+      when(dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed near-dup candidates: pairs sharing an SRP hypercube code.
+    * Recall is tunable via `bitsB` (fewer bits → bigger buckets → higher
+    * recall, more candidates). Verify candidates with exact [[cosine]].
+    */
+  def lshCandidates(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int,
+      bitsB: Int = 12): DataFrame = {
+    val coded = df.select(col(id), toDouble(col(vec)).as("v"))
+      .withColumn("code", srpCode(col("v"), dims, bitsB))
+    val a = coded.select(col(id).as("vec_a"), col("v").as("va"), col("code"))
+    val b = coded.select(col(id).as("vec_b"), col("v").as("vb"), col("code"))
+    a.join(b, Seq("code"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything here is pure `Column` algebra over Spark built-ins — fully
+  * whole-stage-codegen'd, no UDFs, so the expressions inline into scans and
+  * survive a 100 TB scale-up (per-row cost only, no shuffle, no state).
+  *
+  * The reference's only text processing is ingest-time HTML stripping
+  * (reference: producers/steam_utils.py:38-42); [[stripTags]] reproduces it.
+  */
+object TextFunctions {
+
+  /** HTML-tag strip, mirroring the reference's `re.sub(r'<.*?>', '', text)`
+    * (reference: producers/steam_utils.py:38-42).
+    */
+  def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
+
+  /** Whitespace tokenization of trimmed text. Empty string → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-count estimate: words + punctuation runs counted
+    * separately (a cheap, deterministic proxy for tokenizer cost used to
+    * budget LLM training data).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(
+      filter(
+        split(trim(c), "((?<=[\\p{Punct}])|(?=[\\p{Punct}]))|\\s+"),
+        t => length(t) > 0))
+
+  /** Count of punctuation characters. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "\\p{Punct}", ""))
+
+  /** Punctuation chars / total chars (0 for empty text). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(punctCount(c) / length(c))
+
+  /** English-ish stopword list shared with the DuckDB oracle. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Number of tokens that are stopwords. */
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(Stopwords.map(lit): _*)))
+
+  /** stopword tokens / total tokens (0 for empty text). */
+  def stopwordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0)).otherwise(stopwordCount(c) / n)
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.5 * min(tokens,64)/64 + 0.3 * (1 - punct_ratio) + 0.2 * min(stop_ratio*4, 1).
+    * Deterministic integer/double algebra — identical in the SQL oracle.
+    */
+  def qualityScore(c: Column): Column = {
+    val tok  = least(tokenCount(c), lit(64)) / lit(64.0)
+    val pct  = lit(1.0) - punctRatio(c)
+    val stop = least(stopwordRatio(c) * 4.0, lit(1.0))
+    tok * 0.5 + pct * 0.3 + stop * 0.2
+  }
+
+  /** Naive n-gram/stopword language-ID heuristic: scores text against tiny
+    * per-language marker sets and returns the best-scoring language, 'und'
+    * when nothing matches. Deterministic and SQL-expressible (the real
+    * system would swap in fastText/CLD3 — the *pipeline shape* is what
+    * matters: one codegen'd expression per row, no shuffle).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"))
+
+  def langIdGuess(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = LangMarkers.map { case (lang, marks) =>
+      lang -> size(filter(toks, t => t.isin(marks.map(lit): _*)))
+    }
+    // argmax with deterministic tie-break on language order
+    val best = scores.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    best._1
+  }
+
+  /** Content fingerprint: md5 of normalized text (lowercased, collapsed
+    * whitespace). md5 is bit-identical across engines → oracle-friendly.
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+}
