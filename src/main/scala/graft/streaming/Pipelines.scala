@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.SteamModel.Review
+import graft.operators.SteamOps
+
+/** The reference's three streaming jobs, assembled from the pure
+  * transforms in [[graft.operators.SteamOps]] (SURVEY.md §3).
+  *
+  * Each `*Branches` method takes the Kafka-shaped input frame and returns
+  * the (cold, hot…) DataFrames ready for sink wiring — identical code
+  * under streaming and batch input, which is the Kappa property the
+  * reference claims (README.md:35-42) but cannot test.
+  */
+object Pipelines {
+
+  /** reviews job (configmap:10-123): parse → [cold rows, 1-h windowed
+    * sentiment agg (watermarked, C1), per-app lifetime bomb agg (C8)].
+    * The reference declares a 10-minute watermark on the windowed agg
+    * (configmap:69) — inert under complete mode, honored under
+    * append/update.
+    */
+  def reviewBranches(kafkaShaped: DataFrame, watermark: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val parsed = SteamOps.parseReviews(kafkaShaped)
+    val wm     = if (watermark) parsed.withWatermark("timestamp", "10 minutes") else parsed
+    (parsed, SteamOps.sentimentAgg(wm), SteamOps.reviewBombAgg(parsed))
+  }
+
+  /** charts job (configmap:129-206): parse → [cold rows, genre counts]. */
+  def chartBranches(kafkaShaped: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = SteamOps.parseCharts(kafkaShaped)
+    (parsed, SteamOps.genreCount(parsed))
+  }
+
+  /** players job (configmap:212-286): parse → [cold rows, 10-min windowed
+    * max/avg (5-min watermark, configmap:260)].
+    */
+  def playerBranches(kafkaShaped: DataFrame, watermark: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    val parsed = SteamOps.parsePlayers(kafkaShaped)
+    val wm     = if (watermark) parsed.withWatermark("timestamp", "5 minutes") else parsed
+    (parsed, SteamOps.playerWindowAgg(wm))
+  }
+
+  // --------------------------------------------------------------------
+  // Scale path for C8 (SURVEY.md §7.4 risk 1): the reference's lifetime
+  // per-app aggregate forces complete mode + unbounded emitted results.
+  // mapGroupsWithState keeps the same lifetime totals in keyed state and
+  // emits ONLY updated apps each trigger (update mode) — state size is
+  // O(apps), emitted rows are O(changed apps), independent of stream
+  // length. This is the operator the reference needed but didn't have.
+  // --------------------------------------------------------------------
+
+  final case class BombState(
+      total: Long, negative: Long, positive: Long, qualitySum: Double)
+
+  final case class BombUpdate(
+      app_id: String,
+      total_reviews: Long,
+      negative_count: Long,
+      positive_count: Long,
+      avg_quality: Double,
+      negative_ratio: Double,
+      positive_ratio: Double,
+      is_review_bomb: Boolean)
+
+  def updateBombState(
+      appId: String,
+      rows: Iterator[Review],
+      state: GroupState[BombState]): BombUpdate = {
+    var s = state.getOption.getOrElse(BombState(0L, 0L, 0L, 0.0))
+    rows.foreach { r =>
+      val q = Option(r.weighted_vote_score).map(_.toDouble).getOrElse(0.0)
+      s = BombState(
+        s.total + 1,
+        s.negative + (if (r.recommended) 0 else 1),
+        s.positive + (if (r.recommended) 1 else 0),
+        s.qualitySum + q)
+    }
+    state.update(s)
+    val negR = if (s.total == 0) 0.0 else s.negative.toDouble / s.total
+    val posR = if (s.total == 0) 0.0 else s.positive.toDouble / s.total
+    BombUpdate(appId, s.total, s.negative, s.positive,
+      if (s.total == 0) 0.0 else s.qualitySum / s.total,
+      negR, posR, negR > 0.8 && s.total > 10)
+  }
+
+  /** Bounded-state review-bomb detector: update-mode equivalent of
+    * [[graft.operators.SteamOps.reviewBombAgg]].
+    */
+  def reviewBombStateful(reviews: Dataset[Review]): Dataset[BombUpdate] = {
+    import reviews.sparkSession.implicits._
+    reviews
+      .groupByKey(_.app_id)
+      .mapGroupsWithState[BombState, BombUpdate](GroupStateTimeout.NoTimeout)(
+        updateBombState)
+  }
+
+  /** Output mode for the stateful detector (update — only changed apps). */
+  val StatefulOutputMode: OutputMode = OutputMode.Update()
+
+  /** Batch replay of the cold archive through the same aggregations —
+    * the Kappa reprocessing path (A6, reference README.md:284-293).
+    */
+  def replayReviews(archive: DataFrame): (DataFrame, DataFrame) =
+    (SteamOps.sentimentAgg(archive), SteamOps.reviewBombAgg(archive))
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.operators.Serving
+
+/** Specs for the serving operators and the training-data extensions
+  * (dedup, similarity, text analysis).
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- Serving (§2.D) ----------------
+
+  test("topK is deterministic under ties via tie-break key") {
+    val df = Seq(("a", 10), ("b", 10), ("c", 5)).toDF("k", "v")
+    val out = Serving.topK(df, 2, col("v").desc, col("k").asc).collect().map(_.getString(0))
+    out shouldBe Array("a", "b")
+  }
+
+  test("unionSummary counts each table once") {
+    val out = Serving.unionSummary(Seq(
+      "x" -> Seq(1, 2, 3).toDF("a"),
+      "y" -> Seq(1).toDF("a"))).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("x" -> 3L, "y" -> 1L)
+  }
+
+  test("retain drops rows older than the cutoff (D9 TTL)") {
+    val df = Seq(
+      ("old", java.sql.Timestamp.valueOf("2023-01-01 00:00:00")),
+      ("new", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))).toDF("k", "ts")
+    Serving.retain(df, "ts", lit("2024-01-01").cast("timestamp"))
+      .collect().map(_.getString(0)) shouldBe Array("new")
+  }
+
+  // ---------------- Text analysis ----------------
+
+  test("tokens/tokenCount handle empty and multi-space text") {
+    val df = Seq("", "   ", "one", "two  words").toDF("t")
+      .select(TF.tokenCount(col("t")).as("n"))
+    df.collect().map(_.getInt(0)) shouldBe Array(0, 0, 1, 2)
+  }
+
+  test("stripTags removes HTML like the reference ingest cleaner") {
+    val df = Seq("<b>bold</b> text <i>x</i>").toDF("t")
+      .select(TF.stripTags(col("t")).as("c"))
+    df.collect().head.getString(0) shouldBe "bold text x"
+  }
+
+  test("langIdGuess picks marker-heaviest language, und when none") {
+    val df = Seq("the cat and the dog of it", "el gato de la casa", "zzz qqq")
+      .toDF("t").select(TF.langIdGuess(col("t")).as("l"))
+    df.collect().map(_.getString(0)) shouldBe Array("en", "es", "und")
+  }
+
+  test("fingerprint is whitespace/case-normalized") {
+    val df = Seq(("A  B\tC", "a b c")).toDF("x", "y")
+      .select((TF.fingerprint(col("x")) === TF.fingerprint(col("y"))).as("eq"))
+    df.collect().head.getBoolean(0) shouldBe true
+  }
+
+  test("qualityScore is bounded [0,1] for normal text") {
+    val df = Seq("the quick brown fox and the lazy dog of doom", "!!!!", "")
+      .toDF("t").select(TF.qualityScore(col("t")).as("q"))
+    df.collect().foreach { r =>
+      r.getDouble(0) should be >= 0.0
+      r.getDouble(0) should be <= 1.0
+    }
+  }
+
+  // ---------------- Dedup ----------------
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "alpha beta gamma delta"),      // exact dup of 1
+    (3L, "alpha beta gamma epsilon"),    // 3/5 jaccard vs 1
+    (4L, "totally different words here")).toDF("doc_id", "text")
+
+  test("dropExactDuplicates keeps the min-id representative") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 3L, 4L)
+  }
+
+  test("jaccardPairs finds the exact-dup pair at threshold 1.0") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs shouldBe Array((1L, 2L))
+  }
+
+  test("minhashCandidates includes identical docs; candidates ⊇ high-jaccard pairs") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cands should contain((1L, 2L)) // identical docs share every band
+  }
+
+  test("simhash of identical docs is identical (hamming 0)") {
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+  }
+
+  // ---------------- Similarity ----------------
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f))).toDF("a", "b")
+      .select(round(Similarity.cosine(
+        Similarity.toDouble(col("a")), Similarity.toDouble(col("b"))), 6).as("c"))
+    df.collect().map(_.getDouble(0)) shouldBe Array(0.0, 1.0, -1.0)
+  }
+
+  test("knnCosine ranks the identical vector first") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnCosine(
+      corpus.filter(col("vec_id") === 1), corpus, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L)
+  }
+
+  test("lshCandidates buckets identical vectors together") {
+    val df = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val cands = Similarity.lshCandidates(df, "vec_id", "embedding", dims = 8, bitsB = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cands should contain((1L, 2L))
+  }
+}

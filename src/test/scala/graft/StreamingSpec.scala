@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.SteamModel.Review
+import graft.operators.SteamOps
+import graft.streaming.{ParquetUpsertSink, Pipelines, Sinks}
+
+/** Structured Streaming specs: the three reference pipelines end-to-end
+  * over MemoryStream (A1 stand-in), complete-mode semantics (A3 parity),
+  * the upsert scale path, the parquet cold path (A2), the bounded-state
+  * review-bomb operator, and batch==streaming Kappa parity (A6).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def memStream[A](implicit enc: org.apache.spark.sql.Encoder[A]): MemoryStream[A] =
+    MemoryStream[A](enc, spark)
+
+  private def reviewJson(app: String, rec: Boolean, score: Double, epoch: Long) =
+    s"""{"app_id":"$app","review_id":"r$epoch","author_steamid":"s","language":"en",
+       |"voted_up":$rec,"votes_up":1,"weighted_vote_score":$score,
+       |"timestamp_created":$epoch,"review_text":"x","scraped_at":"2024"}"""
+      .stripMargin.replace("\n", "")
+
+  test("charts pipeline: MemoryStream → explode → complete-mode memory sink") {
+    val in = memStream[String]
+    val (_, hot) = Pipelines.chartBranches(in.toDF().select(col("value")))
+    val q = Sinks.completeToMemory(hot, "charts_hot").start()
+    try {
+      in.addData(
+        """{"name":"A","appid":1,"type":"game","genres":["Action","Indie"],"timestamp_scraped":"2024-01-01T00:00:00"}""",
+        """{"name":"B","appid":2,"type":"game","genres":["Action"],"timestamp_scraped":"2024-01-01T00:00:00"}""")
+      q.processAllAvailable()
+      val r1 = spark.table("charts_hot").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      r1 shouldBe Map("Action" -> 2L, "Indie" -> 1L)
+
+      // complete mode rewrites the world: a second batch updates totals
+      in.addData("""{"name":"C","appid":3,"type":"game","genres":["Indie"],"timestamp_scraped":"2024-01-01T00:00:00"}""")
+      q.processAllAvailable()
+      val r2 = spark.table("charts_hot").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      r2 shouldBe Map("Action" -> 2L, "Indie" -> 2L)
+    } finally q.stop()
+  }
+
+  test("reviews pipeline: windowed sentiment agg in complete mode keeps late data (§7.4 risk 2)") {
+    val in = memStream[String]
+    val (_, hot, _) = Pipelines.reviewBranches(in.toDF().select(col("value")))
+    val q = Sinks.completeToMemory(hot, "reviews_hot").start()
+    try {
+      val base = 1700000000L
+      in.addData(reviewJson("1", rec = true, 0.5, base))
+      q.processAllAvailable()
+      // 2h-late event: watermark would evict it under append mode, but the
+      // reference runs complete mode where the watermark is inert.
+      in.addData(reviewJson("1", rec = true, 1.0, base - 7200))
+      q.processAllAvailable()
+      val rows = spark.table("reviews_hot").collect()
+      rows.map(_.getAs[Long]("total_reviews")).sum shouldBe 2L
+    } finally q.stop()
+  }
+
+  test("players pipeline + upsert sink: update mode touches only changed keys") {
+    val in = memStream[String]
+    val (_, hot) = Pipelines.playerBranches(in.toDF().select(col("value")))
+    val flat = hot.select(
+      col("window.start").as("w_start"), col("appid"),
+      col("max_players"), col("avg_players"))
+    val sink = new ParquetUpsertSink(tmpDir("upsert"), Seq("w_start", "appid"))
+    val q = Sinks.upsert(flat, sink, tmpDir("ckpt")).start()
+    try {
+      in.addData("""{"appid":730,"player_count":100,"timestamp":"2024-01-01T00:01:00"}""")
+      q.processAllAvailable()
+      in.addData("""{"appid":730,"player_count":900,"timestamp":"2024-01-01T00:02:00"}""")
+      q.processAllAvailable()
+      val out = sink.read(spark).get.collect()
+      out.length shouldBe 1 // same 10-min window + appid → upserted, not appended
+      out.head.getAs[Int]("max_players") shouldBe 900
+    } finally q.stop()
+  }
+
+  test("cold path: parquet archive sink appends parsed rows exactly once") {
+    val in = memStream[String]
+    val (cold, _, _) = Pipelines.reviewBranches(in.toDF().select(col("value")))
+    val dir = tmpDir("archive")
+    val q = Sinks.parquetArchive(cold, dir, tmpDir("ckpt"),
+      Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(reviewJson("1", rec = true, 0.5, 1700000000L))
+      in.addData(reviewJson("2", rec = false, 0.1, 1700000100L))
+      q.processAllAvailable()
+      val archived = spark.read.parquet(dir)
+      archived.count() shouldBe 2
+      archived.columns should contain("recommended")
+    } finally q.stop()
+  }
+
+  test("stateful review-bomb: update mode emits lifetime totals per changed app") {
+    val in = memStream[Review]
+    val updates = Pipelines.reviewBombStateful(in.toDS())
+    val q = updates.writeStream.format("memory").queryName("bomb_updates")
+      .outputMode(Pipelines.StatefulOutputMode).start()
+    try {
+      def r(app: String, rec: Boolean, i: Int) = Review(app, s"r$i", "s", "en",
+        rec, 1, 0.5f, new java.sql.Timestamp(1700000000000L + i), "t")
+      in.addData((1 to 11).map(i => r("b", rec = false, i)): _*)
+      q.processAllAvailable()
+      in.addData(r("b", rec = false, 12)) // 12th negative — state carries over
+      q.processAllAvailable()
+      val last = spark.table("bomb_updates").collect()
+        .filter(_.getAs[String]("app_id") == "b")
+        .maxBy(_.getAs[Long]("total_reviews"))
+      last.getAs[Long]("total_reviews") shouldBe 12L
+      last.getAs[Long]("negative_count") shouldBe 12L
+      last.getAs[Boolean]("is_review_bomb") shouldBe true
+    } finally q.stop()
+  }
+
+  test("Kappa parity: batch replay over the archive == streaming aggregate (A6)") {
+    // stream some rows to a parquet archive, then re-run the same transform
+    // in batch over the archive and against the original rows directly
+    val rows = Seq(
+      reviewJson("1", rec = true, 0.6, 1700000000L),
+      reviewJson("1", rec = false, 0.2, 1700000060L),
+      reviewJson("2", rec = true, 0.9, 1700003700L))
+    val batchParsed = SteamOps.parseReviews(rows.toDF("value"))
+    val expected = SteamOps.sentimentAgg(batchParsed).collect().toSet
+
+    val in = memStream[String]
+    val (cold, hot, _) = Pipelines.reviewBranches(in.toDF().select(col("value")))
+    val dir = tmpDir("kappa")
+    val qCold = Sinks.parquetArchive(cold, dir, tmpDir("ckpt"), Trigger.ProcessingTime(0)).start()
+    val qHot  = Sinks.completeToMemory(hot, "kappa_hot").start()
+    try {
+      in.addData(rows: _*)
+      qCold.processAllAvailable(); qHot.processAllAvailable()
+      val streamed = spark.table("kappa_hot").collect().toSet
+      val replayed = SteamOps.sentimentAgg(spark.read.parquet(dir)).collect().toSet
+      streamed shouldBe expected
+      replayed shouldBe expected
+    } finally { qCold.stop(); qHot.stop() }
+  }
+}
