@@ -142,9 +142,18 @@ object Dedup {
   /** 32-bit SimHash over whitespace tokens. Bit j (0-based, from md5 hex
     * nibble j/4, bit j%4 of the nibble) is set iff the sum over tokens of
     * (+1 if the token's md5 has that bit set else -1) is positive.
-    * Pure column algebra → codegen'd, oracle-reproducible.
+    * Implemented by the native [[graft.functions.expressions.SimHash]]
+    * expression: one md5 per token per row instead of the 32-pass
+    * interpreted bit-vote of [[simhashFoldExpr]] (same bits, ~10× faster).
     */
-  def simhashExpr(text: Column): Column = {
+  def simhashExpr(text: Column): Column =
+    graft.functions.expressions.NativeExpressions.simhash(
+      array_distinct(tokens(text)))
+
+  /** Reference formulation of [[simhashExpr]] in pure column algebra;
+    * kept for A/B testing the native expression.
+    */
+  def simhashFoldExpr(text: Column): Column = {
     val hashes = transform(array_distinct(tokens(text)), t => md5(t))
     val bits = (0 until SimhashBits).map { j =>
       val nibbleIdx = j / 4 // 1-based substring position below

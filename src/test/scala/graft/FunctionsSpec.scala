@@ -123,6 +123,29 @@ class FunctionsSpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L)
   }
 
+  test("native DotProduct equals the higher-order-function fold bit-for-bit") {
+    val vecs = (1 to 50).map { i =>
+      (Array.tabulate(64)(d => ((i * 31 + d * 7) % 100 - 50) / 10.0f),
+       Array.tabulate(64)(d => ((i * 17 + d * 3) % 100 - 50) / 10.0f))
+    }
+    val df = vecs.toDF("a", "b")
+      .select(Similarity.toDouble(col("a")).as("a"), Similarity.toDouble(col("b")).as("b"))
+    val diff = df.select(
+      (Similarity.dot(col("a"), col("b")) === Similarity.dotFold(col("a"), col("b"))).as("eq"))
+      .collect()
+    all(diff.map(_.getBoolean(0))) shouldBe true
+  }
+
+  test("native SimHash equals the column-algebra formulation bit-for-bit") {
+    val df = Seq(
+      "alpha beta gamma", "the quick brown fox", "a", "", "x y z w q r s t u v")
+      .toDF("text")
+    val out = df.select(
+      Dedup.simhashExpr(col("text")).as("fast"),
+      Dedup.simhashFoldExpr(col("text")).as("ref")).collect()
+    out.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
   test("lshCandidates buckets identical vectors together") {
     val df = Seq(
       (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
