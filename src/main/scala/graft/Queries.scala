@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
-import graft.operators.{Serving, SteamOps}
+import graft.operators.{Multimodal => MM, Serving, SteamOps}
 
 /** The correctness-gate query catalog: every operator from SURVEY.md §2
   * (the reference's inventory) plus the training-data-pipeline extensions,
@@ -676,6 +676,71 @@ object Queries {
          |FROM g GROUP BY 1""".stripMargin
     })
 
+  // ===========================================================================
+  // Multimodal pipeline (binary content + typed metadata; operators/Multimodal)
+  // ===========================================================================
+
+  private def media(s: SparkSession, d: String): DataFrame =
+    MM.mediaTable(t(s, d).documents)
+
+  private val qMediaStats = Q(
+    "q_media_stats",
+    "multimodal: per-modality stats over binary + metadata columns",
+    (s, d) =>
+      media(s, d)
+        .groupBy(col("media_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(octet_length(col("content"))).as("sum_bytes"),
+          sum(col("meta.width")).as("sum_width"),
+          sum(when(col("meta.duration_ms") > 0,
+            (col("meta.duration_ms") / 2000).cast("long") + 1).otherwise(0L))
+            .as("n_frames_2s"),
+          countDistinct(md5(col("content"))).as("n_fp")),
+    Some(s"""WITH m AS (${MM.sqlMediaTable})
+            |SELECT media_type, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+            |  CAST(sum(width) AS BIGINT) AS sum_width,
+            |  CAST(sum(CASE WHEN duration_ms > 0 THEN duration_ms // 2000 + 1 ELSE 0 END) AS BIGINT) AS n_frames_2s,
+            |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_fp
+            |FROM m GROUP BY 1""".stripMargin))
+
+  private val qMediaDecode = Q(
+    "q_media_decode",
+    "multimodal: batched mapPartitions decode (stub codec) + integer aspect-fit resize",
+    (s, d) => {
+      val decoded = MM.decodeBatched(media(s, d), MM.StubCodec)
+      val resized = MM.resizeFit(decoded, 128, 128)
+      resized.select(
+        Seq(col("doc_id"), col("media_type"), col("out_w"), col("out_h"),
+          col("n_bytes")) ++
+          (0 until MM.FeatureDim).map(i => col("features")(i).as(s"f$i")): _*)
+    },
+    Some {
+      val (ow, oh) = MM.sqlResizeFit(128, 128)
+      val feats = (0 until MM.FeatureDim)
+        .map(i => s"${MM.sqlFeature("text", i)} AS f$i").mkString(",\n  ")
+      s"""WITH m AS (${MM.sqlMediaTable})
+         |SELECT doc_id, media_type, $ow AS out_w, $oh AS out_h,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  $feats
+         |FROM m""".stripMargin
+    })
+
+  private val qMediaFrames = Q(
+    "q_media_frames",
+    "multimodal: frame sampling via explode(sequence) on duration metadata",
+    (s, d) =>
+      MM.frameSample(media(s, d).filter(col("doc_id") < 100), 2000)
+        .select(col("doc_id"), col("media_type"), col("frame_idx"),
+          col("frame_ts_ms")),
+    Some(s"""WITH m AS (${MM.sqlMediaTable}),
+            |f AS (SELECT doc_id, media_type,
+            |  unnest(range(0, duration_ms // 2000 + 1)) AS frame_idx
+            |FROM m WHERE duration_ms > 0 AND doc_id < 100)
+            |SELECT doc_id, media_type, frame_idx,
+            |  frame_idx * 2000 AS frame_ts_ms FROM f""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -683,5 +748,5 @@ object Queries {
     qArgmaxLatest, qUnionSummary, qPricing, qJoinBroadcast, qJoinSemiAnti,
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
-    qLangProfile)
+    qLangProfile, qMediaStats, qMediaDecode, qMediaFrames)
 }
