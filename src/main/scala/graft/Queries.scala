@@ -741,6 +741,55 @@ object Queries {
             |SELECT doc_id, media_type, frame_idx,
             |  frame_idx * 2000 AS frame_ts_ms FROM f""".stripMargin))
 
+  private val qKnnIvf = Q(
+    "q_knn_ivf",
+    "ANN scale path: IVF (broadcast centroids, probe-limited search)",
+    (s, d) => {
+      val e = t(s, d).embeddings
+      Similarity.ivfKnnCosine(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, numCells = 16, nProbe = 4)
+    },
+    Some("""WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+           |  FROM embeddings WHERE vec_id < 16),
+           |cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM c),
+           |corp AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |corpn AS (SELECT cid, v, list_dot_product(v, v) AS vn2 FROM corp),
+           |asg AS (SELECT cid, v, vn2, cell FROM (
+           |  SELECT cid, v, vn2, cell, row_number() OVER (PARTITION BY cid
+           |    ORDER BY round(list_dot_product(v, cv) / sqrt(vn2 * cn2), 4) DESC, cell) AS arn
+           |  FROM corpn, cn) WHERE arn = 1),
+           |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |qn AS (SELECT query_id, qv, list_dot_product(qv, qv) AS qn2 FROM q),
+           |pr AS (SELECT query_id, qv, qn2, cell FROM (
+           |  SELECT query_id, qv, qn2, cell, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY round(list_dot_product(qv, cv) / sqrt(qn2 * cn2), 4) DESC, cell) AS prn
+           |  FROM qn, cn) WHERE prn <= 4),
+           |s AS (SELECT query_id, cid AS neighbor_id,
+           |  round(list_dot_product(qv, v) / sqrt(qn2 * vn2), 4) AS cos_sim
+           |FROM pr JOIN asg USING (cell))
+           |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+           |WHERE rank <= 5""".stripMargin))
+
+  private val qRetention = Q(
+    "q_retention",
+    "D9 — TTL retention job over the event-time table",
+    (s, d) =>
+      Serving.retain(t(s, d).events, "ts", lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          date_format(min(col("ts")), Fmt).as("min_ts"),
+          date_format(max(col("ts")), Fmt).as("max_ts")),
+    Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            |  strftime(min(ts), '$DuckFmt') AS min_ts,
+            |  strftime(max(ts), '$DuckFmt') AS max_ts
+            |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+            |GROUP BY 1""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -748,5 +797,6 @@ object Queries {
     qArgmaxLatest, qUnionSummary, qPricing, qJoinBroadcast, qJoinSemiAnti,
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
-    qLangProfile, qMediaStats, qMediaDecode, qMediaFrames)
+    qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
+    qRetention)
 }

@@ -122,6 +122,77 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate k-NN — the scale path for similarity
+    * search that [[knnCosine]] is the brute-force baseline for.
+    *
+    * Index build: the first `numCells` corpus vectors (id < numCells) act
+    * as deterministic centroids; every corpus vector is assigned to its
+    * most-cosine-similar centroid. Search: each query probes its `nProbe`
+    * nearest cells and ranks only the vectors in those cells by exact
+    * cosine.
+    *
+    * Scale shape (100 TB): centroids are tiny and BROADCAST, so cell
+    * assignment is a narrow map over the corpus followed by one shuffle
+    * keyed on the vector id (the argmax); in production the assignment is
+    * computed once and persisted, partitioned by cell. The probe table
+    * (queries × nProbe) is broadcast into the candidate join, so a search
+    * touches only the probed cells' partitions — corpus work per query is
+    * |corpus| · nProbe / numCells instead of |corpus|.
+    *
+    * Ties broken by id everywhere (similarities rounded to 4 dp first) so
+    * results are total-ordered and engine-independent.
+    */
+  def ivfKnnCosine(
+      queries: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      numCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus
+      .filter(col(id) < numCells)
+      .select(col(id).as("cell"), toDouble(col(vec)).as("cv"))
+    val cn = cents.withColumn("cn2", norm2(col("cv")))
+
+    def simTo(v: Column, n2: Column): Column =
+      round(dot(v, col("cv")) / sqrt(n2 * col("cn2")), 4)
+
+    // cell assignment: argmax over broadcast centroids, one shuffle by id
+    val corp = corpus.select(col(id).as("cid"), toDouble(col(vec)).as("v"))
+      .withColumn("vn2", norm2(col("v")))
+    val assigned = corp
+      .join(broadcast(cn))
+      .withColumn("csim", simTo(col("v"), col("vn2")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("arn") === 1)
+      .select(col("cid"), col("v"), col("vn2"), col("cell"))
+
+    // probe list: nProbe nearest cells per query
+    val qs = queries.select(col(id).as("query_id"), toDouble(col(vec)).as("qv"))
+      .withColumn("qn2", norm2(col("qv")))
+    val probes = qs
+      .join(broadcast(cn))
+      .withColumn("psim", simTo(col("qv"), col("qn2")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("psim").desc, col("cell"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn2"), col("cell"))
+
+    // search probed cells only; probes side is small → broadcast
+    broadcast(probes)
+      .join(assigned, Seq("cell"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("v")) / sqrt(col("qn2") * col("vn2")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cid"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cid").as("neighbor_id"), col("cos_sim"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** LSH-bucketed near-dup candidates: pairs sharing an SRP hypercube code.
     * Recall is tunable via `bitsB` (fewer bits → bigger buckets → higher
     * recall, more candidates). Verify candidates with exact [[cosine]].

@@ -123,6 +123,21 @@ class FunctionsSpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L)
   }
 
+  test("ivfKnnCosine probing every cell reduces to exact brute-force knn") {
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 13 + d * 5) % 17).toFloat - 8) / 8))
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 5)
+    val exact = Similarity.knnCosine(qs, corpus, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Similarity.ivfKnnCosine(qs, corpus, "vec_id", "embedding",
+      k = 3, numCells = 8, nProbe = 8) // probe all cells → exhaustive
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    ivf shouldBe exact
+  }
+
   test("native DotProduct equals the higher-order-function fold bit-for-bit") {
     val vecs = (1 to 50).map { i =>
       (Array.tabulate(64)(d => ((i * 31 + d * 7) % 100 - 50) / 10.0f),
