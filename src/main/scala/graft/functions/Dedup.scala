@@ -87,14 +87,20 @@ object Dedup {
     val banded = (0 until bands)
       .map(b => sigs.select(col(id), lit(b).as("band"), bandKeyExpr(b, r).as("bkey")))
       .reduce(_.unionAll(_))
+    // Bucket-size cap without a window function: the oversized-bucket key
+    // list is tiny by construction (each key holds > maxBucket docs), so
+    // aggregate it (map-side partial combine) and broadcast an anti-join —
+    // the banded set is never shuffled-and-sorted wholesale the way a
+    // count().over(partitionBy(bucket)) would.
     val capped =
-      if (maxBucket > 0)
-        banded
-          .withColumn("bsz", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-          .filter(col("bsz") <= maxBucket)
-          .drop("bsz")
-      else banded
+      if (maxBucket > 0) {
+        val oversized = banded
+          .groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > maxBucket)
+          .select(col("band"), col("bkey"))
+        banded.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+      } else banded
     val a = capped.select(col(id).as("doc_a"), col("band"), col("bkey"))
     val b = capped.select(col(id).as("doc_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
