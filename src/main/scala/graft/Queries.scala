@@ -790,6 +790,30 @@ object Queries {
             |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
             |GROUP BY 1""".stripMargin))
 
+  private val qRollingFp = Q(
+    "q_rolling_fp",
+    "rolling-hash (Rabin-Karp) document fingerprint + winnowing min-shingle",
+    (s, d) =>
+      t(s, d).documents
+        .select(
+          col("doc_id"),
+          TF.rollingFingerprint(col("text")).as("fp_roll"),
+          TF.minShingleFingerprint(col("text"), 3).as("min_shingle")),
+    Some {
+      val t16s =
+        s"""list_transform(
+           |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |       ELSE string_split_regex(trim(text), '\\s+') END,
+           |  t -> ${TF.sqlTok16("t")})""".stripMargin
+      s"""WITH h AS (SELECT doc_id, $t16s AS hs FROM documents)
+         |SELECT doc_id,
+         |  ${TF.sqlRoll("hs")} AS fp_roll,
+         |  list_min(list_transform(
+         |    generate_series(1, greatest(len(hs) - 2, 1)),
+         |    i -> ${TF.sqlRoll("hs[i:i+2]")})) AS min_shingle
+         |FROM h""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -798,5 +822,5 @@ object Queries {
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
-    qRetention)
+    qRetention, qRollingFp)
 }

@@ -100,4 +100,66 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  // ---- rolling (Rabin-Karp) fingerprints -------------------------------
+
+  /** Polynomial base / modulus for the rolling hash. Mod 2^31-1 keeps every
+    * intermediate (h·B + t16 < 2^48) inside exact int64 range in both Spark
+    * and the SQL oracle.
+    */
+  val RollBase = 65599L
+  val RollMod  = 2147483647L
+
+  /** 16-bit token hash: first 4 hex chars of the token's md5, parsed via
+    * ascii arithmetic (the cross-engine-identical primitive).
+    */
+  def tok16(t: Column): Column = {
+    val hex = md5(t)
+    (0 until 4).map { k =>
+      val a = ascii(substring(hex, k + 1, 1))
+      (when(a <= 57, a - 48).otherwise(a - 87)) * (1 << (4 * (3 - k)))
+    }.reduce(_ + _)
+  }
+
+  private def t16s(c: Column): Column = transform(tokens(c), t => tok16(t))
+
+  private def rollOf(list: Column): Column =
+    aggregate(list, lit(0L), (h, t) => (h * RollBase + t) % RollMod)
+
+  /** Rolling (Rabin-Karp) document fingerprint over the token stream:
+    * h ← (h·65599 + tok16) mod 2^31-1, left to right. Order-SENSITIVE,
+    * unlike [[fingerprint]]'s normalized-content md5 — token reorderings
+    * produce distinct fingerprints. Empty text → 0.
+    */
+  def rollingFingerprint(c: Column): Column = rollOf(t16s(c))
+
+  /** Winnowing-style minimum shingle fingerprint: the smallest rolling
+    * hash over all `w`-token shingles (sequence positions clamp at the
+    * end; texts shorter than `w` tokens collapse to one degenerate
+    * shingle). Two documents sharing any low-hash shingle collide here —
+    * the classic cheap near-dup / containment signal that needs only a
+    * per-row expression plus a groupBy at scale.
+    */
+  def minShingleFingerprint(c: Column, w: Int = 3): Column = {
+    val hs = t16s(c)
+    array_min(
+      transform(
+        sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+        i => rollOf(slice(hs, i, lit(w)))))
+  }
+
+  // ---- DuckDB oracle mirrors of the rolling-hash surface ---------------
+
+  /** DuckDB rendering of [[tok16]] over a lambda variable `t`. */
+  def sqlTok16(t: String): String = {
+    def nib(k: Int) =
+      s"(CASE WHEN ascii(substr(md5($t), ${k + 1}, 1)) <= 57 THEN ascii(substr(md5($t), ${k + 1}, 1)) - 48 ELSE ascii(substr(md5($t), ${k + 1}, 1)) - 87 END)"
+    (0 until 4).map(k => s"${nib(k)} * ${1 << (4 * (3 - k))}").mkString(" + ")
+  }
+
+  /** DuckDB rendering of [[rollOf]] over a list expression (prepends the
+    * zero seed because DuckDB's list_reduce has no initial accumulator).
+    */
+  def sqlRoll(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr), (a, b) -> (a * $RollBase + b) % $RollMod)"
 }

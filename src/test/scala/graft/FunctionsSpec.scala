@@ -123,6 +123,28 @@ class FunctionsSpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L)
   }
 
+  test("rolling fingerprint is order-sensitive; shared shingles collide on min-shingle") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"), // same tokens, reversed
+      (3L, "alpha beta gamma delta epsilon"), // identical to 1
+      (4L, ""),
+      (5L, "zeta")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TF.rollingFingerprint(col("text")).as("fp"),
+        TF.minShingleFingerprint(col("text"), 3).as("ms"))
+    val rows = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    rows(0) shouldBe rows(2)        // identical docs agree
+    rows(0)._1 should not be rows(1)._1 // reorder changes the rolling hash
+    rows(3)._1 shouldBe 0L          // empty text → seed
+    // doc 2 contains every 3-shingle of doc 1 reversed — but both contain
+    // *some* shingles; identical docs share the min-shingle exactly:
+    rows(0)._2 shouldBe rows(2)._2
+  }
+
   test("ivfKnnCosine probing every cell reduces to exact brute-force knn") {
     val corpus = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(d => (((i * 13 + d * 5) % 17).toFloat - 8) / 8))
