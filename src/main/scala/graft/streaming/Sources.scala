@@ -43,4 +43,60 @@ object Sources {
   /** Batch flavor of [[jsonLines]] — same shape, for archive replay. */
   def jsonLinesBatch(spark: SparkSession, path: String): DataFrame =
     spark.read.format("text").load(path)
+
+  // ---- A5: offline CSV samples (reference inputs/, FIXTURES.md §2) ----
+
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  /** Reviews CSV sample (reference: inputs/reviews/steam_reviews_*.csv).
+    * Quoted multiline review text requires `multiLine`; the appid lives in
+    * the FILENAME, not a column, so the caller supplies it. Output is the
+    * parsed-review shape (`SteamOps.parseReviews`), so the whole hot path
+    * (sentiment window, review-bomb) runs unchanged over the offline data.
+    */
+  def reviewsCsv(spark: SparkSession, path: String, appId: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("review_id", StringType),
+      StructField("author", StringType),
+      StructField("language", StringType),
+      StructField("recommended", BooleanType),
+      StructField("steam_purchase", BooleanType),
+      StructField("votes_up", IntegerType),
+      StructField("weighted_vote_score", FloatType),
+      StructField("timestamp", TimestampType),
+      StructField("review", StringType)))
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"") // RFC-4180 "" quote escaping, not backslash
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(schema)
+      .csv(path)
+      .select(
+        lit(appId).as("app_id"),
+        col("review_id"),
+        col("author").as("author_steamid"),
+        col("language"),
+        col("recommended"),
+        col("votes_up"),
+        col("weighted_vote_score"),
+        col("timestamp"),
+        col("review").as("review_text"))
+  }
+
+  /** Player-count CSV sample (reference: inputs/charts/steamcharts_24h.csv)
+    * in the parsed-players shape (`SteamOps.parsePlayers`).
+    */
+  def chartsCsv(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("appid", IntegerType),
+      StructField("timestamp", TimestampType),
+      StructField("player_count", IntegerType)))
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(schema)
+      .csv(path)
+  }
 }

@@ -105,6 +105,34 @@ class SteamOpsSpec extends SparkSpec {
     out shouldBe Map("Action" -> 2L, "Indie" -> 1L)
   }
 
+  test("A5: the reference's offline CSV samples feed the same hot-path aggs") {
+    import graft.streaming.Sources
+    val base = "/root/reference/inputs"
+    assume(new java.io.File(s"$base/charts/steamcharts_24h.csv").exists,
+      "reference checkout not present")
+
+    val reviews =
+      Sources.reviewsCsv(spark, s"$base/reviews/steam_reviews_730.csv", "730")
+    val n = reviews.count()
+    n should be > 100L // 291 file lines, fewer logical rows (multiline text)
+    reviews.filter(col("timestamp").isNull).count() shouldBe 0
+
+    val bombs = SteamOps.reviewBombAgg(reviews).collect()
+    bombs should have length 1 // one app per file (appid from filename)
+    bombs.head.getAs[Long]("total_reviews") shouldBe n
+
+    val sent = SteamOps.sentimentAgg(reviews)
+    sent.columns should contain allOf
+      ("window", "recommended", "total_reviews", "avg_quality")
+    sent.agg(sum(col("total_reviews"))).collect().head.getLong(0) shouldBe n
+
+    val charts = Sources.chartsCsv(spark, s"$base/charts/steamcharts_24h.csv")
+    charts.count() shouldBe 2578
+    val pw = SteamOps.playerWindowAgg(charts)
+    pw.filter(col("max_players") < col("avg_players")).count() shouldBe 0
+    pw.count() should be <= 2578L
+  }
+
   test("playerWindowAgg: 10-minute windows, max + avg") {
     val t0 = 1700000000L - 1700000000L % 600 // window-aligned
     val df = Seq(
