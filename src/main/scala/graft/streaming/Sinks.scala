@@ -23,18 +23,28 @@ import org.apache.spark.sql.Row
   */
 object Sinks {
 
-  /** A2 — cold-path parquet archive (configmap:95-101, 188-194, 268-274). */
+  /** A2 — cold-path parquet archive (configmap:95-101, 188-194, 268-274).
+    *
+    * `partitionCols` (the reference archives unpartitioned — a scale bug)
+    * keys the directory layout, typically by event date: readers with a
+    * date predicate then scan only matching partitions (PartitionFilters),
+    * and the D9 retention job becomes a partition drop instead of a
+    * rewrite.
+    */
   def parquetArchive(
       df: DataFrame,
       path: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 minute")): DataStreamWriter[Row] =
-    df.writeStream
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+      partitionCols: Seq[String] = Nil): DataStreamWriter[Row] = {
+    val w = df.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .outputMode("append")
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
 
   /** A3 (parity flavor) — complete-mode in-memory table, reproducing the
     * reference's rewrite-the-world semantics exactly for tests

@@ -97,6 +97,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("date-partitioned archive: reads with a date predicate prune partitions (D9)") {
+    val in = memStream[String]
+    val (cold, _, _) = Pipelines.reviewBranches(in.toDF().select(col("value")))
+    val dir = tmpDir("archive_part")
+    val q = Sinks.parquetArchive(
+      cold.withColumn("day", to_date(col("timestamp"))),
+      dir, tmpDir("ckpt"), Trigger.ProcessingTime(0),
+      partitionCols = Seq("day")).start()
+    try {
+      in.addData(reviewJson("1", rec = true, 0.5, 1700000000L))  // 2023-11-14
+      in.addData(reviewJson("2", rec = false, 0.1, 1700100000L)) // 2023-11-16
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val allRows = spark.read.parquet(dir)
+    allRows.select("day").collect().map(_.get(0).toString).sorted shouldBe
+      Array("2023-11-14", "2023-11-16")
+    val pruned = spark.read.parquet(dir).filter(col("day") === "2023-11-14")
+    pruned.collect() should have length 1
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    scan.partitionFilters.map(_.sql).mkString should include("day")
+    scan.metrics("numFiles").value shouldBe 1 // one of the two day dirs read
+  }
+
   test("stateful review-bomb: update mode emits lifetime totals per changed app") {
     val in = memStream[Review]
     val updates = Pipelines.reviewBombStateful(in.toDS())
