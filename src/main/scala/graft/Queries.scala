@@ -814,6 +814,28 @@ object Queries {
          |FROM h""".stripMargin
     })
 
+  private val qSkewSalted = Q(
+    "q_skew_salted",
+    "skew mitigation: two-phase salted aggregation (bit-identical to direct)",
+    (s, d) =>
+      graft.operators.Skew.saltedAgg(
+        reviewishEvents(s, d), Seq("event_type"), saltBuckets = 8)(
+        partials = Seq(
+          count(lit(1)).as("pc"),
+          sum(col("cents")).as("ps"),
+          max(col("cents")).as("pm")),
+        finals = Seq(
+          sum(col("pc")).as("n"),
+          sum(col("ps")).as("sum_cents"),
+          max(col("pm")).as("max_cents"),
+          (sum(col("ps")) / sum(col("pc"))).as("avg_cents"))),
+    Some(s"""WITH e AS ($sqlReviewishEvents)
+            |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+            |  CAST(max(cents) AS BIGINT) AS max_cents,
+            |  CAST(sum(cents) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_cents
+            |FROM e GROUP BY 1""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -822,5 +844,5 @@ object Queries {
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
-    qRetention, qRollingFp)
+    qRetention, qRollingFp, qSkewSalted)
 }

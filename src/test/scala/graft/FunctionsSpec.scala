@@ -123,6 +123,25 @@ class FunctionsSpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L)
   }
 
+  test("saltedAgg equals direct aggregation on heavily skewed keys") {
+    import graft.operators.Skew
+    // 10k rows, 95% on one hot key
+    val df = spark.range(10000).select(
+      when(col("id") % 20 < 19, "hot").otherwise(concat(lit("k"), col("id") % 7))
+        .as("k"),
+      (col("id") % 101).as("v"))
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), max("v").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val salted = Skew.saltedAgg(df, Seq("k"), saltBuckets = 16)(
+      partials = Seq(count(lit(1)).as("pc"), sum("v").as("ps"), max("v").as("pm")),
+      finals = Seq(sum("pc").as("n"), sum("ps").as("s"), max("pm").as("m")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    salted shouldBe direct
+  }
+
   test("rolling fingerprint is order-sensitive; shared shingles collide on min-shingle") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(
