@@ -836,6 +836,57 @@ object Queries {
             |  CAST(sum(cents) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_cents
             |FROM e GROUP BY 1""".stripMargin))
 
+  private val qSlidingWindow = Q(
+    "q_sliding_window",
+    "sliding event-time window (10 min size / 5 min slide)",
+    (s, d) =>
+      reviewishEvents(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(
+          date_format(col("window.start"), Fmt).as("w_start"),
+          date_format(col("window.end"), Fmt).as("w_end"),
+          col("event_type"), col("n"), col("sum_cents")),
+    Some(s"""WITH ev AS ($sqlReviewishEvents),
+            |w AS (SELECT event_type, cents,
+            |  time_bucket(INTERVAL 5 MINUTE, ts)
+            |    - unnest([INTERVAL 0 MINUTE, INTERVAL 5 MINUTE]) AS ws
+            |FROM ev)
+            |SELECT strftime(ws, '$DuckFmt') AS w_start,
+            |  strftime(ws + INTERVAL 10 MINUTE, '$DuckFmt') AS w_end,
+            |  event_type, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(cents) AS BIGINT) AS sum_cents
+            |FROM w GROUP BY 1, 2, 3""".stripMargin))
+
+  private val qSessionWindow = Q(
+    "q_session_window",
+    "session window (5 min gap) per event_type",
+    (s, d) =>
+      reviewishEvents(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("session_window.start"), Fmt).as("s_start"),
+          date_format(col("session_window.end"), Fmt).as("s_end"),
+          col("event_type"), col("n")),
+    // islands: a session breaks when the gap to the previous event is
+    // >= 5 min (Spark's window is [start, last+gap), strict end)
+    Some(s"""WITH ev AS ($sqlReviewishEvents),
+            |o AS (SELECT event_type, ts,
+            |  CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+            |         OR ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+            |              >= INTERVAL 5 MINUTE
+            |       THEN 1 ELSE 0 END AS new_s
+            |FROM ev),
+            |s AS (SELECT event_type, ts,
+            |  sum(new_s) OVER (PARTITION BY event_type ORDER BY ts
+            |    ROWS UNBOUNDED PRECEDING) AS sid
+            |FROM o)
+            |SELECT strftime(min(ts), '$DuckFmt') AS s_start,
+            |  strftime(max(ts) + INTERVAL 5 MINUTE, '$DuckFmt') AS s_end,
+            |  event_type, CAST(count(*) AS BIGINT) AS n
+            |FROM s GROUP BY event_type, sid""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -844,5 +895,5 @@ object Queries {
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
-    qRetention, qRollingFp, qSkewSalted)
+    qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow)
 }
