@@ -46,6 +46,16 @@ object Pipelines {
     (parsed, SteamOps.playerWindowAgg(wm))
   }
 
+  /** Stream-static enrichment: join a streaming fact against a small
+    * static dimension (game metadata). The dimension is broadcast — each
+    * micro-batch's tasks probe a local hash map, no shuffle of the stream,
+    * and the join keeps the stream watermark/event-time intact. (The
+    * reference has no joins at all, SURVEY.md §2.E — this is the first
+    * operator any analytics user adds.)
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   // --------------------------------------------------------------------
   // Scale path for C8 (SURVEY.md §7.4 risk 1): the reference's lifetime
   // per-app aggregate forces complete mode + unbounded emitted results.

@@ -123,6 +123,15 @@ class FunctionsSpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L)
   }
 
+  test("approx_count_distinct (HLL) stays within 5% of exact at 100k keys") {
+    val df = spark.range(100000).select((col("id") % 34567).as("k"))
+    val row = df.agg(
+      countDistinct(col("k")).as("exact"),
+      approx_count_distinct(col("k")).as("approx")).collect().head
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    math.abs(approx - exact).toDouble / exact should be < 0.05
+  }
+
   test("saltedAgg equals direct aggregation on heavily skewed keys") {
     import graft.operators.Skew
     // 10k rows, 95% on one hot key

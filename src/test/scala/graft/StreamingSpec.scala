@@ -144,6 +144,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join broadcasts the dimension") {
+    val in = memStream[String]
+    def playerJson(app: Int, n: Int, iso: String) =
+      s"""{"appid":$app,"player_count":$n,"timestamp":"$iso"}"""
+    val (parsed, _) = Pipelines.playerBranches(in.toDF().select(col("value")))
+    val dim = Seq((730, "CS2"), (570, "Dota 2")).toDF("appid", "name")
+    val q = Pipelines.enrich(parsed, dim, "appid")
+      .writeStream.format("memory").queryName("enriched").start()
+    try {
+      in.addData(playerJson(730, 100, "2024-01-01 00:00:00"))
+      in.addData(playerJson(999, 5, "2024-01-01 00:01:00")) // no dim row
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => r.getAs[Int]("appid") -> r.getAs[String]("name")).toMap
+      out shouldBe Map(730 -> "CS2", 999 -> null)
+    } finally q.stop()
+  }
+
   test("Kappa parity: batch replay over the archive == streaming aggregate (A6)") {
     // stream some rows to a parquet archive, then re-run the same transform
     // in batch over the archive and against the original rows directly
