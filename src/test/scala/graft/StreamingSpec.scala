@@ -144,6 +144,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("shared-scan multi-sink: one query feeds archive + both hot tables") {
+    val in  = memStream[String]
+    val arc = tmpDir("ms_archive")
+    val s1  = new ParquetUpsertSink(tmpDir("ms_sent"), Seq("window", "recommended"))
+    val s2  = new ParquetUpsertSink(tmpDir("ms_bomb"), Seq("app_id"))
+    val q = Pipelines.reviewsMultiSink(
+      in.toDF().select(col("value")), arc, s1, s2, tmpDir("ckpt"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(reviewJson("1", rec = true, 0.5, 1700000000L))
+      q.processAllAvailable()
+      in.addData(
+        reviewJson("1", rec = false, 0.1, 1700000100L),
+        reviewJson("2", rec = true, 0.9, 1700003700L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val archive = spark.read.parquet(arc)
+    archive.count() shouldBe 3 // cold path has every row exactly once
+
+    // hot tables equal a from-scratch batch aggregation (complete-mode parity)
+    val sentiment = s1.read(spark).get
+    val expSent   = SteamOps.sentimentAgg(archive)
+    sentiment.except(expSent).count() shouldBe 0
+    expSent.except(sentiment).count() shouldBe 0
+
+    val bombs = s2.read(spark).get.collect()
+      .map(r => r.getAs[String]("app_id") -> r.getAs[Long]("total_reviews")).toMap
+    bombs shouldBe Map("1" -> 2L, "2" -> 1L)
+  }
+
   test("stream-static enrichment join broadcasts the dimension") {
     val in = memStream[String]
     def playerJson(app: Int, n: Int, iso: String) =
