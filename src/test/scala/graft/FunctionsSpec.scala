@@ -123,6 +123,29 @@ class FunctionsSpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L)
   }
 
+  test("asofJoin: latest right row at-or-before each left row, inclusive ties") {
+    import graft.operators.AsofJoin
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq(
+      (1L, ts(100), "l1"), // matches r@100 (tie, inclusive)
+      (1L, ts(150), "l2"), // matches r@120
+      (1L, ts(50), "l3"),  // before any right row → null
+      (2L, ts(500), "l4")  // other key
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(100), 10), (1L, ts(120), 12), (1L, ts(200), 20),
+      (2L, ts(400), 40)
+    ).toDF("k", "ts", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+      .select("tag", "v", "asof_ts").collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)).map(_.toString))))
+      .toMap
+    out("l1") shouldBe (Some(10), Some(ts(100).toString))
+    out("l2") shouldBe (Some(12), Some(ts(120).toString))
+    out("l3") shouldBe (None, None)
+    out("l4") shouldBe (Some(40), Some(ts(400).toString))
+  }
+
   test("approx_count_distinct (HLL) stays within 5% of exact at 100k keys") {
     val df = spark.range(100000).select((col("id") % 34567).as("k"))
     val row = df.agg(
