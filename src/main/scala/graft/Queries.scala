@@ -914,6 +914,49 @@ object Queries {
             |  r.click_cents, strftime(r.ts, '$DuckFmt') AS click_ts
             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
 
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val qPivot = Q(
+    "q_pivot",
+    "pivot: per-day event-type value matrix",
+    (s, d) =>
+      t(s, d).events
+        .select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"), cents(col("value")).as("cents"))
+        .groupBy(col("day"))
+        .pivot("event_type", PivotTypes) // explicit values: no extra distinct scan
+        .agg(sum(col("cents")))
+        .orderBy(col("day")),
+    Some {
+      val cols = PivotTypes.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN cents END) AS BIGINT) AS \"$t\"")
+        .mkString(",\n  ")
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |  $cols
+         |FROM (SELECT ts, event_type, ${sqlCents("value")} AS cents FROM events)
+         |GROUP BY 1""".stripMargin
+    })
+
+  private val qSetOps = Q(
+    "q_set_ops",
+    "set operations: intersect / except over key sets",
+    (s, d) => {
+      val e = t(s, d).events
+      def users(typ: String) =
+        e.filter(col("event_type") === typ).select(col("user_id")).distinct()
+      val both    = users("purchase").intersect(users("error"))
+        .withColumn("set_op", lit("purchase_and_error"))
+      val onlyBuy = users("purchase").except(users("error"))
+        .withColumn("set_op", lit("purchase_not_error"))
+      both.unionByName(onlyBuy)
+    },
+    Some("""WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+           |e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+           |SELECT user_id, 'purchase_and_error' AS set_op FROM (SELECT * FROM p INTERSECT SELECT * FROM e)
+           |UNION ALL
+           |SELECT user_id, 'purchase_not_error' AS set_op FROM (SELECT * FROM p EXCEPT SELECT * FROM e)""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -923,5 +966,5 @@ object Queries {
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
-    qAsofJoin)
+    qAsofJoin, qPivot, qSetOps)
 }
