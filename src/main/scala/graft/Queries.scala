@@ -957,6 +957,32 @@ object Queries {
            |UNION ALL
            |SELECT user_id, 'purchase_not_error' AS set_op FROM (SELECT * FROM p EXCEPT SELECT * FROM e)""".stripMargin))
 
+  private val qRangeJoin = Q(
+    "q_range_join",
+    "range join: purchases inside 10-min windows after each error event",
+    (s, d) => {
+      val e = t(s, d).events
+      val outages = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("outage_id"), col("ts").as("o_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("o_end"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("ts"), cents(col("value")).as("cents"))
+      graft.operators.RangeJoin
+        .pointInInterval(purchases, "ts", outages, "o_start", "o_end",
+          bucketSeconds = 600)
+        .groupBy(col("outage_id"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("sum_cents"))
+    },
+    Some(s"""WITH o AS (SELECT event_id AS outage_id, ts AS o_start,
+            |    ts + INTERVAL 10 MINUTE AS o_end
+            |  FROM events WHERE event_type = 'error'),
+            |p AS (SELECT ts, ${sqlCents("value")} AS cents
+            |  FROM events WHERE event_type = 'purchase')
+            |SELECT outage_id, CAST(count(*) AS BIGINT) AS n_purchases,
+            |  CAST(sum(cents) AS BIGINT) AS sum_cents
+            |FROM p JOIN o ON p.ts BETWEEN o.o_start AND o.o_end
+            |GROUP BY 1""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -966,5 +992,5 @@ object Queries {
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
-    qAsofJoin, qPivot, qSetOps)
+    qAsofJoin, qPivot, qSetOps, qRangeJoin)
 }

@@ -123,6 +123,20 @@ class FunctionsSpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L)
   }
 
+  test("rangeJoin bucketed equals the naive inequality join, boundaries inclusive") {
+    import graft.operators.RangeJoin
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val points = (0L until 200L).map(i => (i, ts(i * 37 % 1000))).toDF("pid", "ts")
+    val intervals = (0L until 30L)
+      .map(i => (i, ts(i * 31 % 900), ts(i * 31 % 900 + 60))).toDF("iid", "s", "e")
+    val bucketed = RangeJoin.pointInInterval(points, "ts", intervals, "s", "e", 45)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, col("ts") >= col("s") && col("ts") <= col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    bucketed shouldBe naive
+    naive should not be empty
+  }
+
   test("asofJoin: latest right row at-or-before each left row, inclusive ties") {
     import graft.operators.AsofJoin
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
