@@ -983,6 +983,29 @@ object Queries {
             |FROM p JOIN o ON p.ts BETWEEN o.o_start AND o.o_end
             |GROUP BY 1""".stripMargin))
 
+  private val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    "custom TypedImperativeAggregate: Misra-Gries vocabulary heavy hitters",
+    (s, d) => {
+      // k=256 >> |vocabulary| → counts are exact (oracle = plain GROUP BY)
+      val hh = t(s, d).documents
+        .select(explode(TF.tokens(col("text"))).as("item"))
+        .agg(graft.functions.expressions.NativeExpressions
+          .heavyHitters(col("item"), 256).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+      hh.withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("item"))))
+        .filter(col("rank") <= 25)
+        .withColumn("rank", col("rank").cast("int"))
+    },
+    Some(s"""WITH toks AS (SELECT unnest($sqlToks) AS item
+            |  FROM documents WHERE length(trim(text)) > 0),
+            |c AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+            |SELECT item, cnt, CAST(rank AS INTEGER) AS rank FROM (
+            |  SELECT *, row_number() OVER (ORDER BY cnt DESC, item) AS rank FROM c)
+            |WHERE rank <= 25""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -992,5 +1015,5 @@ object Queries {
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
-    qAsofJoin, qPivot, qSetOps, qRangeJoin)
+    qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters)
 }

@@ -32,6 +32,14 @@ object NativeExpressions {
     */
   def simhash(tokens: Column): Column =
     GraftBridge.column(SimHash(GraftBridge.expression(tokens)))
+
+  /** Misra-Gries heavy-hitters aggregate over a string column: at most
+    * `k` (item, cnt) counters, mergeable across partitions; exact when
+    * the column has ≤ k distinct values (see [[HeavyHitters]]).
+    */
+  def heavyHitters(c: Column, k: Int): Column =
+    GraftBridge.column(
+      HeavyHitters(GraftBridge.expression(c), k).toAggregateExpression())
 }
 
 /** dot(a, b) = Σ a(i)·b(i), sequential order, over array<double>.

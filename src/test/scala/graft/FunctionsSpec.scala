@@ -123,6 +123,31 @@ class FunctionsSpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L)
   }
 
+  test("heavyHitters: exact when k >= distinct; dominant key survives small k") {
+    import graft.functions.expressions.NativeExpressions.heavyHitters
+    // 90% of 20k rows are "hot", rest spread over 200 cold keys
+    val df = spark.range(20000).select(
+      when(col("id") % 10 < 9, "hot")
+        .otherwise(concat(lit("c"), col("id") % 200)).as("item"))
+      .repartition(8) // force partial buffers + merge
+    // exact mode: k well above distinct count
+    val exact = df.agg(heavyHitters(col("item"), 1000).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact("hot") shouldBe 18000L
+    exact.values.sum shouldBe 20000L
+    // sketch mode: k = 8 << 201 distinct, the 90% key must survive with a
+    // count undercounted by at most n/(k+1)
+    val sketched = df.agg(heavyHitters(col("item"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sketched.keySet should contain("hot")
+    sketched("hot") should be >= (18000L - 20000L / 9)
+    sketched("hot") should be <= 18000L
+  }
+
   test("rangeJoin bucketed equals the naive inequality join, boundaries inclusive") {
     import graft.operators.RangeJoin
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
