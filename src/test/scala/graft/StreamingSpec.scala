@@ -193,6 +193,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase within 10 min after click, per user") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val clicks    = memStream[(Long, java.sql.Timestamp)]
+    val purchases = memStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDS().toDF("user_id", "c_ts").withWatermark("c_ts", "10 minutes")
+    val p = purchases.toDS().toDF("user_id", "p_ts").withWatermark("p_ts", "10 minutes")
+    val joined = c.join(
+      p,
+      c("user_id") === p("user_id") &&
+        p("p_ts") >= c("c_ts") && p("p_ts") <= c("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(c("user_id"), col("c_ts"), col("p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj").start()
+    try {
+      clicks.addData((1L, ts(0)), (2L, ts(0)))
+      purchases.addData((1L, ts(300)))   // in window → match
+      purchases.addData((2L, ts(6000)))  // 100 min later → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      rows shouldBe Array((1L, ts(0), ts(300)))
+    } finally q.stop()
+  }
+
   test("Kappa parity: batch replay over the archive == streaming aggregate (A6)") {
     // stream some rows to a parquet archive, then re-run the same transform
     // in batch over the archive and against the original rows directly
