@@ -16,6 +16,7 @@ object GraftSession {
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions) // graft_* SQL fns + RangeJoinRule
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

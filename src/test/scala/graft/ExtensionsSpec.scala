@@ -4,10 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-/** SQL surface of the native expressions via SparkSessionExtensions. */
+/** SQL + optimizer surface installed by [[GraftExtensions]]. */
 class ExtensionsSpec extends AnyFunSuite with Matchers {
 
-  test("graft_dot / graft_simhash are callable from SQL via GraftExtensions") {
+  /** Run `body` with a session built with GraftExtensions (the shared
+    * TestSpark session predates the extensions, so a separate session over
+    * the same SparkContext is created and the defaults restored after).
+    */
+  private def withExtSession[A](body: SparkSession => A): A = {
     TestSpark.spark // ensure the shared context exists first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -15,7 +19,17 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
       .master("local[2]")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
-    try {
+    try body(s)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
+  test("graft_dot / graft_simhash are callable from SQL via GraftExtensions") {
+    withExtSession { s =>
       val dot = s.sql(
         "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
         .collect().head.getDouble(0)
@@ -31,11 +45,36 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
         .select(graft.functions.Dedup.simhashExpr(col("text")))
         .collect().head.getLong(0)
       viaSql shouldBe viaApi
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      SparkSession.setDefaultSession(TestSpark.spark)
-      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
+  test("RangeJoinRule: naive interval join plans as bucketed equi-join, same rows") {
+    withExtSession { s =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      val pts  = (0L until 300L).map(i => (i, ts(i * 41 % 5000))).toSeq
+      val ivls = (0L until 40L).map(i => (i, i * 307 % 4500, i * 307 % 4500 + 120)).toSeq
+      val points    = pts.toDF("pid", "ts")
+      val intervals = ivls.map { case (id, a, b) => (id, ts(a), ts(b)) }.toDF("iid", "s", "e")
+
+      val joined = points.join(
+        intervals, col("ts") >= col("s") && col("ts") <= col("e"))
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+      plan should include("_graft_bucket")
+
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (pid, pt) <- pts
+        (iid, a, b) <- ivls
+        sec = pt.getTime / 1000
+        if sec >= a && sec <= b
+      } yield (pid, iid)).toSet
+      got shouldBe expected
+      expected should not be empty
     }
   }
 }
