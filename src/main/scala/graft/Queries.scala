@@ -1006,6 +1006,23 @@ object Queries {
             |  SELECT *, row_number() OVER (ORDER BY cnt DESC, item) AS rank FROM c)
             |WHERE rank <= 25""".stripMargin))
 
+  private val qCube = Q(
+    "q_cube",
+    "cube: all grouping-set combinations of (event_type, day)",
+    (s, d) =>
+      t(s, d).events
+        .select(
+          col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          cents(col("value")).as("cents"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents")),
+    Some(s"""SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(cents) AS BIGINT) AS sum_cents
+            |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+            |  ${sqlCents("value")} AS cents FROM events)
+            |GROUP BY CUBE (event_type, day)""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1015,5 +1032,5 @@ object Queries {
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
-    qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters)
+    qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube)
 }
