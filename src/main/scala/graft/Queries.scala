@@ -1023,6 +1023,55 @@ object Queries {
             |  ${sqlCents("value")} AS cents FROM events)
             |GROUP BY CUBE (event_type, day)""".stripMargin))
 
+  private val qSampleSplit = Q(
+    "q_sample_split",
+    "deterministic train/val/test split by content hash (no RNG state)",
+    (s, d) => {
+      // first md5 byte of the salted id: 0..255; <204 train (~80%),
+      // <230 val (~10%), else test — reproducible on any engine/cluster
+      val h  = md5(concat(lit("split:"), col("doc_id").cast("string")))
+      val b  = {
+        val hi = ascii(substring(h, 1, 1))
+        val lo = ascii(substring(h, 2, 1))
+        (when(hi <= 57, hi - 48).otherwise(hi - 87) * 16 +
+          when(lo <= 57, lo - 48).otherwise(lo - 87))
+      }
+      t(s, d).documents
+        .select(col("doc_id"), col("lang"),
+          when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("n_langs"))
+    },
+    Some("""WITH h AS (SELECT doc_id, lang,
+           |  (CASE WHEN ascii(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+           |        THEN ascii(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+           |        ELSE ascii(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16 +
+           |  (CASE WHEN ascii(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+           |        THEN ascii(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+           |        ELSE ascii(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+           |FROM documents)
+           |SELECT CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+           |FROM h GROUP BY 1""".stripMargin))
+
+  private val qSampleStratified = Q(
+    "q_sample_stratified",
+    "stratified deterministic sample: bottom-5 per language by content hash",
+    (s, d) =>
+      t(s, d).documents
+        .withColumn("h", md5(concat(lit("sample:"), col("doc_id").cast("string"))))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("doc_id"), col("rank").cast("int").as("rank")),
+    Some("""SELECT lang, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+           |    ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+           |  FROM documents)
+           |WHERE rank <= 5""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1032,5 +1081,6 @@ object Queries {
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
-    qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube)
+    qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube,
+    qSampleSplit, qSampleStratified)
 }

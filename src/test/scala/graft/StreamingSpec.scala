@@ -193,6 +193,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate review ids across micro-batches are dropped") {
+    val in = memStream[String]
+    val (parsed, _, _) = Pipelines.reviewBranches(in.toDF().select(col("value")))
+    val deduped = parsed
+      .withWatermark("timestamp", "10 minutes")
+      .dropDuplicatesWithinWatermark("review_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(reviewJson("1", rec = true, 0.5, 1700000000L))
+      q.processAllAvailable()
+      // same review_id re-delivered in a later batch (at-least-once source)
+      in.addData(reviewJson("1", rec = true, 0.5, 1700000000L))
+      in.addData(reviewJson("2", rec = false, 0.1, 1700000100L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[String]("review_id")).sorted
+      ids shouldBe Array("r1700000000", "r1700000100")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchase within 10 min after click, per user") {
     def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
     val clicks    = memStream[(Long, java.sql.Timestamp)]
