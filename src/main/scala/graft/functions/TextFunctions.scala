@@ -129,18 +129,35 @@ object TextFunctions {
   /** Rolling (Rabin-Karp) document fingerprint over the token stream:
     * h ← (h·65599 + tok16) mod 2^31-1, left to right. Order-SENSITIVE,
     * unlike [[fingerprint]]'s normalized-content md5 — token reorderings
-    * produce distinct fingerprints. Empty text → 0.
+    * produce distinct fingerprints. Empty text → 0. Backed by the native
+    * [[graft.functions.expressions.RollingFp]] expression (one md5 per
+    * token, primitive loops); [[rollingFingerprintFold]] is the
+    * column-algebra reference.
     */
-  def rollingFingerprint(c: Column): Column = rollOf(t16s(c))
+  def rollingFingerprint(c: Column): Column =
+    nativeRoll(c, 3).getField("fp_roll")
 
   /** Winnowing-style minimum shingle fingerprint: the smallest rolling
     * hash over all `w`-token shingles (sequence positions clamp at the
     * end; texts shorter than `w` tokens collapse to one degenerate
     * shingle). Two documents sharing any low-hash shingle collide here —
     * the classic cheap near-dup / containment signal that needs only a
-    * per-row expression plus a groupBy at scale.
+    * per-row expression plus a groupBy at scale. Native-backed; see
+    * [[minShingleFingerprintFold]] for the reference formulation.
     */
-  def minShingleFingerprint(c: Column, w: Int = 3): Column = {
+  def minShingleFingerprint(c: Column, w: Int = 3): Column =
+    nativeRoll(c, w).getField("min_shingle")
+
+  private def nativeRoll(c: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.RollingFp(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(tokens(c)), w))
+
+  /** Column-algebra reference of [[rollingFingerprint]] (A/B testing). */
+  def rollingFingerprintFold(c: Column): Column = rollOf(t16s(c))
+
+  /** Column-algebra reference of [[minShingleFingerprint]] (A/B testing). */
+  def minShingleFingerprintFold(c: Column, w: Int = 3): Column = {
     val hs = t16s(c)
     array_min(
       transform(

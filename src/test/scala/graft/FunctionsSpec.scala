@@ -213,6 +213,23 @@ class FunctionsSpec extends SparkSpec {
     salted shouldBe direct
   }
 
+  test("native RollingFp equals the column-algebra folds bit-for-bit") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      "", "one", "one two", "one two three", "one two three four",
+      "alpha beta gamma delta epsilon zeta", "héllo wörld ünïcode")
+      .toDF("text")
+    val out = df.select(
+      TF.rollingFingerprint(col("text")).as("fp_n"),
+      TF.rollingFingerprintFold(col("text")).as("fp_f"),
+      TF.minShingleFingerprint(col("text"), 3).as("ms_n"),
+      TF.minShingleFingerprintFold(col("text"), 3).as("ms_f")).collect()
+    out.foreach { r =>
+      r.getLong(0) shouldBe r.getLong(1)
+      r.getLong(2) shouldBe r.getLong(3)
+    }
+  }
+
   test("rolling fingerprint is order-sensitive; shared shingles collide on min-shingle") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(
