@@ -193,6 +193,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restarted archive query resumes exactly-once") {
+    val dir  = tmpDir("recover_archive")
+    val ckpt = tmpDir("recover_ckpt")
+    val in1 = memStream[String]
+    val (cold1, _, _) = Pipelines.reviewBranches(in1.toDF().select(col("value")))
+    val q1 = Sinks.parquetArchive(cold1, dir, ckpt, Trigger.ProcessingTime(0)).start()
+    try {
+      in1.addData(reviewJson("1", rec = true, 0.5, 1700000000L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart over the same source/checkpoint/path: committed offsets are
+    // honored — prior output must not duplicate, new data must land
+    val (cold2, _, _) = Pipelines.reviewBranches(in1.toDF().select(col("value")))
+    val q2 = Sinks.parquetArchive(cold2, dir, ckpt, Trigger.ProcessingTime(0)).start()
+    try {
+      in1.addData(reviewJson("2", rec = false, 0.1, 1700000100L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val ids = spark.read.parquet(dir).select("review_id").collect()
+      .map(_.getString(0)).sorted
+    ids shouldBe Array("r1700000000", "r1700000100")
+  }
+
   test("streaming dedup: duplicate review ids across micro-batches are dropped") {
     val in = memStream[String]
     val (parsed, _, _) = Pipelines.reviewBranches(in.toDF().select(col("value")))
