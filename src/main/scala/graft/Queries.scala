@@ -1072,6 +1072,27 @@ object Queries {
            |  FROM documents)
            |WHERE rank <= 5""".stripMargin))
 
+  private val qEmbedCentroid = Q(
+    "q_embed_centroid",
+    "per-label embedding centroids (element-wise vector aggregation)",
+    (s, d) =>
+      t(s, d).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        // exact integer micro-units: element sums are order-independent
+        .withColumn("sv", round(col("v").cast("double") * 1000000).cast("long"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("sv")).as("s"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (col("s") / col("n") / 1000000.0).as("centroid")),
+    Some("""WITH x AS (SELECT label,
+           |  unnest(generate_series(0, len(embedding) - 1)) AS pos,
+           |  unnest(embedding) AS v
+           |FROM embeddings)
+           |SELECT label, pos,
+           |  CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT)
+           |    / count(*) / 1000000.0 AS centroid
+           |FROM x GROUP BY 1, 2""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1082,5 +1103,5 @@ object Queries {
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
     qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube,
-    qSampleSplit, qSampleStratified)
+    qSampleSplit, qSampleStratified, qEmbedCentroid)
 }
