@@ -1093,6 +1093,78 @@ object Queries {
            |    / count(*) / 1000000.0 AS centroid
            |FROM x GROUP BY 1, 2""".stripMargin))
 
+  private val qProfile = Q(
+    "q_profile",
+    "data profiling: per-column null/distinct/min/max stats",
+    (s, d) => {
+      val e = t(s, d).events
+      Seq("event_id", "user_id", "event_type").map { c =>
+        e.select(
+          lit(c).as("column"),
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_str"),
+          max(col(c)).cast("string").as("max_str"))
+      }.reduce(_.unionByName(_))
+    },
+    Some(Seq("event_id", "user_id", "event_type").map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_str,
+         |  CAST(max($c) AS VARCHAR) AS max_str
+         |FROM events""".stripMargin
+    }.mkString("\nUNION ALL\n")))
+
+  private val qWindowFuncs = Q(
+    "q_window_funcs",
+    "window functions: lag / lead / ntile / cume_dist over daily series",
+    (s, d) => {
+      val daily = t(s, d).events
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(cents(col("value"))).as("sum_cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.select(
+        col("event_type"), col("day"), col("sum_cents"),
+        lag(col("sum_cents"), 1).over(w).as("prev_cents"),
+        lead(col("sum_cents"), 1).over(w).as("next_cents"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"))
+    },
+    Some(s"""WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+            |    CAST(sum(${sqlCents("value")}) AS BIGINT) AS sum_cents
+            |  FROM events GROUP BY 1, 2)
+            |SELECT event_type, day, sum_cents,
+            |  lag(sum_cents, 1) OVER w AS prev_cents,
+            |  lead(sum_cents, 1) OVER w AS next_cents,
+            |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+            |  cume_dist() OVER w AS cd
+            |FROM daily
+            |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin))
+
+  private val qEditDistance = Q(
+    "q_edit_distance",
+    "edit-distance near-dup: Levenshtein over bounded candidate pairs",
+    (s, d) => {
+      val docs = t(s, d).documents
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("t").as("ta"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).as("lev"))
+        .filter(col("lev") <= 55)
+    },
+    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 80) AS t
+           |  FROM documents WHERE doc_id < 60)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(levenshtein(a.t, b.t) AS INTEGER) AS lev
+           |FROM d a JOIN d b ON a.doc_id < b.doc_id
+           |WHERE levenshtein(a.t, b.t) <= 55""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1103,5 +1175,6 @@ object Queries {
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
     qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube,
-    qSampleSplit, qSampleStratified, qEmbedCentroid)
+    qSampleSplit, qSampleStratified, qEmbedCentroid, qProfile,
+    qWindowFuncs, qEditDistance)
 }
