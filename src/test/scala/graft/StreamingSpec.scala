@@ -193,6 +193,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the source and terminates (Kappa replay mode)") {
+    val in = memStream[String]
+    val (cold, _, _) = Pipelines.reviewBranches(in.toDF().select(col("value")))
+    in.addData(reviewJson("1", rec = true, 0.5, 1700000000L))
+    in.addData(reviewJson("2", rec = false, 0.1, 1700000100L))
+    val dir = tmpDir("avnow")
+    val q = Sinks.parquetArchive(cold, dir, tmpDir("ckpt"), Trigger.AvailableNow).start()
+    q.awaitTermination(60000) shouldBe true // self-terminates when drained
+    spark.read.parquet(dir).count() shouldBe 2
+  }
+
+  test("format breadth: the parsed table round-trips through ORC, CSV and JSON") {
+    val in = memStream[String]
+    val (parsed, _, _) = Pipelines.reviewBranches(in.toDF().select(col("value")))
+    in.addData(reviewJson("1", rec = true, 0.5, 1700000000L))
+    in.addData(reviewJson("2", rec = false, 0.1, 1700000100L))
+    val dir = tmpDir("fmt")
+    val q = Sinks.parquetArchive(parsed, s"$dir/src", tmpDir("ckpt"),
+      Trigger.AvailableNow).start()
+    q.awaitTermination(60000) shouldBe true
+    val batch = spark.read.parquet(s"$dir/src")
+
+    batch.write.orc(s"$dir/orc")
+    batch.write.option("header", "true").csv(s"$dir/csv")
+    batch.write.json(s"$dir/json")
+
+    spark.read.orc(s"$dir/orc").count() shouldBe 2
+    spark.read.option("header", "true").schema(batch.schema)
+      .csv(s"$dir/csv").count() shouldBe 2
+    val js = spark.read.schema(batch.schema).json(s"$dir/json")
+    js.count() shouldBe 2
+    js.select("review_id").collect().map(_.getString(0)).sorted shouldBe
+      Array("r1700000000", "r1700000100")
+  }
+
   test("checkpoint recovery: a restarted archive query resumes exactly-once") {
     val dir  = tmpDir("recover_archive")
     val ckpt = tmpDir("recover_ckpt")
