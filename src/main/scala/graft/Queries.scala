@@ -1165,6 +1165,28 @@ object Queries {
            |FROM d a JOIN d b ON a.doc_id < b.doc_id
            |WHERE levenshtein(a.t, b.t) <= 55""".stripMargin))
 
+  private val qVariance = Q(
+    "q_variance",
+    "exact moments: variance/stddev from integer sums (no float drift)",
+    (s, d) =>
+      t(s, d).events
+        .select(col("event_type"), cents(col("value")).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        // sample variance from exact integer moments, in cents²; the
+        // double division is the only float op → engine-independent
+        .select(col("event_type"), col("n"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("var_cents2")),
+    Some(s"""WITH x AS (SELECT event_type, ${sqlCents("value")} AS c FROM events),
+            |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+            |FROM x GROUP BY 1)
+            |SELECT event_type, n,
+            |  (s2 - s1 * s1 / n) / (n - 1) AS var_cents2
+            |FROM m""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1176,5 +1198,5 @@ object Queries {
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
     qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube,
     qSampleSplit, qSampleStratified, qEmbedCentroid, qProfile,
-    qWindowFuncs, qEditDistance)
+    qWindowFuncs, qEditDistance, qVariance)
 }

@@ -213,6 +213,30 @@ class FunctionsSpec extends SparkSpec {
     salted shouldBe direct
   }
 
+  test("MinHash-LSH recall: finds >=90% of true high-Jaccard pairs") {
+    // 120 docs in 30 clusters of 4 near-identical variants (one token
+    // changed) + noise docs — ground truth via exact Jaccard
+    val base = (0 until 30).map { c =>
+      (0 until 12).map(w => s"w${c}_${w / 4}x$w").mkString(" ")
+    }
+    val docs = (0 until 120).map { i =>
+      val c = i / 4
+      val toks = base(c).split(" ").toVector.updated(i % 4, s"var$i")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.size should be >= 30 // sanity: clusters produce real pairs
+
+    val candidates = Dedup
+      .minhashCandidates(docs, "doc_id", "text", numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(candidates.contains).toDouble / truth.size
+    recall should be >= 0.9
+  }
+
   test("native RollingFp equals the column-algebra folds bit-for-bit") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(
