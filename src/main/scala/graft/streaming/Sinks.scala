@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
@@ -96,16 +96,41 @@ final class ParquetUpsertSink(val root: String, val keys: Seq[String]) extends S
     currentVersion.map(v => spark.read.parquet(s"$root/v$v"))
 
   def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
-    val spark = batch.sparkSession
-    val next  = currentVersion.getOrElse(-1L) + 1
-    val merged = read(spark) match {
+    val merged = read(batch.sparkSession) match {
       case Some(existing) =>
         existing.join(batch.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(batch)
       case None => batch
     }
+    writeSnapshot(merged, batchId)
+  }
+
+  /** Incremental aggregate maintenance: merge a PER-BATCH partial
+    * aggregate additively into the stored table — `sumCols` are summed
+    * with the existing row per key, other non-key columns must be derived
+    * from sums on read (store sum+count, not avg). Each trigger costs
+    * O(|batch| + |touched keys|); the archive is never re-read, unlike a
+    * from-scratch re-aggregation. The caller aggregates the RAW batch
+    * (per-batch deltas) — feeding cumulative update-mode output here
+    * would double-count.
+    */
+  def upsertAdditive(
+      batch: DataFrame, batchId: Long, sumCols: Seq[String]): Unit = synchronized {
+    val merged = read(batch.sparkSession) match {
+      case Some(existing) =>
+        existing.unionByName(batch)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(sumCols.head).as(sumCols.head),
+            sumCols.tail.map(c => sum(c).as(c)): _*)
+      case None => batch
+    }
+    writeSnapshot(merged, batchId)
+  }
+
+  private def writeSnapshot(df: DataFrame, batchId: Long): Unit = {
+    val next = currentVersion.getOrElse(-1L) + 1
     Files.createDirectories(Paths.get(root))
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next")
     val tmp = Paths.get(root, s"_CURRENT.tmp$batchId")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,

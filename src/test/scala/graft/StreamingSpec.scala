@@ -193,6 +193,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental aggregate maintenance: additive merge equals recompute") {
+    val in   = memStream[String]
+    val sink = new ParquetUpsertSink(tmpDir("incr"), Seq("w_start", "recommended"))
+    val (parsed, _, _) = Pipelines.reviewBranches(in.toDF().select(col("value")))
+    // per-batch partial aggregate (sums only) merged additively — each
+    // trigger is O(batch), the archive is never re-read
+    val q = parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val partial = batch
+          .groupBy(window(col("timestamp"), "1 hour"), col("recommended"))
+          .agg(count(lit(1)).as("n"), sum(col("weighted_vote_score")).as("s"))
+          .select(col("window.start").as("w_start"), col("recommended"),
+            col("n"), col("s"))
+        sink.upsertAdditive(partial, id, Seq("n", "s"))
+        ()
+      }.start()
+    val base = 1700000000L // batches split across + within the same hour
+    try {
+      in.addData(reviewJson("1", rec = true, 0.5, base),
+        reviewJson("2", rec = true, 0.25, base + 60))
+      q.processAllAvailable()
+      in.addData(reviewJson("3", rec = true, 0.75, base + 120), // same window again
+        reviewJson("4", rec = false, 0.1, base + 4000))         // next hour
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val table = sink.read(spark).get
+      .select(col("w_start"), col("recommended"), col("n"),
+        round(col("s"), 6).as("s")).collect()
+      .map(r => (r.getTimestamp(0).toInstant.getEpochSecond, r.getBoolean(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val hour = base - base % 3600
+    table shouldBe Set(
+      (hour, true, 3L, 1.5),           // 0.5 + 0.25 + 0.75 across two batches
+      (hour + 3600, false, 1L, 0.1))
+  }
+
   test("Trigger.AvailableNow drains the source and terminates (Kappa replay mode)") {
     val in = memStream[String]
     val (cold, _, _) = Pipelines.reviewBranches(in.toDF().select(col("value")))
