@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.operators.AsofJoin
+
+/** Property-style tests for the primitives whose exactness the DuckDB
+  * oracle depends on — ScalaCheck generators sampled over fixed seeds
+  * (deterministic, no scalatestplus bridge needed), invariants instead of
+  * examples.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](gen: Gen[A], seed: Long): A =
+    gen.apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(fail(s"generator failed for seed $seed"))
+
+  private val textGen: Gen[String] = Gen.listOfN(
+    8,
+    Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("héllo", "wörld", "日本語", "", " ", "a b"))
+  ).map(_.mkString(" "))
+
+  test("property: native fingerprints equal column-algebra folds on random text") {
+    (1L to 10L).foreach { seed =>
+      val texts = sample(Gen.listOfN(6, textGen), seed)
+      val df = texts.toDF("text").select(
+        TF.rollingFingerprint(col("text")).as("a"),
+        TF.rollingFingerprintFold(col("text")).as("b"),
+        TF.minShingleFingerprint(col("text"), 3).as("c"),
+        TF.minShingleFingerprintFold(col("text"), 3).as("d"),
+        Dedup.simhashExpr(col("text")).as("e"),
+        Dedup.simhashFoldExpr(col("text")).as("f"))
+      df.collect().foreach { r =>
+        withClue(s"seed=$seed rolling: ") { r.getLong(0) shouldBe r.getLong(1) }
+        withClue(s"seed=$seed shingle: ") { r.getLong(2) shouldBe r.getLong(3) }
+        withClue(s"seed=$seed simhash: ") { r.getLong(4) shouldBe r.getLong(5) }
+      }
+    }
+  }
+
+  test("property: native dot equals fold dot on random vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_ / 7.0f))
+    (1L to 10L).foreach { seed =>
+      val vs = sample(Gen.listOfN(5, Gen.zip(vecGen, vecGen)), seed)
+      val df = vs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+        .select(
+          Similarity.dot(
+            Similarity.toDouble(col("a")), Similarity.toDouble(col("b"))).as("n"),
+          Similarity.dotFold(
+            Similarity.toDouble(col("a")), Similarity.toDouble(col("b"))).as("f"))
+      df.collect().foreach(r =>
+        withClue(s"seed=$seed: ") { r.getDouble(0) shouldBe r.getDouble(1) })
+    }
+  }
+
+  test("property: asofJoin equals per-row argmax on random series") {
+    val pairGen = Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 2000L))
+    (1L to 6L).foreach { seed =>
+      val ls = sample(Gen.listOfN(25, pairGen), seed)
+      // right side unique per (key, ts) — "last among equals" is otherwise
+      // order-dependent (documented contract)
+      val rs = sample(Gen.listOfN(25, pairGen), seed + 1000)
+        .distinctBy(identity)
+      def t(s: Long) = new java.sql.Timestamp(s * 1000)
+      val left  = ls.map { case (k, s) => (k, t(s)) }.toDF("k", "ts")
+      val right = rs.zipWithIndex
+        .map { case ((k, s), i) => (k, t(s), i.toLong) }.toDF("k", "ts", "v")
+      val got = AsofJoin.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+        .select("k", "ts", "v").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sorted
+      val expected = ls.map { case (k, s) =>
+        val best = rs.zipWithIndex
+          .filter { case ((rk, rts), _) => rk == k && rts <= s }
+          .sortBy { case ((_, rts), i) => (rts, i) }
+          .lastOption
+        (k, s, best.map(_._2.toLong))
+      }.sorted
+      withClue(s"seed=$seed: ") { got.toSeq shouldBe expected }
+    }
+  }
+}
