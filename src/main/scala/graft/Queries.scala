@@ -548,11 +548,10 @@ object Queries {
          |bits AS (SELECT doc_id,
          |  $sums
          |FROM h GROUP BY doc_id),
-         |sh AS (SELECT doc_id, $sh AS simhash FROM bits),
-         |bk AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh)
+         |sh AS (SELECT doc_id, $sh AS simhash FROM bits)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     })
 

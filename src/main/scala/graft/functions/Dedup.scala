@@ -180,19 +180,37 @@ object Dedup {
     * distance ≤ maxHamming. (Prefix-bucket is one LSH table; production
     * would rotate bits for multiple tables — same plan shape.)
     */
+  /** ALL pairs with SimHash Hamming distance ≤ `maxHamming`, found without
+    * a cross join: the 32 bits split into `maxHamming + 1` bands — a pair
+    * within the Hamming budget differs in at most `maxHamming` bands, so
+    * by pigeonhole it SHARES at least one band verbatim (Manku et al.,
+    * WWW'07). Candidates are pairs sharing any band bucket; the exact
+    * Hamming filter then makes the result complete AND precise — identical
+    * to cross-join-plus-filter, at shuffle-by-bucket cost.
+    */
   def simhashCandidates(
       df: DataFrame,
       id: String,
       text: String,
       maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
     val sh = df.select(col(id), simhashExpr(col(text)).as("simhash"))
-    val bucketed = sh.withColumn("bucket", shiftright(col("simhash"), 16))
-    val a = bucketed.select(col(id).as("doc_a"), col("simhash").as("ha"), col("bucket"))
-    val b = bucketed.select(col(id).as("doc_b"), col("simhash").as("hb"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val banded = (0 until bands).map { bnd =>
+      val lo = bnd * SimhashBits / bands
+      val hi = (bnd + 1) * SimhashBits / bands
+      val mask = (1L << (hi - lo)) - 1
+      sh.select(col(id), col("simhash"), lit(bnd).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bucket"))
+    }.reduce(_.unionAll(_))
+    val a = banded.select(
+      col(id).as("doc_a"), col("simhash").as("ha"), col("band"), col("bucket"))
+    val b = banded.select(
+      col(id).as("doc_b"), col("simhash").as("hb"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 }

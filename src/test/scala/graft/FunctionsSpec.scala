@@ -213,6 +213,49 @@ class FunctionsSpec extends SparkSpec {
     salted shouldBe direct
   }
 
+  test("IVF recall: nProbe=4 of 8 cells recovers >=80% of exact top-3 neighbors") {
+    // 200 vectors in 8 well-separated clusters + jitter
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") >= 8 && col("vec_id") < 28) // skip centroid rows
+    val exact = Similarity.knnCosine(qs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnnCosine(qs, vecs, "vec_id", "embedding",
+      k = 3, numCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  test("SimHash banded candidates are COMPLETE: equal to cross join + filter") {
+    val base = (0 until 20).map(c => (0 until 16).map(w => s"t${c}_$w").mkString(" "))
+    val docs = (0 until 40).map { i =>
+      val toks = base(i / 2).split(" ").toVector
+      val t = if (i % 2 == 1) toks.updated(3, s"chg$i") else toks
+      (i.toLong, t.mkString(" "))
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pigeonhole guarantee: banded result == exhaustive cross join + filter
+    val sh = docs.select(col("doc_id"), Dedup.simhashExpr(col("text")).as("h"))
+    val a  = sh.select(col("doc_id").as("doc_a"), col("h").as("ha"))
+    val b  = sh.select(col("doc_id").as("doc_b"), col("h").as("hb"))
+    val exhaustive = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    banded shouldBe exhaustive
+    exhaustive should not be empty // the one-token variants produce real pairs
+  }
+
   test("MinHash-LSH recall: finds >=90% of true high-Jaccard pairs") {
     // 120 docs in 30 clusters of 4 near-identical variants (one token
     // changed) + noise docs — ground truth via exact Jaccard
