@@ -1186,6 +1186,78 @@ object Queries {
             |  (s2 - s1 * s1 / n) / (n - 1) AS var_cents2
             |FROM m""".stripMargin))
 
+  private val qTokenBudget = Q(
+    "q_token_budget",
+    "token budgeting per source: whitespace + subword-proxy counts",
+    (s, d) => {
+      // explicit ASCII classes: identical semantics in Java regex and RE2
+      val sub = size(regexp_extract_all(
+        col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]+"), lit(0)))
+      t(s, d).documents
+        .select(col("source"),
+          TF.tokenCount(col("text")).cast("long").as("ws"),
+          sub.cast("long").as("sub"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("sub")).as("subword_tokens"))
+    },
+    Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+            |    ELSE len($sqlToks) END) AS BIGINT) AS ws_tokens,
+            |  CAST(sum(len(regexp_extract_all(text,
+            |    '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]+'))) AS BIGINT) AS subword_tokens
+            |FROM documents GROUP BY 1""".stripMargin))
+
+  private val qMedian = Q(
+    "q_median",
+    "exact per-group median via ordered selection (no approx percentile)",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      t(s, d).documents
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .filter(col("rn") === ((col("n") + 1) / 2).cast("int")) // lower median
+        .select(col("lang"), col("n_chars").as("median_chars"))
+    },
+    Some("""SELECT lang, n_chars AS median_chars FROM (
+           |  SELECT lang, n_chars,
+           |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM documents)
+           |WHERE rn = CAST((n + 1) // 2 AS INTEGER)""".stripMargin))
+
+  private val qCorrelation = Q(
+    "q_correlation",
+    "exact Pearson correlation from integer co-moments",
+    (s, d) =>
+      t(s, d).events
+        .select(col("event_type"), cents(col("value")).as("x"),
+          get_json_object(col("props"), "$.k").cast("long").as("y"))
+        .filter(col("y").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n"),
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr")),
+    Some(s"""WITH x AS (SELECT event_type, ${sqlCents("value")} AS x,
+            |    CAST(props->>'k' AS BIGINT) AS y
+            |  FROM events WHERE props->>'k' IS NOT NULL),
+            |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+            |  CAST(sum(x * y) AS BIGINT) AS sxy
+            |FROM x GROUP BY 1)
+            |SELECT event_type, n,
+            |  round((n * sxy - sx * sy) /
+            |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS corr
+            |FROM m""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1197,5 +1269,6 @@ object Queries {
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
     qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube,
     qSampleSplit, qSampleStratified, qEmbedCentroid, qProfile,
-    qWindowFuncs, qEditDistance, qVariance)
+    qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
+    qCorrelation)
 }
