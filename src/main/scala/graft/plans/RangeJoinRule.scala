@@ -34,7 +34,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   */
 case class RangeJoinRule() extends Rule[LogicalPlan] with PredicateHelper {
 
-  private val WidthKey = "spark.graft.rangeJoin.bucketSeconds"
+  private val WidthKey   = "spark.graft.rangeJoin.bucketSeconds"
+  private val EnabledKey = "spark.graft.rangeJoin.enabled"
 
   private def bucketOf(e: Expression, width: Long): Expression =
     IntegralDivide(Cast(e, LongType), Literal(width))
@@ -65,7 +66,13 @@ case class RangeJoinRule() extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // operational kill-switch for a default-on rewrite
+    if (!SQLConf.get.getConfString(EnabledKey, "true").toBoolean) plan
+    else rewrite(plan)
+  }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val crossEquality = conjuncts.exists {

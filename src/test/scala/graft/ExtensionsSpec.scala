@@ -75,6 +75,16 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
       } yield (pid, iid)).toSet
       got shouldBe expected
       expected should not be empty
+
+      // kill-switch: disabling the rule restores the naive plan
+      s.conf.set("spark.graft.rangeJoin.enabled", "false")
+      try {
+        val naive = points.join(
+          intervals, col("ts") >= col("s") && col("ts") <= col("e"))
+        naive.queryExecution.executedPlan.toString should not include "_graft_bucket"
+        naive.select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+      } finally s.conf.set("spark.graft.rangeJoin.enabled", "true")
     }
   }
 }
