@@ -1258,6 +1258,33 @@ object Queries {
             |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS corr
             |FROM m""".stripMargin))
 
+  private val qMediaAnn = Q(
+    "q_media_ann",
+    "multimodal → similarity: kNN over decoded media feature vectors",
+    (s, d) => {
+      val dec = MM.decodeBatched(media(s, d), MM.StubCodec)
+        .select(col("doc_id"), col("features"))
+      Similarity.knnCosine(
+        dec.filter(col("doc_id") < 10), dec, "doc_id", "features", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast("int").as("rank"))
+    },
+    Some {
+      val feats = (0 until MM.FeatureDim)
+        .map(i => MM.sqlFeature("text", i)).mkString(", ")
+      s"""WITH m AS (${MM.sqlMediaTable}),
+         |f AS (SELECT doc_id, [$feats] AS fv FROM m),
+         |q AS (SELECT doc_id AS query_id, fv AS qv FROM f WHERE doc_id < 10),
+         |s AS (SELECT query_id, doc_id AS neighbor_id,
+         |  round(list_dot_product(qv, fv) /
+         |    sqrt(list_dot_product(qv, qv) * list_dot_product(fv, fv)), 4) AS cos_sim
+         |FROM q, f)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1270,5 +1297,5 @@ object Queries {
     qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube,
     qSampleSplit, qSampleStratified, qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
-    qCorrelation)
+    qCorrelation, qMediaAnn)
 }
