@@ -1285,6 +1285,31 @@ object Queries {
          |WHERE rank <= 3""".stripMargin
     })
 
+  private val qLshSrp = Q(
+    "q_lsh_srp",
+    "SRP-LSH bucketed candidates: pairs sharing a sign-random-projection code",
+    (s, d) =>
+      Similarity.lshCandidates(
+        t(s, d).embeddings, "vec_id", "embedding", dims = 64, bitsB = 8)
+        .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim")),
+    Some {
+      // the hyperplanes as shortest-round-trip double literals — parse back
+      // to identical bits in DuckDB
+      val codeBits = Similarity.srpPlanes(64, 8).zipWithIndex.map {
+        case (plane, p) =>
+          val lits = plane.map(_.toString).mkString(", ")
+          s"(CASE WHEN list_dot_product(v, [$lits]) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n  ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |coded AS (SELECT vec_id, v,
+         |  $codeBits AS code
+         |FROM e)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(a.v, b.v) /
+         |    sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) AS cos_sim
+         |FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1297,5 +1322,5 @@ object Queries {
     qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube,
     qSampleSplit, qSampleStratified, qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
-    qCorrelation, qMediaAnn)
+    qCorrelation, qMediaAnn, qLshSrp)
 }

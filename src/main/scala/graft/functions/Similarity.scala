@@ -100,6 +100,13 @@ object Similarity {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
+  /** The SRP hyperplanes as plain doubles — used to mirror [[srpCode]] in
+    * the SQL oracle (shortest-round-trip double literals parse back to
+    * the identical bits in any engine).
+    */
+  def srpPlanes(dims: Int, bitsB: Int): Seq[Seq[Double]] =
+    (0 until bitsB).map(p => (0 until dims).map(d => planeComponent(p, d)))
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived value in [-0.5, 0.5). Engine-independent, no RNG state.
     */
