@@ -573,17 +573,56 @@ object Queries {
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
            |  FROM s) WHERE rank <= 5""".stripMargin))
 
+  // Exhaustive all-pairs ground truth at a LOW threshold (0.4 = the random
+  // tail on this data): inherently Θ(n²) — no sub-quadratic exact method
+  // exists for low-threshold dense cosine (measured: every banded-LSH
+  // parameterization with 100% recall here makes ≥94% of pairs candidates).
+  // So, like its quadratic siblings (jaccard <500, levenshtein <60), it is
+  // bounded to a constant-size verifier slice; the unbounded scale path at
+  // real near-dup thresholds is q_neardup_banded below.
   private val qEmbedNearDup = Q(
     "q_embed_neardup",
-    "embedding-cosine near-dup pairs",
+    "embedding-cosine near-dup pairs (bounded exhaustive ground truth)",
     (s, d) =>
-      Similarity.cosineNearDupPairs(t(s, d).embeddings, "vec_id", "embedding", 0.4),
-    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      Similarity.cosineNearDupPairs(
+        t(s, d).embeddings.filter(col("vec_id") < 1000), "vec_id", "embedding", 0.4),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |          WHERE vec_id < 1000),
            |n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM v),
            |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            |  round(list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2), 4) AS cos_sim
            |FROM n a JOIN n b ON a.vec_id < b.vec_id)
            |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin))
+
+  // The embedding near-dup SCALE path: multi-band SRP-LSH candidates
+  // (equi-join on (band, 16-bit code) — no theta join) + exact in-bucket
+  // verify, over the corpus augmented with deterministically perturbed
+  // copies (vec_id+100000, every component +0.01) so true near-dups exist.
+  // The oracle is the EXHAUSTIVE all-pairs SQL over the same augmented
+  // corpus — recall of the LSH path is genuinely hash-gated, not assumed.
+  private val qNearDupBanded = Q(
+    "q_neardup_banded",
+    "banded SRP-LSH near-dup pairs at 0.95, exact-verified, vs exhaustive oracle",
+    (s, d) => {
+      val base = t(s, d).embeddings
+        .select(col("vec_id").cast("long").as("vec_id"),
+          Similarity.toDouble(col("embedding")).as("v"))
+      val aug = base.unionByName(base.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("v"), x => x + lit(0.01)).as("v")))
+      Similarity.nearDupBanded(aug, "vec_id", "v", dims = 64, threshold = 0.95,
+        bitsPerBand = 16, numBands = 16)
+    },
+    Some("""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |aug AS (SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM base),
+           |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM aug),
+           |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) AS cos_sim
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.95""".stripMargin))
 
   private val sqlToks = """string_split_regex(trim(text), '\s+')"""
 
@@ -1316,7 +1355,8 @@ object Queries {
     qRegexClean, qReaggTopk, qFmtProject, qCondLabel, qFilterCount,
     qArgmaxLatest, qUnionSummary, qPricing, qJoinBroadcast, qJoinSemiAnti,
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
-    qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qTextQuality,
+    qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qNearDupBanded,
+    qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
     qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube,

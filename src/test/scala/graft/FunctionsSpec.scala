@@ -366,4 +366,35 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     cands should contain((1L, 2L))
   }
+
+  test("nearDupBanded == exhaustive brute force on planted near-dups; no theta join") {
+    // deterministic pseudo-random corpus (md5-seeded), 64-dim, plus planted
+    // near-dup copies (every component +0.01) — same construction as
+    // q_neardup_banded
+    def vec(i: Int): Array[Double] = Array.tabulate(64) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v$i:$d".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 0xffffffffL.toDouble - 0.5
+    }
+    val base = (0 until 200).map(i => (i.toLong, vec(i)))
+    val planted = base.map { case (i, v) => (i + 100000L, v.map(_ + 0.01)) }
+    val df = (base ++ planted).toDF("vec_id", "v")
+
+    val banded = Similarity
+      .nearDupBanded(df, "vec_id", "v", dims = 64, threshold = 0.95)
+    val exhaustive = Similarity
+      .cosineNearDupPairs(df, "vec_id", "v", 0.95)
+
+    val b = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = exhaustive.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    b shouldBe e
+    b.size shouldBe 200 // exactly the planted pairs
+
+    // scale shape: candidates come from an equi-join on (band, bcode) —
+    // the plan must not contain any nested-loop/cartesian theta join
+    val plan = banded.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
