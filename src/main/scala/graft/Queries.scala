@@ -183,6 +183,35 @@ object Queries {
            |  md5(text) AS fp
            |FROM documents""".stripMargin))
 
+  // B11 complete: the reference's three-step ingest cleaner
+  // (html.unescape(re.sub('<.*?>','',raw)).strip(), steam_utils.py:38-42)
+  // over entity-bearing text constructed deterministically around each
+  // document. The DuckDB side decodes with a replace() chain ('&amp;'
+  // substituted LAST, reproducing Python's single left-to-right pass).
+  private val qHtmlUnescape = Q(
+    "q_html_unescape",
+    "B11: HTML tag strip + entity unescape + trim (full ingest cleaner)",
+    (s, d) =>
+      t(s, d).documents.select(
+        col("doc_id"),
+        TF.cleanReviewText(
+          concat(
+            lit("  <b>&quot;"), col("text"),
+            lit("&quot;</b> &amp;amp; &#72;&#x69;! &copy;&nbsp;&hellip; ")))
+          .as("clean_text")),
+    Some("""SELECT doc_id,
+           |  trim(
+           |    replace(
+           |      replace(replace(replace(replace(replace(replace(
+           |        regexp_replace(
+           |          '  <b>&quot;' || text || '&quot;</b> &amp;amp; &#72;&#x69;! &copy;&nbsp;&hellip; ',
+           |          '<[^>]*>', '', 'g'),
+           |        '&quot;', '"'), '&#72;', 'H'), '&#x69;', 'i'),
+           |        '&copy;', chr(169)), '&nbsp;', chr(160)), '&hellip;', chr(8230)),
+           |      '&amp;', '&'),
+           |    ' ' || chr(160)) AS clean_text
+           |FROM documents""".stripMargin))
+
   // ===========================================================================
   // Serving-layer queries (§2.D)
   // ===========================================================================
@@ -1352,7 +1381,7 @@ object Queries {
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
-    qRegexClean, qReaggTopk, qFmtProject, qCondLabel, qFilterCount,
+    qRegexClean, qHtmlUnescape, qReaggTopk, qFmtProject, qCondLabel, qFilterCount,
     qArgmaxLatest, qUnionSummary, qPricing, qJoinBroadcast, qJoinSemiAnti,
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
     qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qNearDupBanded,

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * whole-stage-codegen'd, no UDFs, so the expressions inline into scans and
   * survive a 100 TB scale-up (per-row cost only, no shuffle, no state).
   *
-  * The reference's only text processing is ingest-time HTML stripping
-  * (reference: producers/steam_utils.py:38-42); [[stripTags]] reproduces it.
+  * The reference's only text processing is ingest-time HTML cleaning
+  * (reference: producers/steam_utils.py:38-42, `html.unescape(re.sub(
+  * '<.*?>', '', raw)).strip()`); [[cleanReviewText]] reproduces all three
+  * steps.
   */
 object TextFunctions {
 
@@ -19,6 +21,34 @@ object TextFunctions {
     * (reference: producers/steam_utils.py:38-42).
     */
   def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
+
+  /** HTML character-reference decode (`&amp;` `&#x41;` …) matching Python's
+    * `html.unescape` — the second step of the reference's ingest cleaner
+    * (reference: producers/steam_utils.py:38-42). Native codegen'd
+    * expression; see [[graft.functions.expressions.HtmlEntities]] for the
+    * exact entity coverage.
+    */
+  def unescapeHtml(c: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.HtmlUnescape(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(c)))
+
+  /** The whitespace set Python's no-arg `str.strip()` removes (ASCII
+    * controls + every Unicode space, incl. the U+00A0 that `&nbsp;`
+    * decodes to).
+    */
+  val PythonWhitespace: String =
+    " \t\n\f\r  " +
+      "           " +
+      "    　"
+
+  /** The reference's full review-text cleaner, B11:
+    * `html.unescape(re.sub('<.*?>', '', raw)).strip()`
+    * (reference: producers/steam_utils.py:38-42). The trim uses Python's
+    * `strip()` whitespace set, not just ASCII space.
+    */
+  def cleanReviewText(c: Column): Column =
+    trim(unescapeHtml(stripTags(c)), PythonWhitespace)
 
   /** Whitespace tokenization of trimmed text. Empty string → empty array. */
   def tokens(c: Column): Column =

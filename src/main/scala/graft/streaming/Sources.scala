@@ -54,6 +54,9 @@ object Sources {
     * the FILENAME, not a column, so the caller supplies it. Output is the
     * parsed-review shape (`SteamOps.parseReviews`), so the whole hot path
     * (sentiment window, review-bomb) runs unchanged over the offline data.
+    * Review text goes through the producer's ingest cleaner (tag strip +
+    * entity unescape + trim, reference: producers/steam_utils.py:38-42,167)
+    * exactly as API-scraped reviews do before reaching Kafka.
     */
   def reviewsCsv(spark: SparkSession, path: String, appId: String): DataFrame = {
     val schema = StructType(Seq(
@@ -82,7 +85,7 @@ object Sources {
         col("votes_up"),
         col("weighted_vote_score"),
         col("timestamp"),
-        col("review").as("review_text"))
+        graft.functions.TextFunctions.cleanReviewText(col("review")).as("review_text"))
   }
 
   /** Player-count CSV sample (reference: inputs/charts/steamcharts_24h.csv)

@@ -48,6 +48,37 @@ class FunctionsSpec extends SparkSpec {
     df.collect().head.getString(0) shouldBe "bold text x"
   }
 
+  test("unescapeHtml matches CPython html.unescape goldens") {
+    // expected values computed with CPython 3: html.unescape(input)
+    val cases = Seq(
+      "&amp;amp; nested"                        -> "&amp; nested",
+      "&quot;quoted&quot; &apos;x&apos;"        -> "\"quoted\" 'x'",
+      "&#72;&#x69;&#X21; numeric &#65 no-semi"  -> "Hi! numeric A no-semi",
+      "&copy &notin legacy-prefix"              -> "© ¬in legacy-prefix",
+      "&nbsp;&hellip;&mdash;&euro;&trade;"      -> " …—€™",
+      "&#0;&#13;&#128;&#xD800;&#1114112; recovery" -> "�\r€�� recovery",
+      "&unknown; &zzz stays &"                  -> "&unknown; &zzz stays &",
+      "Caf&eacute; cr&egrave;me &frac12;"       -> "Café crème ½",
+      "a &lt b &lt; c &gt; d"                   -> "a < b < c > d",
+      "&Ouml;sterreich &uuml;ber &szlig;"       -> "Österreich über ß")
+    val out = cases.map(_._1).toDF("t")
+      .select(TF.unescapeHtml(col("t")).as("u")).collect().map(_.getString(0))
+    out.zip(cases.map(_._2)).zip(cases.map(_._1)).foreach { case ((got, exp), in) =>
+      withClue(s"input=<$in>: ") { got shouldBe exp }
+    }
+  }
+
+  test("cleanReviewText == Python html.unescape(re.sub('<.*?>','',raw)).strip()") {
+    // goldens from CPython; note the trailing &nbsp; IS stripped (Python
+    // strip() removes U+00A0)
+    val cases = Seq(
+      "  <b>hello &amp; goodbye</b>  " -> "hello & goodbye",
+      "<i>&quot;hi&quot;</i>&nbsp;"    -> "\"hi\"")
+    val out = cases.map(_._1).toDF("t")
+      .select(TF.cleanReviewText(col("t")).as("u")).collect().map(_.getString(0))
+    out.zip(cases.map(_._2)).foreach { case (got, exp) => got shouldBe exp }
+  }
+
   test("langIdGuess picks marker-heaviest language, und when none") {
     val df = Seq("the cat and the dog of it", "el gato de la casa", "zzz qqq")
       .toDF("t").select(TF.langIdGuess(col("t")).as("l"))
