@@ -810,36 +810,56 @@ object Queries {
 
   private val qKnnIvf = Q(
     "q_knn_ivf",
-    "ANN scale path: IVF (broadcast centroids, probe-limited search)",
+    "ANN scale path: IVF (k-means-trained broadcast centroids, probe-limited search)",
     (s, d) => {
       val e = t(s, d).embeddings
       Similarity.ivfKnnCosine(
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
-        k = 5, numCells = 16, nProbe = 4)
+        k = 5, numCells = 16, nProbe = 4, iters = 2)
     },
-    Some("""WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
-           |  FROM embeddings WHERE vec_id < 16),
-           |cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM c),
-           |corp AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |corpn AS (SELECT cid, v, list_dot_product(v, v) AS vn2 FROM corp),
-           |asg AS (SELECT cid, v, vn2, cell FROM (
-           |  SELECT cid, v, vn2, cell, row_number() OVER (PARTITION BY cid
-           |    ORDER BY round(list_dot_product(v, cv) / sqrt(vn2 * cn2), 4) DESC, cell) AS arn
-           |  FROM corpn, cn) WHERE arn = 1),
-           |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-           |  FROM embeddings WHERE vec_id < 10),
-           |qn AS (SELECT query_id, qv, list_dot_product(qv, qv) AS qn2 FROM q),
-           |pr AS (SELECT query_id, qv, qn2, cell FROM (
-           |  SELECT query_id, qv, qn2, cell, row_number() OVER (PARTITION BY query_id
-           |    ORDER BY round(list_dot_product(qv, cv) / sqrt(qn2 * cn2), 4) DESC, cell) AS prn
-           |  FROM qn, cn) WHERE prn <= 4),
-           |s AS (SELECT query_id, cid AS neighbor_id,
-           |  round(list_dot_product(qv, v) / sqrt(qn2 * vn2), 4) AS cos_sim
-           |FROM pr JOIN asg USING (cell))
-           |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
-           |WHERE rank <= 5""".stripMargin))
+    Some {
+      // mirrors Similarity.kmeansCentroids + ivfKnnCosine: quantized
+      // integer space (exact, order-independent sums), md5-stratified
+      // seeds, 2 Lloyd iterations with sum-centroids (cosine is
+      // scale-invariant, so sums rank identically to means).
+      val sums = (1 to 64).map(i => s"sum(qv[$i])").mkString(", ")
+      def asg(cent: String): String =
+        s"""SELECT cid, qv, qn2, cell FROM (
+           |  SELECT b.cid, b.qv, b.qn2, c.cell, row_number() OVER (PARTITION BY b.cid
+           |    ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS arn
+           |  FROM bn b, $cent c) WHERE arn = 1""".stripMargin
+      s"""WITH base AS (SELECT vec_id AS cid,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS qv,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |bn AS (SELECT cid, qv, list_dot_product(qv, qv) AS qn2,
+         |    v, list_dot_product(v, v) AS vn2 FROM base),
+         |c0 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
+         |  SELECT cid AS cell, qv AS cv FROM bn
+         |  ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT 16)),
+         |a1 AS (${asg("c0")}),
+         |c1 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
+         |  SELECT cell, list_value($sums) AS cv FROM a1 GROUP BY cell)),
+         |a2 AS (${asg("c1")}),
+         |c2 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
+         |  SELECT cell, list_value($sums) AS cv FROM a2 GROUP BY cell)),
+         |af AS (SELECT cid, v, vn2, cell FROM (
+         |  SELECT b.cid, b.v, b.vn2, c.cell, row_number() OVER (PARTITION BY b.cid
+         |    ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS arn
+         |  FROM bn b, c2 c) WHERE arn = 1),
+         |pr AS (SELECT query_id, qv, qn2, cell FROM (
+         |  SELECT b.cid AS query_id, b.v AS qv, b.vn2 AS qn2, c.cell,
+         |    row_number() OVER (PARTITION BY b.cid
+         |      ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS prn
+         |  FROM bn b, c2 c WHERE b.cid < 10) WHERE prn <= 4),
+         |sr AS (SELECT query_id, cid AS neighbor_id,
+         |  round(list_dot_product(pr.qv, af.v) / sqrt(pr.qn2 * af.vn2), 4) AS cos_sim
+         |FROM pr JOIN af USING (cell))
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM sr)
+         |WHERE rank <= 5""".stripMargin
+    })
 
   private val qRetention = Q(
     "q_retention",

@@ -134,14 +134,100 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Quantize an array<double> vector to integer-valued doubles:
+    * `round(x * 1e6)` per component. The point is exact arithmetic —
+    * sums of integer-valued doubles below 2⁵³ are exact and therefore
+    * summation-ORDER-INDEPENDENT, which makes k-means centroid updates
+    * bit-reproducible across engines (a mean of raw doubles is not: its
+    * value depends on the reduction order). Cosine similarity is
+    * scale-invariant, so searching in quantized space changes rankings
+    * only below the 1e-6 component granularity.
+    */
+  def quantized(v: Column): Column = transform(v, x => round(x * lit(1000000.0)))
+
+  /** Deterministic Lloyd k-means over the quantized embedding space —
+    * trains the IVF coarse quantizer that [[ivfKnnCosine]] searches with.
+    *
+    * Engine-independent by construction (every step reproduces bit-exactly
+    * in the SQL oracle):
+    *  - init: hash-stratified seeding — the `numCells` corpus vectors with
+    *    the smallest `md5(cast(id as string))` (ties by id). Plans as
+    *    TakeOrderedAndProject (no global sort), and md5-order is a uniform
+    *    pseudo-random draw, so seeds land spread across the data
+    *    distribution instead of whatever the first ids happen to be.
+    *    The seed's id doubles as the cell label.
+    *  - assign: argmax cosine against broadcast centroids, similarity
+    *    rounded to 4 dp, ties to the lowest cell label.
+    *  - update: the new centroid of a cell is the per-dimension SUM of its
+    *    members' quantized vectors — not the mean. Cosine only reads the
+    *    direction, so dividing by the count is pointless, and the sum is
+    *    exact integer arithmetic (order-independent) while the mean is not.
+    *    Cells that lose all members in an iteration drop out (both engines
+    *    drop empty groups identically).
+    *
+    * Scale shape (100 TB): each iteration is one narrow map over the
+    * corpus (broadcast centroids, numCells dot products per row) plus one
+    * partial-aggregated groupBy of `dims` sums into ≤ numCells rows —
+    * no per-iteration shuffle of the corpus itself. The centroid table
+    * never exceeds numCells rows; in production persist it between
+    * iterations (here the lineage is left lazy so the oracle can replay
+    * it — the re-evaluation multiplier is a small constant).
+    *
+    * Returns (cell, cv, cn2) with `cv` in quantized space.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int,
+      numCells: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val base = corpus
+      .select(col(id).as("cid"), quantized(toDouble(col(vec))).as("qv"))
+      .withColumn("qn2", norm2(col("qv")))
+    val seeds = base
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
+      .limit(numCells)
+      .select(col("cid").as("cell"), col("qv").as("cv"))
+    var cents = seeds.withColumn("cn2", norm2(col("cv")))
+    for (_ <- 1 to iters) {
+      val assigned = assignToCells(base, cents)
+      val sums = (0 until dims).map(dd => sum(col("qv")(dd)).as(s"s$dd"))
+      cents = assigned
+        .groupBy("cell")
+        .agg(sums.head, sums.tail: _*)
+        .select(col("cell"), array((0 until dims).map(dd => col(s"s$dd")): _*).as("cv"))
+        .withColumn("cn2", norm2(col("cv")))
+    }
+    cents
+  }
+
+  /** Argmax-cosine cell assignment: input (cid, qv, qn2, extra…) ×
+    * broadcast centroids (cell, cv, cn2) → input columns + cell.
+    * Similarity rounded to 4 dp, ties to the lowest cell label
+    * (deterministic total order).
+    */
+  private def assignToCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val keep = vecs.columns.map(col).toSeq :+ col("cell")
+    vecs
+      .join(broadcast(cents))
+      .withColumn("csim",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")), 4))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("arn") === 1)
+      .select(keep: _*)
+  }
+
   /** IVF (inverted-file) approximate k-NN — the scale path for similarity
     * search that [[knnCosine]] is the brute-force baseline for.
     *
-    * Index build: the first `numCells` corpus vectors (id < numCells) act
-    * as deterministic centroids; every corpus vector is assigned to its
+    * Index build: [[kmeansCentroids]] trains `numCells` deterministic
+    * Lloyd-k-means centroids (hash-stratified seeds, `iters` update
+    * rounds) in quantized space; every corpus vector is assigned to its
     * most-cosine-similar centroid. Search: each query probes its `nProbe`
     * nearest cells and ranks only the vectors in those cells by exact
-    * cosine.
+    * cosine over the ORIGINAL full-precision vectors.
     *
     * Scale shape (100 TB): centroids are tiny and BROADCAST, so cell
     * assignment is a narrow map over the corpus followed by one shuffle
@@ -161,37 +247,68 @@ object Similarity {
       vec: String,
       k: Int,
       numCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = corpus
-      .filter(col(id) < numCells)
-      .select(col(id).as("cell"), toDouble(col(vec)).as("cv"))
-    val cn = cents.withColumn("cn2", norm2(col("cv")))
+      nProbe: Int = 4,
+      iters: Int = 2,
+      dims: Int = 64): DataFrame =
+    ivfSearch(queries, corpus, id, vec, k, nProbe,
+      kmeansCentroids(corpus, id, vec, dims, numCells, iters))
 
-    def simTo(v: Column, n2: Column): Column =
-      round(dot(v, col("cv")) / sqrt(n2 * col("cn2")), 4)
+  /** The IVF inverted list: (cid, cell) assignment of every corpus vector
+    * to its trained cell. In production this is computed once and
+    * persisted `partitionBy("cell")` so a probe-limited search touches
+    * only the probed cells' files; it is also the balance diagnostic —
+    * cell sizes should be ≈ |corpus| / numCells for the
+    * |corpus|·nProbe/numCells cost claim to hold.
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      cn: DataFrame): DataFrame = {
+    val base = corpus
+      .select(col(id).as("cid"), quantized(toDouble(col(vec))).as("qv"))
+      .withColumn("qn2", norm2(col("qv")))
+    assignToCells(base, cn).select(col("cid"), col("cell"))
+  }
 
-    // cell assignment: argmax over broadcast centroids, one shuffle by id
-    val corp = corpus.select(col(id).as("cid"), toDouble(col(vec)).as("v"))
+  /** IVF search against an explicit centroid table (cell, cv, cn2) with
+    * `cv` in quantized space — the coarse quantizer is pluggable so
+    * centroid-training strategies can be compared on the same search path.
+    */
+  def ivfSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      nProbe: Int,
+      cn: DataFrame): DataFrame = {
+    // cell assignment of the corpus (quantized space for the coarse step,
+    // original vectors carried through for the exact ranking)
+    val corp = corpus.select(
+        col(id).as("cid"),
+        quantized(toDouble(col(vec))).as("qv"),
+        toDouble(col(vec)).as("v"))
+      .withColumn("qn2", norm2(col("qv")))
       .withColumn("vn2", norm2(col("v")))
-    val assigned = corp
-      .join(broadcast(cn))
-      .withColumn("csim", simTo(col("v"), col("vn2")))
-      .withColumn("arn", row_number().over(
-        Window.partitionBy("cid").orderBy(col("csim").desc, col("cell"))))
-      .filter(col("arn") === 1)
+    val assigned = assignToCells(corp, cn)
       .select(col("cid"), col("v"), col("vn2"), col("cell"))
 
-    // probe list: nProbe nearest cells per query
-    val qs = queries.select(col(id).as("query_id"), toDouble(col(vec)).as("qv"))
-      .withColumn("qn2", norm2(col("qv")))
+    // probe list: nProbe nearest cells per query (quantized space)
+    val qs = queries.select(
+        col(id).as("query_id"),
+        toDouble(col(vec)).as("qv0"),
+        quantized(toDouble(col(vec))).as("pqv"))
+      .withColumn("pqn2", norm2(col("pqv")))
+      .withColumn("qn2", norm2(col("qv0")))
     val probes = qs
       .join(broadcast(cn))
-      .withColumn("psim", simTo(col("qv"), col("qn2")))
+      .withColumn("psim",
+        round(dot(col("pqv"), col("cv")) / sqrt(col("pqn2") * col("cn2")), 4))
       .withColumn("prn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("psim").desc, col("cell"))))
       .filter(col("prn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn2"), col("cell"))
+      .select(col("query_id"), col("qv0").as("qv"), col("qn2"), col("cell"))
 
     // search probed cells only; probes side is small → broadcast
     broadcast(probes)

@@ -258,11 +258,59 @@ class FunctionsSpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfKnnCosine(qs, vecs, "vec_id", "embedding",
-      k = 3, numCells = 8, nProbe = 4)
+      k = 3, numCells = 8, nProbe = 4, dims = 16)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(ivf.contains).toDouble / exact.size
     recall should be >= 0.8
+  }
+
+  test("k-means-trained IVF centroids beat first-N seeding on clustered data") {
+    // 4 noisy clusters (noise comparable to the cluster signal, so cell
+    // boundaries genuinely matter); ids ordered so ids 0..7 ALL sit in
+    // cluster 0 — first-N seeding therefore collapses every centroid
+    // into one cluster, while md5-stratified k-means seeds spread out.
+    def noise(i: Long, d: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$d".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 32).toDouble - 0.5) * 4.0
+    }
+    val vecs = (0L until 160L).map { i =>
+      val c = if (i < 8) 0 else (i % 4).toInt
+      (i, Array.tabulate(16) { d =>
+        val base = if (d / 4 == c) 5.0 else 0.0
+        (base + noise(i, d)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") >= 100) // queries from all clusters
+    val exact = Similarity.knnCosine(qs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity
+        .ivfSearch(qs, vecs, "vec_id", "embedding", k = 3, nProbe = 1, cents)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    def maxCell(cents: org.apache.spark.sql.DataFrame): Long =
+      Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+        .groupBy("cell").count().agg(max("count")).collect()(0).getLong(0)
+    val trained = Similarity.kmeansCentroids(
+      vecs, "vec_id", "embedding", dims = 16, numCells = 4, iters = 2)
+    val firstN = vecs.filter(col("vec_id") < 4)
+      .select(
+        col("vec_id").as("cell"),
+        Similarity.quantized(col("embedding").cast("array<double>")).as("cv"))
+      .withColumn("cn2", Similarity.norm2(col("cv")))
+    val (rTrained, rFirstN) = (recallOf(trained), recallOf(firstN))
+    val (bTrained, bFirstN) = (maxCell(trained), maxCell(firstN))
+    withClue(s"recall trained=$rTrained firstN=$rFirstN; maxCell trained=$bTrained firstN=$bFirstN: ") {
+      rTrained should be >= 0.95        // trained finds ~every true neighbor
+      rFirstN should be <= 0.9          // collapsed centroids drop real ones
+      bTrained should be < bFirstN      // and produce more skewed cells
+    }
   }
 
   test("SimHash banded candidates are COMPLETE: equal to cross join + filter") {
@@ -359,7 +407,7 @@ class FunctionsSpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val ivf = Similarity.ivfKnnCosine(qs, corpus, "vec_id", "embedding",
-      k = 3, numCells = 8, nProbe = 8) // probe all cells → exhaustive
+      k = 3, numCells = 8, nProbe = 8, dims = 8) // probe all cells → exhaustive
       .select("query_id", "neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     ivf shouldBe exact
