@@ -1233,24 +1233,55 @@ object Queries {
 
   private val qEditDistance = Q(
     "q_edit_distance",
-    "edit-distance near-dup: Levenshtein over bounded candidate pairs",
+    "edit-distance near-dup: SimHash banded candidates + Levenshtein verify",
     (s, d) => {
+      // the honest sketch pipeline over the FULL table: banded SimHash
+      // buckets generate candidates (equi-join, no theta join anywhere),
+      // Levenshtein verifies only those — quadratic work is confined to
+      // in-bucket pairs. On this corpus the verified set is crisply
+      // bimodal: true near-dups sit at lev ≤ 20, the nearest
+      // sketch-collision impostor at 41+.
       val docs = t(s, d).documents
-        .filter(col("doc_id") < 60)
-        .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("t").as("ta"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("t").as("tb"))
-      a.join(b, col("doc_a") < col("doc_b"))
+      val cand = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      val texts = docs.select(col("doc_id"), substring(col("text"), 1, 80).as("t80"))
+      cand
+        .join(texts.select(col("doc_id").as("doc_a"), col("t80").as("ta")), Seq("doc_a"))
+        .join(texts.select(col("doc_id").as("doc_b"), col("t80").as("tb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("ta"), col("tb")).as("lev"))
-        .filter(col("lev") <= 55)
+        .filter(col("lev") <= 20)
     },
-    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 80) AS t
-           |  FROM documents WHERE doc_id < 60)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  CAST(levenshtein(a.t, b.t) AS INTEGER) AS lev
-           |FROM d a JOIN d b ON a.doc_id < b.doc_id
-           |WHERE levenshtein(a.t, b.t) <= 55""".stripMargin))
+    Some {
+      val sums = (0 until Dedup.SimhashBits).map { j =>
+        val nib  = j / 4 + 1
+        val mask = 1 << (j % 4)
+        s"sum(CASE WHEN ((CASE WHEN ascii(substr(hx,$nib,1)) <= 57 THEN ascii(substr(hx,$nib,1)) - 48 ELSE ascii(substr(hx,$nib,1)) - 87 END) & $mask) > 0 THEN 1 ELSE -1 END) AS b$j"
+      }.mkString(",\n  ")
+      val sh = (0 until Dedup.SimhashBits)
+        .map(j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      val bands = (0 until 4).map { b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS bucket FROM sh"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+         |bits AS (SELECT doc_id,
+         |  $sums
+         |FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $sh AS simhash FROM bits),
+         |bands AS (
+         |$bands
+         |),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) AS INTEGER) AS lev
+         |FROM cand JOIN documents ta ON ta.doc_id = doc_a
+         |  JOIN documents tb ON tb.doc_id = doc_b
+         |WHERE levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) <= 20""".stripMargin
+    })
 
   private val qVariance = Q(
     "q_variance",

@@ -476,4 +476,46 @@ class FunctionsSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("edit-distance verify over simhash candidates plans as equi-joins only") {
+    // near-dup pairs (even/odd ids differ by one token) + unrelated docs
+    val base = (0 until 20).map(c => (0 until 16).map(w => s"t${c}_$w").mkString(" "))
+    val docs = (0 until 40).map { i =>
+      val toks = base(i / 2).split(" ").toVector
+      val tkn = if (i % 2 == 1) toks.updated(3, s"chg$i") else toks
+      (i.toLong, tkn.mkString(" "))
+    }.toDF("doc_id", "text")
+    val cand = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+    val texts = docs.select(col("doc_id"), substring(col("text"), 1, 80).as("t80"))
+    val verified = cand
+      .join(texts.select(col("doc_id").as("doc_a"), col("t80").as("ta")), Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("t80").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), levenshtein(col("ta"), col("tb")).as("lev"))
+      .filter(col("lev") <= 20)
+    // ground truth, exhaustively on the driver: pairs within Hamming 3 on
+    // the full simhash AND lev <= 20 on the 80-char prefix
+    val sh = docs.select(col("doc_id"), Dedup.simhashExpr(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val txt = docs.collect().map(r => (r.getLong(0), r.getString(1).take(80))).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+      if lev(txt(a), txt(b)) <= 20
+    } yield (a, b)).toSet
+    val got = verified.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe expected
+    expected should not be empty
+    val plan = verified.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
