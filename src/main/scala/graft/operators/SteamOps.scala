@@ -88,6 +88,58 @@ object SteamOps {
         when(col("negative_ratio") > 0.8 && col("total_reviews") > 10, lit(true))
           .otherwise(lit(false)))
 
+  /** Additive partial of [[sentimentAgg]] for incremental maintenance:
+    * counts and sums only (no avg), so per-batch partials merge by
+    * addition — [[graft.streaming.ParquetUpsertSink.upsertAdditive]]
+    * keyed on (window, recommended). `quality_cnt` counts non-null
+    * scores, matching avg's null-skipping. Derive the user-facing shape
+    * with [[sentimentFromPartials]].
+    */
+  def sentimentAggPartial(reviews: DataFrame): DataFrame =
+    reviews
+      .groupBy(window(col("timestamp"), "1 hour"), col("recommended"))
+      .agg(
+        count(col("app_id")).as("total_reviews"),
+        sum(col("weighted_vote_score")).as("quality_sum"),
+        count(col("weighted_vote_score")).as("quality_cnt"))
+
+  /** Read-side view of accumulated [[sentimentAggPartial]] rows — the
+    * same shape as [[sentimentAgg]].
+    */
+  def sentimentFromPartials(partials: DataFrame): DataFrame =
+    partials.select(
+      col("window"), col("recommended"), col("total_reviews"),
+      (col("quality_sum") / col("quality_cnt")).as("avg_quality"))
+
+  /** Additive partial of [[reviewBombAgg]] (same contract as
+    * [[sentimentAggPartial]]), keyed on app_id.
+    */
+  def reviewBombAggPartial(reviews: DataFrame): DataFrame =
+    reviews
+      .groupBy(col("app_id"))
+      .agg(
+        count(lit(1)).as("total_reviews"),
+        sum(when(col("recommended") === false, 1).otherwise(0)).as("negative_count"),
+        sum(when(col("recommended") === true, 1).otherwise(0)).as("positive_count"),
+        sum(col("weighted_vote_score")).as("quality_sum"),
+        count(col("weighted_vote_score")).as("quality_cnt"))
+
+  /** Read-side view of accumulated [[reviewBombAggPartial]] rows — the
+    * same shape (columns, derivations, flag rule) as [[reviewBombAgg]].
+    */
+  def reviewBombFromPartials(partials: DataFrame): DataFrame =
+    partials
+      .select(
+        col("app_id"), col("total_reviews"), col("negative_count"),
+        col("positive_count"),
+        (col("quality_sum") / col("quality_cnt")).as("avg_quality"))
+      .withColumn("negative_ratio", col("negative_count") / col("total_reviews"))
+      .withColumn("positive_ratio", col("positive_count") / col("total_reviews"))
+      .withColumn(
+        "is_review_bomb",
+        when(col("negative_ratio") > 0.8 && col("total_reviews") > 10, lit(true))
+          .otherwise(lit(false)))
+
   /** Genre distribution (configmap:179-185; C9,C10): explode(genres) →
     * global groupBy count. Explode drops null/empty arrays (reference
     * semantics — plain `explode`, not `explode_outer`).

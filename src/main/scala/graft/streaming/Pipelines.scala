@@ -53,15 +53,22 @@ object Pipelines {
     * topic — three consumer groups, three checkpoints, 3× the source I/O
     * (SURVEY.md §3.1 step 2, §4 "shared-scan avoidance: none"). Here each
     * micro-batch is read once, cached, and fanned out inside
-    * `foreachBatch`; aggregates are recomputed over the accumulating
-    * archive + upserted, so results equal the reference's complete-mode
-    * tables with a single Kafka read and one checkpoint.
+    * `foreachBatch` — a single Kafka read and one checkpoint.
     *
-    * At scale: the per-batch cache holds one trigger's data (small); the
-    * re-aggregation reads the columnar archive with pushdown. For lifetime
-    * aggregates whose archive scan would grow unboundedly, swap the
-    * re-aggregation for [[reviewBombStateful]]-style keyed state — the
-    * fan-out structure is unchanged.
+    * Per-trigger work is O(batch), not O(history):
+    *  - cold: the batch lands in its own `batch=<id>` partition directory
+    *    with Overwrite, so a replayed batch rewrites itself instead of
+    *    appending duplicates (the built-in file sink's manifest does this
+    *    for the single-sink case; inside foreachBatch we provide it).
+    *  - hot: per-batch ADDITIVE partials
+    *    ([[graft.operators.SteamOps.sentimentAggPartial]] /
+    *    `reviewBombAggPartial`) merge into the stored tables via
+    *    [[ParquetUpsertSink.upsertAdditive]] — the archive is never
+    *    re-read, and a replayed batch is a no-op (batchId commit record).
+    *    Read the user-facing shapes back with
+    *    [[graft.operators.SteamOps.sentimentFromPartials]] /
+    *    `reviewBombFromPartials`; equality with a from-scratch
+    *    aggregation is spec-pinned.
     */
   def reviewsMultiSink(
       kafkaShaped: DataFrame,
@@ -76,10 +83,14 @@ object Pipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          batch.write.mode("append").parquet(archiveDir) // cold
-          val archive = batch.sparkSession.read.parquet(archiveDir)
-          sentimentSink.upsert(SteamOps.sentimentAgg(archive), batchId)
-          bombSink.upsert(SteamOps.reviewBombAgg(archive), batchId)
+          batch.write.mode("overwrite").parquet(s"$archiveDir/batch=$batchId")
+          sentimentSink.upsertAdditive(
+            SteamOps.sentimentAggPartial(batch), batchId,
+            Seq("total_reviews", "quality_sum", "quality_cnt"))
+          bombSink.upsertAdditive(
+            SteamOps.reviewBombAggPartial(batch), batchId,
+            Seq("total_reviews", "negative_count", "positive_count",
+              "quality_sum", "quality_cnt"))
         } finally batch.unpersist()
         ()
       }

@@ -1,10 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, sum}
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
 /** Streaming sinks (SURVEY.md §2.A).
@@ -76,25 +76,59 @@ object Sinks {
 /** Keyed upsert into a snapshot-versioned parquet table.
   *
   * Layout: `root/v<n>/` snapshot directories plus a `root/_CURRENT` pointer
-  * file naming the live snapshot. Each upsert writes a full new snapshot =
-  * (old rows whose key is absent from the batch) ∪ (batch rows), then
-  * atomically swaps the pointer. Readers go through [[read]].
+  * file holding `<version> <lastAppliedBatchId>`. Each upsert writes a full
+  * new snapshot = (old rows whose key is absent from the batch) ∪ (batch
+  * rows), then atomically swaps the pointer. Readers go through [[read]].
   *
-  * At scale: rows-per-key aggregates are small relative to data scanned,
-  * and the anti-join is a broadcast of the batch's key set; partition the
-  * snapshot by a key prefix to turn the rewrite into partition overwrite.
-  * Idempotent per batchId: re-running a batch converges to the same table.
+  * All filesystem access goes through the Hadoop FileSystem API, so the
+  * layout works on HDFS and object stores, not just the local disk; the
+  * pointer swap is a `FileContext.rename(OVERWRITE)` (atomic on HDFS and
+  * local; object stores without atomic rename need their usual
+  * commit-service arrangement). Writers are assumed single-driver per
+  * table — the streaming-query model — with `synchronized` guarding
+  * same-JVM races.
+  *
+  * Exactly-once: the pointer records the last applied batchId, written in
+  * the SAME atomic swap as the data pointer. [[upsertAdditive]] is a no-op
+  * for a replayed batch (`batchId <= lastApplied`), so a micro-batch
+  * re-delivered after a failure between sink commit and checkpoint commit
+  * cannot double-count. [[upsert]] needs no skip — re-applying the same
+  * keyed batch converges to the same table — but records the batchId too.
   */
 final class ParquetUpsertSink(val root: String, val keys: Seq[String]) extends Serializable {
 
-  private def pointer: Path = Paths.get(root, "_CURRENT")
+  private def pointer = new HPath(root, "_CURRENT")
 
-  private def currentVersion: Option[Long] =
-    if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong) else None
+  private def hconf(spark: SparkSession) = spark.sessionState.newHadoopConf()
+
+  /** (snapshot version, last applied batchId) from the pointer file. */
+  private def readPointer(spark: SparkSession): Option[(Long, Long)] = {
+    val conf = hconf(spark)
+    val fs = pointer.getFileSystem(conf)
+    if (!fs.exists(pointer)) None
+    else {
+      val in = fs.open(pointer)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s.split("\\s+") match {
+        case Array(v, b) => Some((v.toLong, b.toLong))
+        case Array(v)    => Some((v.toLong, Long.MinValue)) // pre-batchId format
+        case _           => None
+      }
+    }
+  }
+
+  /** Last batchId whose write reached the pointer (MinValue if none). */
+  def lastApplied(spark: SparkSession): Long =
+    readPointer(spark).map(_._2).getOrElse(Long.MinValue)
 
   def read(spark: SparkSession): Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(s"$root/v$v"))
+    readPointer(spark).map { case (v, _) => spark.read.parquet(s"$root/v$v") }
 
+  /** Key-replacing upsert: batch rows replace stored rows per key.
+    * Idempotent by construction (replaying a batch converges), so no
+    * replay skip is needed.
+    */
   def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
     val merged = read(batch.sparkSession) match {
       case Some(existing) =>
@@ -113,9 +147,14 @@ final class ParquetUpsertSink(val root: String, val keys: Seq[String]) extends S
     * from-scratch re-aggregation. The caller aggregates the RAW batch
     * (per-batch deltas) — feeding cumulative update-mode output here
     * would double-count.
+    *
+    * NOT idempotent per application, so a replayed batch
+    * (`batchId <= lastApplied`) is skipped — the pointer is the commit
+    * record, swapped atomically after the snapshot lands.
     */
   def upsertAdditive(
       batch: DataFrame, batchId: Long, sumCols: Seq[String]): Unit = synchronized {
+    if (batchId <= lastApplied(batch.sparkSession)) return
     val merged = read(batch.sparkSession) match {
       case Some(existing) =>
         existing.unionByName(batch)
@@ -128,12 +167,15 @@ final class ParquetUpsertSink(val root: String, val keys: Seq[String]) extends S
   }
 
   private def writeSnapshot(df: DataFrame, batchId: Long): Unit = {
-    val next = currentVersion.getOrElse(-1L) + 1
-    Files.createDirectories(Paths.get(root))
+    val spark = df.sparkSession
+    val conf = hconf(spark)
+    val next = readPointer(spark).map(_._1).getOrElse(-1L) + 1
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next")
-    val tmp = Paths.get(root, s"_CURRENT.tmp$batchId")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    val fs = pointer.getFileSystem(conf)
+    val tmp = new HPath(root, s"_CURRENT.tmp$batchId")
+    val out = fs.create(tmp, true)
+    try out.write(s"$next $batchId".getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(fs.getUri, conf)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(pointer), Options.Rename.OVERWRITE)
   }
 }

@@ -144,11 +144,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("shared-scan multi-sink: one query feeds archive + both hot tables") {
+  test("shared-scan multi-sink: one query feeds archive + both hot tables, O(batch) per trigger") {
     val in  = memStream[String]
     val arc = tmpDir("ms_archive")
     val s1  = new ParquetUpsertSink(tmpDir("ms_sent"), Seq("window", "recommended"))
     val s2  = new ParquetUpsertSink(tmpDir("ms_bomb"), Seq("app_id"))
+
+    // Pre-seed the archive with a DECOY partition. If any trigger
+    // re-aggregated the archive instead of its own batch, app "99" would
+    // leak into the hot tables — its absence proves per-trigger work
+    // reads the batch only.
+    val decoy = Seq(("99", "d1", "a", "en", true, 1L, 0.7,
+      new java.sql.Timestamp(1700000000L * 1000), "decoy"))
+      .toDF("app_id", "review_id", "author_steamid", "language", "recommended",
+        "votes_up", "weighted_vote_score", "timestamp", "review_text")
+    decoy.write.parquet(s"$arc/batch=999")
+
     val q = Pipelines.reviewsMultiSink(
       in.toDF().select(col("value")), arc, s1, s2, tmpDir("ckpt"))
       .trigger(Trigger.ProcessingTime(0)).start()
@@ -161,18 +172,39 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    val archive = spark.read.parquet(arc)
-    archive.count() shouldBe 3 // cold path has every row exactly once
+    // cold path: every streamed row exactly once, in per-batch partitions
+    val archive = spark.read.parquet(arc).filter(col("batch") < 999)
+    archive.count() shouldBe 3
 
-    // hot tables equal a from-scratch batch aggregation (complete-mode parity)
-    val sentiment = s1.read(spark).get
+    // hot tables equal a from-scratch batch aggregation over the streamed
+    // rows (complete-mode parity) — and exclude the decoy
+    val sentiment = SteamOps.sentimentFromPartials(s1.read(spark).get)
     val expSent   = SteamOps.sentimentAgg(archive)
     sentiment.except(expSent).count() shouldBe 0
     expSent.except(sentiment).count() shouldBe 0
 
     val bombs = s2.read(spark).get.collect()
       .map(r => r.getAs[String]("app_id") -> r.getAs[Long]("total_reviews")).toMap
-    bombs shouldBe Map("1" -> 2L, "2" -> 1L)
+    bombs shouldBe Map("1" -> 2L, "2" -> 1L) // no "99": archive never re-read
+
+    val derived = SteamOps.reviewBombFromPartials(s2.read(spark).get)
+      .collect().map(r => r.getAs[String]("app_id") ->
+        (r.getAs[Long]("negative_count"), r.getAs[Boolean]("is_review_bomb"))).toMap
+    derived shouldBe Map("1" -> ((1L, false)), "2" -> ((0L, false)))
+  }
+
+  test("upsertAdditive skips a replayed batchId (no double-count)") {
+    val sink = new ParquetUpsertSink(tmpDir("replay"), Seq("k"))
+    val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+    val b1 = Seq(("a", 10L)).toDF("k", "n")
+    sink.upsertAdditive(b0, 0L, Seq("n"))
+    sink.upsertAdditive(b1, 1L, Seq("n"))
+    // failure between sink commit and checkpoint commit → batch 1 replayed
+    sink.upsertAdditive(b1, 1L, Seq("n"))
+    val got = sink.read(spark).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 11L, "b" -> 2L) // not 21: replay was a no-op
+    sink.lastApplied(spark) shouldBe 1L
   }
 
   test("stream-static enrichment join broadcasts the dimension") {
