@@ -1070,6 +1070,35 @@ object Queries {
             |FROM p JOIN o ON p.ts BETWEEN o.o_start AND o.o_end
             |GROUP BY 1""".stripMargin))
 
+  private val qRangeJoinAuto = Q(
+    "q_range_join_auto",
+    "range join via optimizer rule: the NAIVE inequality join, auto-rewritten",
+    (s, d) => {
+      // written exactly as a user would: a theta join on ts BETWEEN s AND e.
+      // GraftExtensions' RangeJoinRule rewrites it to the bucketed
+      // equi-join (same rows, no BroadcastNestedLoopJoin) — plan-audited
+      // in ExtensionsSpec.
+      val e = t(s, d).events
+      val wins = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("w_end"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("ts"), cents(col("value")).as("cents"))
+      clicks
+        .join(wins, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_clicks"), sum(col("cents")).as("sum_cents"))
+    },
+    Some(s"""WITH w AS (SELECT event_id AS win_id, ts AS w_start,
+            |    ts + INTERVAL 15 MINUTE AS w_end
+            |  FROM events WHERE event_type = 'signup'),
+            |c AS (SELECT ts, ${sqlCents("value")} AS cents
+            |  FROM events WHERE event_type = 'click')
+            |SELECT win_id, CAST(count(*) AS BIGINT) AS n_clicks,
+            |  CAST(sum(cents) AS BIGINT) AS sum_cents
+            |FROM c JOIN w ON c.ts >= w.w_start AND c.ts <= w.w_end
+            |GROUP BY 1""".stripMargin))
+
   private val qHeavyHitters = Q(
     "q_heavy_hitters",
     "custom TypedImperativeAggregate: Misra-Gries vocabulary heavy hitters",
@@ -1439,7 +1468,7 @@ object Queries {
     qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
-    qAsofJoin, qPivot, qSetOps, qRangeJoin, qHeavyHitters, qCube,
+    qAsofJoin, qPivot, qSetOps, qRangeJoin, qRangeJoinAuto, qHeavyHitters, qCube,
     qSampleSplit, qSampleStratified, qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp)

@@ -87,4 +87,42 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
       } finally s.conf.set("spark.graft.rangeJoin.enabled", "true")
     }
   }
+
+  test("q_range_join_auto shape: rule fires under filter + aggregate, no nested-loop join") {
+    withExtSession { s =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      // the catalog query's exact structure: filtered event slices, naive
+      // BETWEEN join, then a grouped aggregate on top
+      val events = ((0L until 200L).map(i => (i, "click", ts(i * 37 % 3000), i % 50)) ++
+        (200L until 230L).map(i => (i, "signup", ts((i - 200) * 100), 0L)))
+        .toDF("event_id", "event_type", "ts", "cents")
+      val wins = events.filter(col("event_type") === "signup")
+        .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("w_end"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("ts"), col("cents"))
+      val agg = clicks
+        .join(wins, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_clicks"), sum(col("cents")).as("sum_cents"))
+      val plan = agg.queryExecution.executedPlan.toString
+      plan should include("_graft_bucket")
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+      // and the rewritten aggregate equals the naive (rule-off) aggregate
+      val got = agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      s.conf.set("spark.graft.rangeJoin.enabled", "false")
+      try {
+        val exp = clicks
+          .join(wins, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+          .groupBy(col("win_id"))
+          .agg(count(lit(1)).as("n_clicks"), sum(col("cents")).as("sum_cents"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        got shouldBe exp
+        exp should not be empty
+      } finally s.conf.set("spark.graft.rangeJoin.enabled", "true")
+    }
+  }
 }
