@@ -17,19 +17,22 @@ object Bench {
     try SparkEntry.queries("q1_pricing")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // a throwing query reports -1 (and is listed in "failed"), never a
+    // fast-looking wall time
     def once(q: Queries.Q): Double = {
       val t0 = System.nanoTime()
-      try q.spark(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { q.spark(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val results = Queries.all.map { q =>
       q.name -> math.min(once(q), once(q))
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1110,9 +1110,14 @@ object Queries {
           .heavyHitters(col("item"), 256).as("hh"))
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
-      hh.withColumn("rank",
-          row_number().over(Window.orderBy(col("cnt").desc, col("item"))))
-        .filter(col("rank") <= 25)
+      // top-25 via TakeOrderedAndProject (no global-window shuffle or
+      // "no partition defined" warning); rank only the 25 survivors,
+      // with a constant partition key to keep WindowExec quiet
+      hh.orderBy(col("cnt").desc, col("item"))
+        .limit(25)
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("item"))))
         .withColumn("rank", col("rank").cast("int"))
     },
     Some(s"""WITH toks AS (SELECT unnest($sqlToks) AS item

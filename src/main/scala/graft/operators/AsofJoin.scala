@@ -33,7 +33,14 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** @param valueCols right-side columns carried to matched left rows
-    *                  (null when no right row precedes the left row)
+    *                  (null when no right row precedes the left row).
+    *                  All carried values come from the SAME matched right
+    *                  row — a NULL in the matched row stays NULL instead
+    *                  of being back-filled from an older right row —
+    *                  because the whole row travels as one struct through
+    *                  a single `last(ignoreNulls)`. Left columns sharing a
+    *                  name with a valueCol or `matchedTs` are replaced in
+    *                  the output.
     * @param matchedTs output column holding the matched right timestamp
     */
   def asofJoin(
@@ -44,23 +51,28 @@ object AsofJoin {
       rightTs: String,
       valueCols: Seq[String],
       matchedTs: String = "asof_ts"): DataFrame = {
+    val ts    = "_graft_asof_ts"
+    val side  = "_graft_asof_side"
+    val carry = "_graft_asof_carry"
     val l = left
-      .withColumn("_ts", col(leftTs))
-      .withColumn("_side", lit(1))
-    val r = right
-      .select((col(key) +: col(rightTs).as("_ts") +: valueCols.map(col)): _*)
-      .withColumn("_side", lit(0))
+      .withColumn(ts, col(leftTs))
+      .withColumn(side, lit(1))
+    val r = right.select(
+        col(key),
+        col(rightTs).as(ts),
+        // the matched row as ONE value: its ts + every carried column
+        struct(col(rightTs).as("ts") +: valueCols.map(col): _*).as(carry))
+      .withColumn(side, lit(0))
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(col(ts).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
-      (df, v) => df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }.withColumn(
-      matchedTs,
-      last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
-    carried
-      .filter(col("_side") === 1)
-      .drop("_ts", "_side")
+    val keep = left.columns.filterNot(c => c == matchedTs || valueCols.contains(c))
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(keep.map(col) ++
+        valueCols.map(v => col(s"$carry.$v").as(v)) :+
+        col(s"$carry.ts").as(matchedTs): _*)
   }
 }

@@ -216,6 +216,23 @@ class FunctionsSpec extends SparkSpec {
     out("l4") shouldBe (Some(40), Some(ts(400).toString))
   }
 
+  test("asofJoin: all carried columns come from the SAME matched row (nulls stay null)") {
+    import graft.operators.AsofJoin
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(150), "l1")).toDF("k", "ts", "tag")
+    val right = Seq(
+      // older row has both values set; the MATCHED row (t=120) has a null
+      // price — the output must carry (null, "b"), not back-fill 10 from t=100
+      (1L, ts(100), Some(10), "a"),
+      (1L, ts(120), None, "b")
+    ).toDF("k", "ts", "price", "src")
+    val row = AsofJoin.asofJoin(left, right, "k", "ts", "ts", Seq("price", "src"))
+      .select("price", "src", "asof_ts").collect().head
+    Option(row.get(0)) shouldBe None            // null from the matched row
+    row.getString(1) shouldBe "b"               // same row's other value
+    row.getTimestamp(2) shouldBe ts(120)
+  }
+
   test("approx_count_distinct (HLL) stays within 5% of exact at 100k keys") {
     val df = spark.range(100000).select((col("id") % 34567).as("k"))
     val row = df.agg(
