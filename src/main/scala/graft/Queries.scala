@@ -1070,6 +1070,28 @@ object Queries {
             |FROM p JOIN o ON p.ts BETWEEN o.o_start AND o.o_end
             |GROUP BY 1""".stripMargin))
 
+  private val qGroupingSets = Q(
+    "q_grouping_sets",
+    "explicit GROUPING SETS: chosen combinations only (cube/rollup sibling)",
+    (s, d) =>
+      t(s, d).events
+        .select(
+          col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          cents(col("value")).as("cents"))
+        // (type, day) detail, per-type totals, grand total — but NOT
+        // per-day totals, which is what cube can't express and rollup
+        // only gets by accident of column order
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")), Seq()),
+          col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents")),
+    Some(s"""SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(cents) AS BIGINT) AS sum_cents
+            |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+            |  ${sqlCents("value")} AS cents FROM events)
+            |GROUP BY GROUPING SETS ((event_type, day), (event_type), ())""".stripMargin))
+
   private val qRangeJoinAuto = Q(
     "q_range_join_auto",
     "range join via optimizer rule: the NAIVE inequality join, auto-rewritten",
@@ -1269,14 +1291,16 @@ object Queries {
     "q_edit_distance",
     "edit-distance near-dup: SimHash banded candidates + Levenshtein verify",
     (s, d) => {
-      // the honest sketch pipeline over the FULL table: banded SimHash
-      // buckets generate candidates (equi-join, no theta join anywhere),
-      // Levenshtein verifies only those — quadratic work is confined to
-      // in-bucket pairs. On this corpus the verified set is crisply
-      // bimodal: true near-dups sit at lev ≤ 20, the nearest
-      // sketch-collision impostor at 41+.
+      // the honest sketch pipeline over the FULL table: 64-bit SimHash
+      // over ordered 3-gram shingles, 4 bands of 16-bit buckets generate
+      // candidates (equi-join, no theta join anywhere), Levenshtein
+      // verifies only those. The order-sensitive sketch is the part that
+      // scales: unigram-set simhash on this low-entropy vocabulary put
+      // 1/3 of the corpus into one bucket (quadratic candidates), while
+      // shingles keep buckets at near-dup-cluster size — measured 25
+      // candidates for 22 true pairs at sf0.01, max bucket 4 at sf0.1.
       val docs = t(s, d).documents
-      val cand = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      val cand = Dedup.simhashBucketCandidates(docs, "doc_id", "text")
       val texts = docs.select(col("doc_id"), substring(col("text"), 1, 80).as("t80"))
       cand
         .join(texts.select(col("doc_id").as("doc_a"), col("t80").as("ta")), Seq("doc_a"))
@@ -1286,19 +1310,23 @@ object Queries {
         .filter(col("lev") <= 20)
     },
     Some {
-      val sums = (0 until Dedup.SimhashBits).map { j =>
+      val sums = (0 until 64).map { j =>
         val nib  = j / 4 + 1
         val mask = 1 << (j % 4)
         s"sum(CASE WHEN ((CASE WHEN ascii(substr(hx,$nib,1)) <= 57 THEN ascii(substr(hx,$nib,1)) - 48 ELSE ascii(substr(hx,$nib,1)) - 87 END) & $mask) > 0 THEN 1 ELSE -1 END) AS b$j"
       }.mkString(",\n  ")
-      val sh = (0 until Dedup.SimhashBits)
-        .map(j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
-        .mkString(" + ")
+      // DuckDB rejects 1::BIGINT << 63 as overflow; spell the sign bit out
+      val sh = (0 until 64).map {
+        case 63 => "(CASE WHEN b63 > 0 THEN (-9223372036854775807::BIGINT - 1) ELSE 0::BIGINT END)"
+        case j  => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+      }.mkString(" + ")
       val bands = (0 until 4).map { b =>
-        s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS bucket FROM sh"
+        s"SELECT doc_id, $b AS band, (simhash >> ${b * 16}) & 65535 AS bucket FROM sh"
       }.mkString("\nUNION ALL\n")
-      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-         |  FROM documents),
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+         |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS tok
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents)
+         |  WHERE len(ts) >= 3),
          |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
          |bits AS (SELECT doc_id,
          |  $sums
@@ -1308,8 +1336,7 @@ object Queries {
          |$bands
          |),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
          |  CAST(levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) AS INTEGER) AS lev
          |FROM cand JOIN documents ta ON ta.doc_id = doc_a
@@ -1474,6 +1501,7 @@ object Queries {
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
     qAsofJoin, qPivot, qSetOps, qRangeJoin, qRangeJoinAuto, qHeavyHitters, qCube,
+    qGroupingSets,
     qSampleSplit, qSampleStratified, qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp)

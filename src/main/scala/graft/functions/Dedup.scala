@@ -152,9 +152,9 @@ object Dedup {
     * expression: one md5 per token per row instead of the 32-pass
     * interpreted bit-vote of [[simhashFoldExpr]] (same bits, ~10× faster).
     */
-  def simhashExpr(text: Column): Column =
+  def simhashExpr(text: Column, bits: Int = SimhashBits): Column =
     graft.functions.expressions.NativeExpressions.simhash(
-      array_distinct(tokens(text)))
+      array_distinct(tokens(text)), bits)
 
   /** Reference formulation of [[simhashExpr]] in pure column algebra;
     * kept for A/B testing the native expression.
@@ -211,6 +211,83 @@ object Dedup {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
+
+  /** Ordered token 3-gram shingles of a text column (one string per
+    * shingle, tokens joined by a single space); empty for texts with
+    * fewer than 3 tokens.
+    */
+  def shingles3(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ",
+          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** `bits`-wide SimHash over the DISTINCT 3-gram shingles of a text —
+    * the ORDER-SENSITIVE sketch. Unigram SimHash hashes the token set,
+    * so a low-entropy vocabulary (every doc built from the same few
+    * dozen words) collapses most of the corpus into a handful of
+    * sketch values; shingles encode local order, which is also the
+    * signal an edit-distance verifier actually cares about. Native
+    * one-pass expression; [[shingleSimhashFold]] is the column-algebra
+    * A/B reference.
+    */
+  def shingleSimhash(text: Column, bits: Int = 64): Column =
+    graft.functions.expressions.NativeExpressions.shingleSimhash(
+      tokens(text), 3, bits)
+
+  /** Column-algebra reference formulation of [[shingleSimhash]]; kept
+    * for A/B testing the native expression (~30× slower: interpreted
+    * shingle materialization).
+    */
+  def shingleSimhashFold(text: Column, bits: Int = 64): Column =
+    graft.functions.expressions.NativeExpressions.simhash(
+      array_distinct(shingles3(text)), bits)
+
+  /** Wide-bucket shingle-SimHash candidate pairs for downstream exact
+    * verification (Levenshtein, Jaccard, …): pairs sharing any of
+    * `bands` bucket keys of `bits/bands` bits each over a `bits`-wide
+    * [[shingleSimhash]]. Docs with fewer than 3 tokens carry no shingle
+    * evidence and are excluded.
+    *
+    * Scale shape: with the 64-bit / 4-band default the bucket space is
+    * 2¹⁶ per band, and the order-sensitive sketch keeps bucket loads at
+    * near-dup-cluster size (measured max 4 on a 5k-doc corpus whose
+    * unigram-set sketch put 1/3 of all docs into ONE bucket) — candidate
+    * volume tracks |true near-dups|, not |corpus|². Candidates are
+    * pigeonhole-complete for Hamming ≤ bands-1 and high-probability for
+    * moderate distances; callers define precision via their verifier, so
+    * no Hamming filter is applied here.
+    */
+  def simhashBucketCandidates(
+      df: DataFrame,
+      id: String,
+      text: String,
+      bits: Int = 64,
+      bands: Int = 4): DataFrame = {
+    val w = bits / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val sh = df
+      .filter(size(tokens(col(text))) >= 3)
+      .select(col(id), shingleSimhash(col(text), bits).as("simhash"))
+    // all band keys from ONE evaluation of the sketch (a per-band union
+    // would re-tokenize and re-hash the corpus `bands` times)
+    val keys = array((0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        shiftright(col("simhash"), bnd * w).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+    val banded = sh
+      .select(col(id), explode(keys).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = banded.select(col(id).as("doc_a"), col("band"), col("bucket"))
+    val b = banded.select(col(id).as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
   }
 }

@@ -113,7 +113,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived value in [-0.5, 0.5). Engine-independent, no RNG state.
     */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+  private[functions] def planeComponent(plane: Int, dim: Int): Double = {
     val hex = java.security.MessageDigest
       .getInstance("MD5")
       .digest(s"p$plane:d$dim".getBytes("UTF-8"))
@@ -346,11 +346,13 @@ object Similarity {
     * low-threshold ground truth use [[cosineNearDupPairs]] on a bounded
     * input.
     *
-    * Plan shape (100 TB): one narrow map computes all band codes
-    * (`numBands*bitsPerBand` codegen'd dot products/row), `explode` to
-    * (band, code) keys, equi-join per key — shuffle volume is
-    * `numBands × |corpus|` skinny rows, no theta join anywhere; the final
-    * dedup shuffles only verified pairs (≈ |true near-dups|).
+    * Plan shape (100 TB): one narrow map computes all band codes (a
+    * single native [[graft.functions.expressions.SrpBank]] pass —
+    * `numBands*bitsPerBand` separate dot-product expressions would cost
+    * more in codegen size than arithmetic), `posexplode` to (band, code)
+    * keys, equi-join per key — shuffle volume is `numBands × |corpus|`
+    * skinny rows, no theta join anywhere; the final dedup shuffles only
+    * verified pairs (≈ |true near-dups|).
     */
   def nearDupBanded(
       df: DataFrame,
@@ -361,13 +363,12 @@ object Similarity {
       bitsPerBand: Int = 16,
       numBands: Int = 16,
       roundTo: Int = 4): DataFrame = {
-    val bandKeys = array((0 until numBands).map { j =>
-      struct(lit(j).as("band"), srpCode(col("v"), dims, bitsPerBand, j * bitsPerBand).as("bcode"))
-    }: _*)
     val coded = df
       .select(col(id), toDouble(col(vec)).as("v"))
-      .withColumn("bk", explode(bandKeys))
-      .select(col(id), col("v"), col("bk.band").as("band"), col("bk.bcode").as("bcode"))
+      .withColumn("codes",
+        graft.functions.expressions.NativeExpressions
+          .srpBank(col("v"), dims, bitsPerBand, numBands))
+      .select(col(id), col("v"), posexplode(col("codes")).as(Seq("band", "bcode")))
     val a = coded.select(col(id).as("vec_a"), col("v").as("va"), col("band"), col("bcode"))
     val b = coded.select(col(id).as("vec_b"), col("v").as("vb"), col("band"), col("bcode"))
     a.join(b, Seq("band", "bcode"))

@@ -27,11 +27,32 @@ object NativeExpressions {
     GraftBridge.column(
       DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** 32-bit SimHash of an array<string> token column; replaces a 32-way
-    * interpreted bit-vote with one pass over the tokens per row.
+  /** `bits`-wide (32 or 64) SimHash of an array<string> token column;
+    * replaces a bits-way interpreted bit-vote with one pass over the
+    * tokens per row.
     */
-  def simhash(tokens: Column): Column =
-    GraftBridge.column(SimHash(GraftBridge.expression(tokens)))
+  def simhash(tokens: Column, bits: Int = 32): Column =
+    GraftBridge.column(SimHash(GraftBridge.expression(tokens), bits))
+
+  /** `bits`-wide SimHash over the DISTINCT n-gram shingles of an ordered
+    * token array, with the shingle strings built inside the expression —
+    * the column-algebra equivalent (`transform(sequence…)` +
+    * `concat_ws` + `array_distinct` + simhash) materializes every
+    * shingle through interpreted higher-order functions at ~30× the
+    * cost of the hashing itself.
+    */
+  def shingleSimhash(tokens: Column, n: Int, bits: Int): Column =
+    GraftBridge.column(ShingleSimHash(GraftBridge.expression(tokens), n, bits))
+
+  /** Whole SRP plane bank in one pass: `numBands` sign-random-projection
+    * codes of `bitsPerBand` bits each, over an array<double> vector —
+    * replaces numBands×bitsPerBand separate dot-product expressions
+    * (whose combined codegen tree dwarfs the actual work) with a single
+    * primitive loop. Bit-identical to chaining
+    * [[graft.functions.Similarity.srpCode]] per band.
+    */
+  def srpBank(v: Column, dims: Int, bitsPerBand: Int, numBands: Int): Column =
+    GraftBridge.column(SrpBank(GraftBridge.expression(v), dims, bitsPerBand, numBands))
 
   /** Misra-Gries heavy-hitters aggregate over a string column: at most
     * `k` (item, cnt) counters, mergeable across partitions; exact when
@@ -89,7 +110,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
-/** 32-bit SimHash over an array<string> of tokens.
+/** `bits`-wide SimHash over an array<string> of tokens (32 or 64; 64 uses
+  * the first 16 hex nibbles of the md5).
   *
   * Bit j is set iff Σ over tokens of (+1 if bit j of the token's md5 is
   * set else -1) is positive, where bit j lives in hex-nibble j/4
@@ -100,7 +122,8 @@ case class DotProduct(left: Expression, right: Expression)
   * One md5 per token per row (the column-algebra version recomputed the
   * token hash array for each of the 32 bits).
   */
-case class SimHash(child: Expression) extends UnaryExpression {
+case class SimHash(child: Expression, bits: Int = 32) extends UnaryExpression {
+  require(bits > 0 && bits <= 64, "SimHash width must be in (0, 64]")
 
   // input is an array<string> token column (TextFunctions.tokens)
   override def dataType: DataType = LongType
@@ -110,7 +133,7 @@ case class SimHash(child: Expression) extends UnaryExpression {
 
   /** Public entry point shared by interpreted eval and generated code. */
   def compute(arr: ArrayData): Long = {
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](bits)
     val md = SimHash.digest.get()
     var t = 0
     val n = arr.numElements()
@@ -119,7 +142,7 @@ case class SimHash(child: Expression) extends UnaryExpression {
         md.reset()
         val bytes = md.digest(arr.getUTF8String(t).getBytes)
         var j = 0
-        while (j < 32) {
+        while (j < bits) {
           // hex nibble j/4: even index → high nibble of byte (j/4)/2
           val k   = j / 4
           val b   = bytes(k / 2) & 0xff
@@ -132,7 +155,7 @@ case class SimHash(child: Expression) extends UnaryExpression {
     }
     var sh = 0L
     var j  = 0
-    while (j < 32) {
+    while (j < bits) {
       if (counts(j) > 0) sh |= (1L << j)
       j += 1
     }
@@ -160,8 +183,157 @@ case class SimHash(child: Expression) extends UnaryExpression {
 }
 
 object SimHash {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[expressions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+}
+
+/** `bits`-wide SimHash over the DISTINCT n-gram shingles of an ordered
+  * token array. A shingle is `tok(i) + " " + … + tok(i+n-1)`; texts with
+  * fewer than n tokens hash to 0 (no shingle evidence). Identical votes
+  * and bit layout to [[SimHash]] applied to
+  * `array_distinct(<shingle strings>)` — only the shingle construction
+  * moves into the per-row loop.
+  */
+case class ShingleSimHash(child: Expression, n: Int, bits: Int)
+    extends UnaryExpression {
+  require(n > 0 && bits > 0 && bits <= 64)
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public entry point shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): Long = {
+    val m = arr.numElements()
+    if (m < n) return 0L
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](bits)
+    val md = SimHash.digest.get()
+    i = 0
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      val shingle = sb.toString
+      if (seen.add(shingle)) {
+        md.reset()
+        val bytes = md.digest(shingle.getBytes("UTF-8"))
+        var j = 0
+        while (j < bits) {
+          val kk  = j / 4
+          val b   = bytes(kk / 2) & 0xff
+          val nib = if (kk % 2 == 0) b >>> 4 else b & 0xf
+          if ((nib & (1 << (j % 4))) != 0) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j  = 0
+    while (j < bits) {
+      if (counts(j) > 0) sh |= (1L << j)
+      j += 1
+    }
+    sh
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("shingleSimhashExpr", this)
+    val arr  = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${arr.code}
+        |boolean ${ev.isNull} = ${arr.isNull};
+        |long ${ev.value} = -1L;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $expr.compute(${arr.value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingle_simhash"
+}
+
+/** All `numBands` SRP band codes of a vector in one pass.
+  *
+  * Band j's code packs bits i = 0..bitsPerBand-1, where bit i is set iff
+  * dot(v, plane(j·bitsPerBand + i)) > 0 with the planes of
+  * [[graft.functions.Similarity.srpPlanes]] (md5-derived, engine-
+  * independent) and the dot evaluated as the same sequential
+  * left-to-right fold as [[DotProduct]] — so the codes are bit-identical
+  * to the srpCode column-algebra formulation, at a fraction of its plan
+  * size: one expression instead of numBands×bitsPerBand dot products
+  * (256 for the near-dup defaults), whose combined codegen tree costs
+  * more to compile and evaluate than the arithmetic itself.
+  */
+case class SrpBank(child: Expression, dims: Int, bitsPerBand: Int, numBands: Int)
+    extends UnaryExpression {
+
+  // input is an array<double> vector column
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(numBands * bitsPerBand)(p =>
+      Array.tabulate(dims)(d => graft.functions.Similarity.planeComponent(p, d)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public entry point shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
+    val out = new Array[Long](numBands)
+    val n = math.min(arr.numElements(), dims)
+    var band = 0
+    while (band < numBands) {
+      var code = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        val plane = planes(band * bitsPerBand + i)
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          s += arr.getDouble(d) * plane(d)
+          d += 1
+        }
+        if (s > 0) code |= (1L << i)
+        i += 1
+      }
+      out(band) = code
+      band += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("srpBankExpr", this)
+    val arr  = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${arr.code}
+        |boolean ${ev.isNull} = ${arr.isNull};
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $expr.compute(${arr.value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_srp_bank"
 }

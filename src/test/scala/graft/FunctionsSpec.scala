@@ -494,6 +494,37 @@ class FunctionsSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("native ShingleSimHash equals the column-algebra shingle formulation bit-for-bit") {
+    val docs = (0 until 30).map { i =>
+      val toks = (0 until (i % 7) + 1).map(w => s"w${(i * 7 + w * 3) % 11}")
+      (i.toLong, toks.mkString(" "))
+    } :+ (100L, "") :+ (101L, "one two") // short docs → no shingles → 0
+    val df = docs.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      Dedup.shingleSimhash(col("text")).as("a"),
+      Dedup.shingleSimhashFold(col("text")).as("b")).collect()
+    got.foreach(r => withClue(s"doc ${r.getLong(0)}: ") {
+      r.getLong(1) shouldBe r.getLong(2)
+    })
+    got.filter(r => Seq(100L, 101L).contains(r.getLong(0)))
+      .foreach(_.getLong(1) shouldBe 0L)
+  }
+
+  test("native SrpBank equals the per-band srpCode column algebra bit-for-bit") {
+    val vecs = (1 to 40).map { i =>
+      (i.toLong, Array.tabulate(64)(d => ((i * 31 + d * 17) % 19 - 9) / 9.0))
+    }.toDF("vec_id", "v")
+    val viaBank = vecs.select(col("vec_id"),
+      graft.functions.expressions.NativeExpressions
+        .srpBank(col("v"), dims = 64, bitsPerBand = 16, numBands = 16).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toMap
+    val viaAlgebra = vecs.select(col("vec_id") +: (0 until 16).map(j =>
+        Similarity.srpCode(col("v"), dims = 64, bitsB = 16, fromPlane = j * 16)
+          .as(s"c$j")): _*)
+      .collect().map(r => (r.getLong(0), (1 to 16).map(r.getLong).toVector)).toMap
+    viaBank shouldBe viaAlgebra
+  }
+
   test("edit-distance verify over simhash candidates plans as equi-joins only") {
     // near-dup pairs (even/odd ids differ by one token) + unrelated docs
     val base = (0 until 20).map(c => (0 until 16).map(w => s"t${c}_$w").mkString(" "))
@@ -502,16 +533,18 @@ class FunctionsSpec extends SparkSpec {
       val tkn = if (i % 2 == 1) toks.updated(3, s"chg$i") else toks
       (i.toLong, tkn.mkString(" "))
     }.toDF("doc_id", "text")
-    val cand = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+    val cand = Dedup.simhashBucketCandidates(docs, "doc_id", "text")
     val texts = docs.select(col("doc_id"), substring(col("text"), 1, 80).as("t80"))
     val verified = cand
       .join(texts.select(col("doc_id").as("doc_a"), col("t80").as("ta")), Seq("doc_a"))
       .join(texts.select(col("doc_id").as("doc_b"), col("t80").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), levenshtein(col("ta"), col("tb")).as("lev"))
       .filter(col("lev") <= 20)
-    // ground truth, exhaustively on the driver: pairs within Hamming 3 on
-    // the full simhash AND lev <= 20 on the 80-char prefix
-    val sh = docs.select(col("doc_id"), Dedup.simhashExpr(col("text")).as("sh"))
+    // ground truth, exhaustively on the driver: pairs sharing any 16-bit
+    // band of the 64-bit shingle-simhash AND lev <= 20 on the 80-char
+    // prefix (the sketch values come from the engine; the candidate rule
+    // and the verifier are recomputed independently below)
+    val sh = docs.select(col("doc_id"), Dedup.shingleSimhash(col("text")).as("sh"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val txt = docs.collect().map(r => (r.getLong(0), r.getString(1).take(80))).toMap
     def lev(a: String, b: String): Int = {
@@ -523,9 +556,11 @@ class FunctionsSpec extends SparkSpec {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
+    def shareBand(x: Long, y: Long): Boolean =
+      (0 until 4).exists(b => ((x >> (b * 16)) & 0xffffL) == ((y >> (b * 16)) & 0xffffL))
     val expected = (for {
       a <- sh.keys; b <- sh.keys if a < b
-      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+      if shareBand(sh(a), sh(b))
       if lev(txt(a), txt(b)) <= 20
     } yield (a, b)).toSet
     val got = verified.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
