@@ -1070,6 +1070,41 @@ object Queries {
             |FROM p JOIN o ON p.ts BETWEEN o.o_start AND o.o_end
             |GROUP BY 1""".stripMargin))
 
+  private val qQuantileSketch = Q(
+    "q_quantile_sketch",
+    "custom TypedImperativeAggregate: GK quantile sketch (exact regime)",
+    (s, d) => {
+      // capacity >> group size → no compression fires → the sketch's
+      // rank selections are exact (the oracle-able regime, same pattern
+      // as q_heavy_hitters); the property spec covers the sketch regime
+      val probs = Seq(0.25, 0.5, 0.75, 0.95)
+      t(s, d).events
+        .select(col("event_type"), cents(col("value")).as("c"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.expressions.NativeExpressions
+          .quantileSketch(col("c"), probs, 100000).as("qs"))
+        .select(col("event_type"),
+          col("qs")(0).as("p25"), col("qs")(1).as("p50"),
+          col("qs")(2).as("p75"), col("qs")(3).as("p95"))
+    },
+    Some {
+      // disc convention: value at 0-based rank floor((n-1)*q) per group,
+      // with the SAME double arithmetic as the sketch's query()
+      def pick(q: String, as: String) =
+        s"max(CASE WHEN rn = CAST(floor((n - 1) * $q) AS BIGINT) + 1 THEN c END) AS $as"
+      s"""WITH x AS (SELECT event_type, ${sqlCents("value")} AS c FROM events),
+         |r AS (SELECT event_type, c,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM x)
+         |SELECT event_type,
+         |  ${pick("0.25", "p25")},
+         |  ${pick("0.5", "p50")},
+         |  ${pick("0.75", "p75")},
+         |  ${pick("0.95", "p95")}
+         |FROM r GROUP BY 1""".stripMargin
+    })
+
   private val qGroupingSets = Q(
     "q_grouping_sets",
     "explicit GROUPING SETS: chosen combinations only (cube/rollup sibling)",
@@ -1501,7 +1536,7 @@ object Queries {
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
     qAsofJoin, qPivot, qSetOps, qRangeJoin, qRangeJoinAuto, qHeavyHitters, qCube,
-    qGroupingSets,
+    qGroupingSets, qQuantileSketch,
     qSampleSplit, qSampleStratified, qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp)

@@ -61,6 +61,16 @@ object NativeExpressions {
   def heavyHitters(c: Column, k: Int): Column =
     GraftBridge.column(
       HeavyHitters(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** GK-style mergeable quantile sketch over a long column: returns
+    * `array<long>` of the values at the requested probabilities (disc
+    * convention); exact while per-group counts stay ≤ capacity (see
+    * [[QuantileSketch]]).
+    */
+  def quantileSketch(c: Column, probs: Seq[Double], capacity: Int): Column =
+    GraftBridge.column(
+      QuantileSketch(GraftBridge.expression(c), probs, capacity)
+        .toAggregateExpression())
 }
 
 /** dot(a, b) = Σ a(i)·b(i), sequential order, over array<double>.

@@ -510,6 +510,44 @@ class FunctionsSpec extends SparkSpec {
       .foreach(_.getLong(1) shouldBe 0L)
   }
 
+  test("quantile sketch: exact below capacity under any partitioning; bounded error at 50x overflow") {
+    import graft.functions.expressions.QuantileSketch
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(100000)(rnd.nextLong() % 1000000)
+    val sorted = data.sorted
+    val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    def rankOf(v: Long): Long = {
+      // any rank whose sorted value equals v counts as achieving v
+      val lo = sorted.indexWhere(_ == v)
+      val hi = sorted.lastIndexWhere(_ == v)
+      (lo + hi) / 2L
+    }
+    def build(capacity: Int, parts: Int): QuantileSketch.Buf = {
+      val bufs = Array.fill(parts)(new QuantileSketch.Buf(capacity))
+      data.zipWithIndex.foreach { case (v, i) => bufs(i % parts).insert(v) }
+      bufs.reduce { (a, b) => a.mergeWith(b); a }
+    }
+    // exact regime: capacity > n, 16-way partition merge == single buf
+    val exact = build(200000, 16)
+    probs.foreach { q =>
+      val target = math.floor((data.length - 1) * q).toLong
+      exact.query(q) shouldBe sorted(target.toInt)
+    }
+    // sketch regime: capacity 2000 for n=100k (50x overflow), 16 partitions
+    val sk = build(2000, 16)
+    val bound = 2L * data.length / 2000 // = 2n/capacity ranks
+    probs.foreach { q =>
+      val target = math.floor((data.length - 1) * q).toLong
+      val got = sk.query(q)
+      withClue(s"q=$q target=$target got=$got (rank ${rankOf(got)}): ") {
+        math.abs(rankOf(got) - target) should be <= bound
+      }
+    }
+    // extremes stay exact even under compression
+    sk.query(0.0) shouldBe sorted.head
+    sk.query(1.0) shouldBe sorted.last
+  }
+
   test("native SrpBank equals the per-band srpCode column algebra bit-for-bit") {
     val vecs = (1 to 40).map { i =>
       (i.toLong, Array.tabulate(64)(d => ((i * 31 + d * 17) % 19 - 9) / 9.0))
