@@ -557,6 +557,53 @@ object Queries {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
     })
 
+  private val qMinhashEst = Q(
+    "q_minhash_est",
+    "MinHash Jaccard estimate vs exact, per LSH candidate pair",
+    (s, d) => {
+      val docs = t(s, d).documents.filter(col("doc_id") < 500)
+      val est = Dedup.minhashJaccardEstimate(
+        docs, "doc_id", "text", MinhashHashes, MinhashBands)
+      // exact Jaccard for the same pairs (0 when no shared token), so the
+      // result doubles as an estimator-quality report
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+      est.join(exact, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+          abs(col("est_jaccard") - coalesce(col("jaccard"), lit(0.0))).as("abs_err"))
+    },
+    Some {
+      val r = MinhashHashes / MinhashBands
+      val sigCols = (0 until MinhashHashes)
+        .map(i => s"min(md5('h$i:' || tok)) AS s$i").mkString(",\n  ")
+      val bandSelects = (0 until MinhashBands).map { b =>
+        val cs = (b * r until (b + 1) * r).map(i => s"s$i").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bkey FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      val nMatch = (0 until MinhashHashes)
+        .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (${sqlDocToks(500)}),
+         |sigs AS (SELECT doc_id,
+         |  $sigCols
+         |FROM toks GROUP BY doc_id),
+         |bands AS (
+         |$bandSelects
+         |),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |est AS (SELECT doc_a, doc_b, ($nMatch) / ${MinhashHashes}.0 AS est_jaccard
+         |  FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |ex AS (SELECT doc_a, doc_b, common / (sa.nt + sb.nt - common) AS jaccard
+         |  FROM common JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+         |SELECT est.doc_a, est.doc_b, est_jaccard,
+         |  COALESCE(jaccard, 0.0) AS jaccard,
+         |  abs(est_jaccard - COALESCE(jaccard, 0.0)) AS abs_err
+         |FROM est LEFT JOIN ex ON ex.doc_a = est.doc_a AND ex.doc_b = est.doc_b""".stripMargin
+    })
+
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
     "SimHash near-dup (bit-sketch + Hamming)",
@@ -1531,7 +1578,7 @@ object Queries {
     qRegexClean, qHtmlUnescape, qReaggTopk, qFmtProject, qCondLabel, qFilterCount,
     qArgmaxLatest, qUnionSummary, qPricing, qJoinBroadcast, qJoinSemiAnti,
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
-    qDedupMinhash, qDedupSimhash, qKnnCosine, qEmbedNearDup, qNearDupBanded,
+    qDedupMinhash, qMinhashEst, qDedupSimhash, qKnnCosine, qEmbedNearDup, qNearDupBanded,
     qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,

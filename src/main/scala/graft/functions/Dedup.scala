@@ -109,6 +109,40 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash Jaccard ESTIMATE for LSH candidate pairs: the fraction of
+    * matching signature components. E[est] = true Jaccard (the classic
+    * MinHash property), with stderr ≈ √(J(1−J)/numHashes); fully
+    * deterministic here (md5-min signatures), so the estimate reproduces
+    * bit-for-bit in the SQL oracle. At scale this is the cheap scorer
+    * between candidate generation (bands) and any expensive exact
+    * verifier: signatures are already materialized for banding, so
+    * scoring a pair is numHashes string compares — no token sets are
+    * ever re-read.
+    */
+  def minhashJaccardEstimate(
+      df: DataFrame,
+      id: String,
+      text: String,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val sigs = explodedDistinctTokens(df, id, text)
+      .groupBy(col(id))
+      .agg(minhashSigExprs(numHashes).head, minhashSigExprs(numHashes).tail: _*)
+    val cand = minhashCandidates(df, id, text, numHashes, bands, maxBucket = 0)
+    val a = sigs.select(
+      col(id).as("doc_a") +: (0 until numHashes).map(i => col(s"s$i").as(s"a$i")): _*)
+    val b = sigs.select(
+      col(id).as("doc_b") +: (0 until numHashes).map(i => col(s"s$i").as(s"b$i")): _*)
+    val nMatch = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (nMatch.cast("double") / numHashes).as("est_jaccard"))
+  }
+
   /** Exact n-gram (word n=1 shingle) Jaccard similarity for all pairs that
     * share at least one token. Ground truth for the sketch-based methods.
     */

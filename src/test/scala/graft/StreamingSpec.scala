@@ -368,6 +368,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: gaps split sessions, cross-batch events merge them") {
+    val in = memStream[(String, java.sql.Timestamp)]
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val sessions = in.toDF().toDF("user", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      in.addData(("u1", ts(0)), ("u1", ts(100)))   // one session
+      q.processAllAvailable()
+      in.addData(("u1", ts(250)))                   // within gap → merges in
+      in.addData(("u1", ts(1000)))                  // > 5 min after 250 → new session
+      in.addData(("u2", ts(0)))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select(col("user"), col("session_window.start").cast("long").as("s"),
+          col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1) - 1700000000L, r.getLong(2)))
+        .toSet
+      out shouldBe Set(
+        ("u1", 0L, 3L),    // 0,100,250 merged across batches
+        ("u1", 1000L, 1L), // split by the 5-min gap
+        ("u2", 0L, 1L))
+    } finally q.stop()
+  }
+
   test("Kappa parity: batch replay over the archive == streaming aggregate (A6)") {
     // stream some rows to a parquet archive, then re-run the same transform
     // in batch over the archive and against the original rows directly
