@@ -752,6 +752,87 @@ object Queries {
          |FROM m""".stripMargin
     })
 
+  private val qPackBudget = Q(
+    "q_pack_budget",
+    "sequence packing: cumulative token-budget bins per language shard",
+    (s, d) => {
+      // training-data packing shape: docs stream in id order per shard
+      // (here: lang), each bin takes docs until the RUNNING token count
+      // crosses the budget (a bin may overflow by its last doc — the
+      // deterministic streaming-packer rule). Scale note: the window is
+      // per shard; production packs within (shard, partition) so no
+      // single partitionBy key grows unboundedly.
+      val budget = 2048
+      val nt = TF.tokenCount(col("text")).cast("long")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d).documents
+        .select(col("lang"), col("doc_id"), nt.as("nt"))
+        .withColumn("cum_before", coalesce(sum(col("nt")).over(w), lit(0L)))
+        .withColumn("bin", (col("cum_before") / lit(budget)).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    },
+    Some(s"""WITH dd AS (SELECT lang, doc_id,
+            |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlToks) END AS BIGINT) AS nt
+            |  FROM documents),
+            |c AS (SELECT lang, doc_id, nt,
+            |    COALESCE(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            |  FROM dd)
+            |SELECT lang, cum_before // 2048 AS bin,
+            |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens,
+            |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            |FROM c GROUP BY 1, 2""".stripMargin))
+
+  private val qSampleWeighted = Q(
+    "q_sample_weighted",
+    "quality-weighted deterministic sampling (keep-probability = quality score)",
+    (s, d) => {
+      // P(keep) = qualityScore, decided by content-independent hash bytes
+      // (md5 of the salted id): reproducible on any engine/cluster, no
+      // RNG state, and the acceptance threshold is a pure function of the
+      // row — the weighted generalization of q_sample_split
+      val h  = md5(concat(lit("wsample:"), col("doc_id").cast("string")))
+      val hi = ascii(substring(h, 1, 1))
+      val lo = ascii(substring(h, 2, 1))
+      val b  = (when(hi <= 57, hi - 48).otherwise(hi - 87) * 16 +
+        when(lo <= 57, lo - 48).otherwise(lo - 87))
+      val q  = TF.qualityScore(col("text"))
+      t(s, d).documents
+        .select(col("lang"), col("doc_id"), col("text"), b.as("b"), q.as("q"))
+        .withColumn("kept", col("b") < floor(col("q") * 256).cast("int"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), TF.tokenCount(col("text")).cast("long"))
+            .otherwise(0L)).as("tokens_kept"))
+    },
+    Some {
+      val stops = TF.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT lang, doc_id, text,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlToks) END AS BIGINT) AS n_tokens,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text) END AS punct_ratio,
+         |  len(list_filter($sqlToks, t -> t IN ($stops))) AS n_stop,
+         |  (CASE WHEN ascii(substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+         |        THEN ascii(substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+         |        ELSE ascii(substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16 +
+         |  (CASE WHEN ascii(substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+         |        THEN ascii(substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+         |        ELSE ascii(substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+         |FROM documents),
+         |m AS (SELECT lang, n_tokens,
+         |  b < CAST(floor(((least(n_tokens, 64) / 64.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+         |    + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END) * 4.0, 1.0) * 0.2) * 256) AS INTEGER) AS kept
+         |FROM base)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM m GROUP BY 1""".stripMargin
+    })
+
   private val qLangProfile = Q(
     "q_lang_profile",
     "language profile / token budgeting",
@@ -1584,7 +1665,8 @@ object Queries {
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
     qAsofJoin, qPivot, qSetOps, qRangeJoin, qRangeJoinAuto, qHeavyHitters, qCube,
     qGroupingSets, qQuantileSketch,
-    qSampleSplit, qSampleStratified, qEmbedCentroid, qProfile,
+    qSampleSplit, qSampleStratified, qSampleWeighted, qPackBudget,
+    qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp)
 }
