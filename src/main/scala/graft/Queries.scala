@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.functions.{Clustering, Dedup, Similarity, TextFunctions => TF}
 import graft.operators.{Multimodal => MM, Serving, SteamOps}
 
 /** The correctness-gate query catalog: every operator from SURVEY.md §2
@@ -1653,6 +1653,82 @@ object Queries {
          |FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id""".stripMargin
     })
 
+  // ===========================================================================
+  // Substring dedup → duplicate clusters → canonical selection
+  // ===========================================================================
+
+  private val SubstrWin    = 40
+  private val SubstrStride = 8
+
+  /** Distinct (doc_id, window-hash) rows — the shared CTE for the
+    * substring-dedup family. Mirrors [[Clustering.sharedWindowPairs]]'s
+    * window generation exactly: offsets 1, 1+stride, … ≤ len−win+1.
+    */
+  private def sqlWindows: String =
+    s"""SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), $SubstrWin)) AS wh
+       |FROM documents CROSS JOIN LATERAL
+       |  unnest(range(1, len(text) - ${SubstrWin - 1} + 1, $SubstrStride)) AS g(i)
+       |WHERE len(text) >= $SubstrWin""".stripMargin
+
+  private def sqlWindowEdges: String =
+    s"""wdw AS ($sqlWindows),
+       |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM wdw a JOIN wdw b ON a.wh = b.wh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+       |reach AS (
+       |  SELECT a AS node, a AS lab FROM e
+       |  UNION
+       |  SELECT e.b AS node, r.lab FROM reach r JOIN e ON e.a = r.node
+       |),
+       |cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+       |asg AS (SELECT d.doc_id, d.n_chars,
+       |    coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)""".stripMargin
+
+  private def windowPairs(s: SparkSession, d: String) =
+    Clustering.sharedWindowPairs(
+      t(s, d).documents, "doc_id", "text", SubstrWin, SubstrStride)
+
+  private val qSubstrDedup = Q(
+    "q_substr_dedup",
+    "repeated-substring dedup evidence: doc pairs sharing verbatim windows (Lee et al. ACL'22)",
+    (s, d) => windowPairs(s, d),
+    Some(s"""WITH wdw AS ($sqlWindows)
+            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            |FROM wdw a JOIN wdw b ON a.wh = b.wh AND a.doc_id < b.doc_id
+            |GROUP BY 1, 2""".stripMargin))
+
+  private val qDupClusters = Q(
+    "q_dup_clusters",
+    "connected-component duplicate clusters over shared-window edges (min-label propagation)",
+    (s, d) =>
+      Clustering.clustersOf(t(s, d).documents, windowPairs(s, d), "doc_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size")),
+    Some(s"""WITH RECURSIVE
+            |$sqlWindowEdges
+            |SELECT asg.doc_id, asg.cluster_id, sz.cluster_size
+            |FROM asg JOIN sz USING (cluster_id)""".stripMargin))
+
+  private val qDupCanonical = Q(
+    "q_dup_canonical",
+    "canonical doc per duplicate cluster: longest wins, min-id tie-break",
+    (s, d) =>
+      Clustering.canonicalPerCluster(
+        Clustering.clustersOf(t(s, d).documents, windowPairs(s, d), "doc_id"),
+        "doc_id", "n_chars"),
+    Some(s"""WITH RECURSIVE
+            |$sqlWindowEdges
+            |SELECT cluster_id, doc_id AS canon_doc_id, n_chars AS canon_n_chars,
+            |  cluster_size
+            |FROM (
+            |  SELECT asg.*, sz.cluster_size,
+            |    row_number() OVER (PARTITION BY asg.cluster_id
+            |      ORDER BY asg.n_chars DESC, asg.doc_id ASC) AS rn
+            |  FROM asg JOIN sz USING (cluster_id))
+            |WHERE rn = 1""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1668,5 +1744,6 @@ object Queries {
     qSampleSplit, qSampleStratified, qSampleWeighted, qPackBudget,
     qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
-    qCorrelation, qMediaAnn, qLshSrp)
+    qCorrelation, qMediaAnn, qLshSrp,
+    qSubstrDedup, qDupClusters, qDupCanonical)
 }

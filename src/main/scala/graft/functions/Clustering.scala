@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster construction for training-data pipelines: turn
+  * pairwise near-dup evidence (from [[Dedup]] / [[Similarity]] candidates)
+  * into connected components, then pick one canonical document per
+  * cluster. This is the step between "these pairs look alike" and "drop
+  * these rows from the training set" — near-dup relations are not
+  * transitive, so without the component step a dedup pass either
+  * over-keeps (pairwise-greedy) or drops both sides of a pair.
+  *
+  * Reference scope: the reference's pipelines stop at per-key
+  * aggregation (k8s/spark-apps/kafka-spark-configmap.yaml:106-199);
+  * clustering is part of the training-data extension surface.
+  *
+  * Scale design: min-label propagation. Each round is ONE shuffle (a
+  * groupBy on node id) plus an equi-join of the edge list against the
+  * current labels; rounds needed = component diameter. Near-dup clusters
+  * in web-scale corpora are shallow (dupes of a common ancestor), so
+  * this converges in a handful of rounds; for adversarial long chains
+  * the large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce", SoCC'14) bounds rounds at O(log n) with the
+  * same per-round plan shape. Lineage is cut every round with
+  * `localCheckpoint` — without it the iterated plan tree grows
+  * exponentially and the optimizer re-derives every prior round; on a
+  * real cluster use `spark.sparkContext.setCheckpointDir` + `checkpoint()`
+  * for fault-tolerant cuts instead.
+  */
+object Clustering {
+
+  /** Connected components by iterative min-label propagation over an
+    * undirected edge list `(a, b)`. Returns `(node, cluster_id)` where
+    * `cluster_id` is the minimum node id in the component. Only nodes
+    * that appear in at least one edge are returned — callers union in
+    * their singleton population (see [[clustersOf]]).
+    *
+    * The convergence probe is `limit(1).count()` on the changed-label
+    * set: a distributed existence check that stops at the first changed
+    * row rather than counting all of them.
+    */
+  def connectedComponents(edges: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame = {
+    val sym = edges
+      .select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrLabels = sym
+        .join(labels.select(col("node").as("dst"), col("lab").as("msg")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("msg")).as("nbr"))
+      val next = labels
+        .join(nbrLabels, Seq("node"), "left")
+        .select(col("node"), least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("lab", "old"), Seq("node"))
+        .filter(col("lab") =!= col("old"))
+        .limit(1)
+      converged = changed.count() == 0L
+      labels = next
+    }
+    labels.select(col("node"), col("lab").as("cluster_id"))
+  }
+
+  /** Cluster assignment for a full document population: every row of
+    * `docs` gets a `cluster_id` (min doc id of its component; its own id
+    * if it shares no edge) and the component's `cluster_size`.
+    */
+  def clustersOf(docs: DataFrame, edges: DataFrame, id: String): DataFrame = {
+    val cc = connectedComponents(edges)
+    val assigned = docs
+      .join(cc.withColumnRenamed("node", id), Seq(id), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
+    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cluster_id"))
+  }
+
+  /** One canonical document per cluster: highest `prefCol` wins, ties
+    * broken by smallest doc id — a deterministic total order, so the
+    * choice is reproducible across engines and runs. `prefCol` is
+    * typically a quality signal (length, quality score); implemented as
+    * a max-struct aggregation — one shuffle, no window sort.
+    */
+  def canonicalPerCluster(clustered: DataFrame, id: String, prefCol: String): DataFrame =
+    clustered
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(col(prefCol).as("p"), (-col(id)).as("negId"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(
+        col("cluster_id"),
+        (-col("best.negId")).as("canon_" + id),
+        col("best.p").as("canon_" + prefCol),
+        col("cluster_size"))
+
+  /** Repeated-substring duplicate evidence (the signal behind
+    * suffix-array dedup, Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22): fixed-width character windows at
+    * a fixed stride; two documents sharing any verbatim window are
+    * near-dup candidates. Returns `(doc_a, doc_b, n_shared)` — the
+    * number of distinct shared window CONTENTS per pair.
+    *
+    * Scale shape: windows are generated map-side (`explode` over a
+    * `sequence` of offsets — `win/stride`× row blowup, each row one
+    * md5), the self-join shuffles by window hash, and window-content
+    * frequency caps bound the quadratic blowup inside a bucket the same
+    * way [[Dedup.minhashCandidates]] caps band buckets (`maxWindowFreq`;
+    * boilerplate windows — headers, license blocks — are exactly the
+    * windows that would otherwise pair everything with everything).
+    */
+  def sharedWindowPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      win: Int = 40,
+      stride: Int = 8,
+      maxWindowFreq: Int = 0): DataFrame = {
+    // substring+md5 are evaluated before the shuffle, so only
+    // (id, 32-char hash) rows move — never the document text
+    val hashed = df
+      .filter(length(col(text)) >= win)
+      .select(
+        col(id),
+        explode(sequence(lit(1), length(col(text)) - (win - 1), lit(stride))).as("off"),
+        col(text))
+      .select(col(id), md5(col(text).substr(col("off"), lit(win))).as("wh"))
+      .distinct()
+    val capped =
+      if (maxWindowFreq > 0) {
+        val common = hashed
+          .groupBy("wh").agg(count(lit(1)).as("freq"))
+          .filter(col("freq") > maxWindowFreq)
+          .select("wh")
+        hashed.join(broadcast(common), Seq("wh"), "left_anti")
+      } else hashed
+    val a = capped.select(col(id).as("doc_a"), col("wh"))
+    val b = capped.select(col(id).as("doc_b"), col("wh"))
+    a.join(b, Seq("wh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

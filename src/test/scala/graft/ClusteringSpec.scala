@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Clustering
+
+/** Duplicate-cluster construction: min-label connected components,
+  * population assignment with singletons, canonical selection, and the
+  * shared-window (repeated-substring) edge generator.
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(ps: (Long, Long)*) =
+    ps.toDF("doc_a", "doc_b")
+
+  test("connectedComponents labels a chain with its minimum id") {
+    // 5—4—3—2—1 chain plus isolated pair 10—11: worst case for label
+    // propagation (diameter = 4 forces multiple rounds)
+    val cc = Clustering
+      .connectedComponents(edges(5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L, 10L -> 11L))
+      .as[(Long, Long)].collect().toMap
+    cc(1L) shouldBe 1L
+    cc(5L) shouldBe 1L
+    cc(4L) shouldBe 1L
+    cc(10L) shouldBe 10L
+    cc(11L) shouldBe 10L
+  }
+
+  test("connectedComponents merges components connected through a bridge") {
+    // two stars joined by one bridge edge → a single component
+    val star1  = (2L to 5L).map(1L -> _)
+    val star2  = (7L to 9L).map(6L -> _)
+    val bridge = Seq(5L -> 7L)
+    val cc = Clustering
+      .connectedComponents(edges(star1 ++ star2 ++ bridge: _*))
+      .as[(Long, Long)].collect().toMap
+    cc.values.toSet shouldBe Set(1L)
+  }
+
+  test("clustersOf assigns singletons their own id and sizes clusters") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val rows = Clustering
+      .clustersOf(docs, edges(1L -> 2L), "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    rows shouldBe Array((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L))
+  }
+
+  test("canonicalPerCluster picks highest preference then lowest id") {
+    val clustered = Seq(
+      (1L, 1L, 10L), (1L, 2L, 30L), (1L, 3L, 30L), // cluster 1: tie at 30 → doc 2
+      (9L, 9L, 5L)
+    ).toDF("cluster_id", "doc_id", "n_chars")
+    val out = Clustering
+      .canonicalPerCluster(clustered, "doc_id", "n_chars")
+      .select("cluster_id", "canon_doc_id", "canon_n_chars", "cluster_size")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    out shouldBe Array((1L, 2L, 30L, 3L), (9L, 9L, 5L, 1L))
+  }
+
+  test("sharedWindowPairs finds verbatim shared windows and only those") {
+    val shared = "X" * 60 // a 60-char run shared verbatim by docs 1 and 2
+    val docs = Seq(
+      (1L, "prefix one " + shared),
+      (2L, shared + " suffix two"),
+      (3L, "Y" * 80) // long but disjoint content
+    ).toDF("doc_id", "text")
+    val pairs = Clustering
+      .sharedWindowPairs(docs, "doc_id", "text", win = 40, stride = 8)
+      .select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    pairs shouldBe Array((1L, 2L))
+  }
+
+  test("sharedWindowPairs maxWindowFreq drops boilerplate windows") {
+    // the same 40-char license header on every doc: with a freq cap the
+    // all-pairs explosion disappears
+    val header = "L" * 40
+    val docs = (1L to 6L).map(i => (i, header + s" body $i")).toDF("doc_id", "text")
+    val uncapped = Clustering
+      .sharedWindowPairs(docs, "doc_id", "text", win = 40, stride = 8)
+      .count()
+    val capped = Clustering
+      .sharedWindowPairs(docs, "doc_id", "text", win = 40, stride = 8, maxWindowFreq = 3)
+      .count()
+    uncapped shouldBe 15L // C(6,2)
+    capped shouldBe 0L
+  }
+}
