@@ -1729,6 +1729,94 @@ object Queries {
             |  FROM asg JOIN sz USING (cluster_id))
             |WHERE rn = 1""".stripMargin))
 
+  // ===========================================================================
+  // Contamination scan, TF-IDF salient terms, PII redaction
+  // ===========================================================================
+
+  private val qContamination = Q(
+    "q_contamination",
+    "benchmark decontamination: 5-gram overlap of corpus docs vs an eval set",
+    (s, d) => {
+      val docs = t(s, d).documents
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 5)
+    },
+    Some(raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            |  FROM documents),
+            |g AS (SELECT DISTINCT doc_id,
+            |    array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
+            |  FROM tk CROSS JOIN LATERAL unnest(range(1, len(toks) - 4 + 1)) AS r(i)),
+            |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+            |corpus AS (SELECT * FROM g WHERE doc_id % 10 <> 0)
+            |SELECT c.doc_id, count(*) AS n_grams, count(b.gram) AS n_contaminated,
+            |  (count(b.gram) * 10000) // count(*) AS contam_bps
+            |FROM corpus c LEFT JOIN bench b USING (gram)
+            |GROUP BY 1""".stripMargin))
+
+  /** TF-IDF ranking without floats: with corpus size N constant, ranking
+    * by tf·N/df is ranking by the integer `tf * 1_000_000 * N div df` —
+    * identical floor-division in both engines, no log/double drift.
+    */
+  private val qTfidfTopk = Q(
+    "q_tfidf_topk",
+    "top-3 salient terms per doc by integer-scaled TF-IDF",
+    (s, d) => {
+      val toks = t(s, d).documents
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      val tf  = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfc = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val n   = toks.agg(countDistinct("doc_id").as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(expr("tf * 1000000 * n div df").desc, col("tf").desc, col("tok"))
+      tf.join(dfc, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rank"))
+    },
+    Some(raw"""WITH tk AS (SELECT doc_id,
+            |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+            |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+            |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+            |n AS (SELECT count(DISTINCT doc_id) AS n FROM tk)
+            |SELECT doc_id, tok, tf, df, CAST(rank AS INTEGER) AS rank FROM (
+            |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+            |    row_number() OVER (PARTITION BY tf.doc_id
+            |      ORDER BY (tf.tf * 1000000 * n.n) // df.df DESC, tf.tf DESC,
+            |        tf.tok ASC) AS rank
+            |  FROM tf JOIN df USING (tok) CROSS JOIN n) s
+            |WHERE rank <= 3""".stripMargin))
+
+  private val qPiiRedact = Q(
+    "q_pii_redact",
+    "PII detection + redaction over text with synthetic emails/phones injected",
+    (s, d) => {
+      val aug = t(s, d).documents.select(
+        col("doc_id"),
+        concat(
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"),
+          lpad(col("doc_id").cast("string"), 4, "0")).as("txt"))
+      aug.select(
+        col("doc_id"),
+        regexp_count(col("txt"), lit(TF.EmailPattern)).cast("long").as("n_emails"),
+        regexp_count(col("txt"), lit(TF.PhonePattern)).cast("long").as("n_phones"),
+        md5(TF.redactPii(col("txt"))).as("red_hash"))
+    },
+    Some(raw"""WITH aug AS (SELECT doc_id,
+            |  text || ' contact user' || doc_id || '@example.com or 555-' ||
+            |    lpad(CAST(doc_id AS VARCHAR), 4, '0') AS txt
+            |  FROM documents)
+            |SELECT doc_id,
+            |  len(regexp_extract_all(txt, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+            |  len(regexp_extract_all(txt, '555-[0-9]{4}')) AS n_phones,
+            |  md5(regexp_replace(regexp_replace(txt,
+            |    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+            |    '555-[0-9]{4}', '<PHONE>', 'g')) AS red_hash
+            |FROM aug""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1745,5 +1833,6 @@ object Queries {
     qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp,
-    qSubstrDedup, qDupClusters, qDupCanonical)
+    qSubstrDedup, qDupClusters, qDupCanonical,
+    qContamination, qTfidfTopk, qPiiRedact)
 }

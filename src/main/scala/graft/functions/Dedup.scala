@@ -261,6 +261,49 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Ordered token n-gram shingles (tokens joined by one space); empty
+    * for texts with fewer than `n` tokens. Generalizes [[shingles3]].
+    */
+  def shinglesN(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark-contamination scan (the eval-set decontamination step of
+    * LLM data pipelines, e.g. GPT-3 appendix C / PaLM §6.2): for every
+    * corpus document, the fraction of its distinct token `n`-grams that
+    * also appear in any benchmark document. Returns
+    * `(id, n_grams, n_contaminated, contam_bps)` — basis points as
+    * integer floor-division so the score is engine-exact.
+    *
+    * Scale shape: both sides explode to distinct (doc, gram) map-side;
+    * the single shuffle is the gram-key join. The benchmark gram set is
+    * tiny relative to the corpus (eval suites, not training data) —
+    * marked broadcast. Corpus docs shorter than `n` tokens carry no
+    * grams and are absent from the result (contamination over an empty
+    * gram set is undefined, not zero).
+    */
+  def contamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(id), explode(array_distinct(shinglesN(col(text), n))).as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(id)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"))
+      .withColumn("contam_bps", expr("n_contaminated * 10000 div n_grams"))
+  }
+
   /** `bits`-wide SimHash over the DISTINCT 3-gram shingles of a text —
     * the ORDER-SENSITIVE sketch. Unigram SimHash hashes the token set,
     * so a low-entropy vocabulary (every doc built from the same few

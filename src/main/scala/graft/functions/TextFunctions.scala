@@ -100,6 +100,22 @@ object TextFunctions {
     tok * 0.5 + pct * 0.3 + stop * 0.2
   }
 
+  /** PII scrubbing patterns — deliberately simple regexes (the testdata
+    * carries synthetic PII); production swaps in the full pattern bank
+    * (international phones, IBANs, SSNs) without changing the pipeline
+    * shape: codegen'd `regexp_replace`/`regexp_count` per row, no
+    * shuffle, no UDF. Patterns stay in the RE2-compatible subset so the
+    * SQL oracle matches byte-for-byte.
+    */
+  val EmailPattern = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  val PhonePattern = "555-[0-9]{4}"
+
+  /** Replace every email/phone occurrence with a typed placeholder. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Naive n-gram/stopword language-ID heuristic: scores text against tiny
     * per-language marker sets and returns the best-scoring language, 'und'
     * when nothing matches. Deterministic and SQL-expressible (the real

@@ -563,6 +563,42 @@ class FunctionsSpec extends SparkSpec {
     viaBank shouldBe viaAlgebra
   }
 
+  test("contamination flags exactly the overlapping-gram docs, absent when too short") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon other words here"), // shares 2 of its grams
+      (2L, "completely different content with many more tokens"),
+      (3L, "tiny doc") // < 5 tokens → no gram rows → absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id", "n_grams", "n_contaminated", "contam_bps")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    out.map(_._1) shouldBe Array(1L, 2L)
+    val d1 = out(0)
+    d1._2 shouldBe 4L // 8 tokens → 4 distinct 5-grams
+    d1._3 shouldBe 1L // only "alpha beta gamma delta epsilon" appears in the bench doc
+    d1._4 shouldBe 2500L
+    out(1)._3 shouldBe 0L
+  }
+
+  test("redactPii removes every synthetic email/phone and nothing else") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail me at bob123@example.com or call 555-0199 twice 555-0200",
+      "no pii in this row at all").toDF("txt")
+    val red = rows.select(TF.redactPii(col("txt")).as("r"))
+      .as[String].collect()
+    red(0) shouldBe "mail me at <EMAIL> or call <PHONE> twice <PHONE>"
+    red(1) shouldBe "no pii in this row at all"
+    val counts = rows.select(
+      regexp_count(col("txt"), lit(TF.EmailPattern)).as("e"),
+      regexp_count(col("txt"), lit(TF.PhonePattern)).as("p"))
+      .as[(Int, Int)].collect()
+    counts(0) shouldBe ((1, 2))
+    counts(1) shouldBe ((0, 0))
+  }
+
   test("edit-distance verify over simhash candidates plans as equi-joins only") {
     // near-dup pairs (even/odd ids differ by one token) + unrelated docs
     val base = (0 until 20).map(c => (0 until 16).map(w => s"t${c}_$w").mkString(" "))
