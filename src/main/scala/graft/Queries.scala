@@ -177,7 +177,7 @@ object Queries {
         TF.tokenCount(col("text")).cast("long").as("n_tokens"),
         md5(col("text")).as("fp")),
     Some("""SELECT doc_id,
-           |  CAST(length(regexp_replace(text, '<[^>]*>', '', 'g')) AS BIGINT) AS clean_len,
+           |  CAST(length(regexp_replace(text, '<[^>\n]*>', '', 'g')) AS BIGINT) AS clean_len,
            |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
            |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
            |  md5(text) AS fp
@@ -205,7 +205,7 @@ object Queries {
            |      replace(replace(replace(replace(replace(replace(
            |        regexp_replace(
            |          '  <b>&quot;' || text || '&quot;</b> &amp;amp; &#72;&#x69;! &copy;&nbsp;&hellip; ',
-           |          '<[^>]*>', '', 'g'),
+           |          '<[^>\n]*>', '', 'g'),
            |        '&quot;', '"'), '&#72;', 'H'), '&#x69;', 'i'),
            |        '&copy;', chr(169)), '&nbsp;', chr(160)), '&hellip;', chr(8230)),
            |      '&amp;', '&'),
@@ -781,7 +781,7 @@ object Queries {
             |    COALESCE(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
             |  FROM dd)
-            |SELECT lang, cum_before // 2048 AS bin,
+            |SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin,
             |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens,
             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
             |FROM c GROUP BY 1, 2""".stripMargin))

@@ -15,18 +15,20 @@ import org.apache.spark.sql.functions._
   * aggregation (k8s/spark-apps/kafka-spark-configmap.yaml:106-199);
   * clustering is part of the training-data extension surface.
   *
-  * Scale design: min-label propagation. Each round is ONE shuffle (a
-  * groupBy on node id) plus an equi-join of the edge list against the
-  * current labels; rounds needed = component diameter. Near-dup clusters
-  * in web-scale corpora are shallow (dupes of a common ancestor), so
-  * this converges in a handful of rounds; for adversarial long chains
-  * the large-star/small-star variant (Kiveris et al., "Connected
-  * Components in MapReduce", SoCC'14) bounds rounds at O(log n) with the
-  * same per-round plan shape. Lineage is cut every round with
-  * `localCheckpoint` — without it the iterated plan tree grows
-  * exponentially and the optimizer re-derives every prior round; on a
-  * real cluster use `spark.sparkContext.setCheckpointDir` + `checkpoint()`
-  * for fault-tolerant cuts instead.
+  * Scale design: min-label propagation with pointer jumping. Each round
+  * propagates the min label across edges AND through one label
+  * indirection (`lab ← lab(lab)`, path halving) — the indirection is
+  * what turns the round bound from component DIAMETER into O(log
+  * diameter), the same asymptotics the large-star/small-star alternation
+  * achieves (Kiveris et al., "Connected Components in MapReduce",
+  * SoCC'14) while keeping each round two equi-joins + one groupBy on
+  * node id. Lineage is cut every round with an eager local checkpoint —
+  * without it the iterated plan tree grows exponentially — and each
+  * round's block-manager copy is freed as soon as its successor is
+  * materialized, so peak storage is two label snapshots regardless of
+  * round count. On a real cluster swap the lineage cut for
+  * `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
+  * fault-tolerant cuts.
   */
 object Clustering {
 
@@ -40,34 +42,60 @@ object Clustering {
     * set: a distributed existence check that stops at the first changed
     * row rather than counting all of them.
     */
-  def connectedComponents(edges: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame = {
-    val sym = edges
-      .select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("lab", col("node"))
-      .localCheckpoint()
+  def connectedComponents(
+      edges: DataFrame,
+      a: String = "doc_a",
+      b: String = "doc_b",
+      maxRounds: Int = 100): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftBridge.localCheckpointHandle
+    val (sym, symRdd) = localCheckpointHandle(
+      edges
+        .select(col(a).as("src"), col(b).as("dst"))
+        .union(edges.select(col(b).as("src"), col(a).as("dst")))
+        .distinct())
+    var (labels, labelsRdd) = localCheckpointHandle(
+      sym
+        .select(col("src").as("node"))
+        .distinct()
+        .withColumn("lab", col("node")))
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
+      // with pointer jumping, rounds grow like log2(diameter): hitting
+      // this guard means a cycle in the driver logic, not a deep graph
+      require(rounds <= maxRounds,
+        s"connectedComponents did not converge in $maxRounds rounds")
       val nbrLabels = sym
         .join(labels.select(col("node").as("dst"), col("lab").as("msg")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("msg")).as("nbr"))
-      val next = labels
+      val viaEdges = labels
         .join(nbrLabels, Seq("node"), "left")
         .select(col("node"), least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
-        .localCheckpoint()
+      // path halving: lab ← lab(lab). Labels are always node ids (inits
+      // are, and mins of node ids stay node ids), so the indirection is
+      // a self-join of the label table.
+      val (next, nextRdd) = localCheckpointHandle(
+        viaEdges
+          .join(
+            labels.select(col("node").as("lab"), col("lab").as("lab2")),
+            Seq("lab"), "left")
+          .select(col("node"), least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab")))
       val changed = next
         .join(labels.withColumnRenamed("lab", "old"), Seq("node"))
         .filter(col("lab") =!= col("old"))
         .limit(1)
       converged = changed.count() == 0L
+      // `next` is materialized and the convergence probe has run — the
+      // prior round's block-manager copy has no remaining reader
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
     }
+    symRdd.unpersist(blocking = false)
+    // the returned frame is backed by the final round's checkpoint (one
+    // resident snapshot); it stays cached for the caller to consume
     labels.select(col("node"), col("lab").as("cluster_id"))
   }
 

@@ -293,7 +293,9 @@ object Dedup {
       text: String,
       n: Int = 5): DataFrame = {
     def grams(df: DataFrame) =
-      df.select(col(id), explode(array_distinct(shinglesN(col(text), n))).as("gram"))
+      df.select(col(id), explode(
+        graft.functions.expressions.NativeExpressions
+          .shingles(tokens(col(text)), n, distinct = true)).as("gram"))
     val benchGrams = grams(bench).select("gram").distinct()
     grams(corpus)
       .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gram"), "left")

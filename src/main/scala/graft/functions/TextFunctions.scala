@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** HTML-tag strip, mirroring the reference's `re.sub(r'<.*?>', '', text)`
-    * (reference: producers/steam_utils.py:38-42).
+    * (reference: producers/steam_utils.py:38-42). Python's `.` does not
+    * match a newline, so a "tag" whose body spans lines is kept — hence
+    * `[^>\n]`, not `[^>]`.
     */
-  def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
+  def stripTags(c: Column): Column = regexp_replace(c, "<[^>\n]*>", "")
 
   /** HTML character-reference decode (`&amp;` `&#x41;` …) matching Python's
     * `html.unescape` — the second step of the reference's ingest cleaner

@@ -14,90 +14,50 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (`&#65;` `&#65` `&#x41;`), including the HTML5 error-recovery rules
   *    Python implements: C1 / NUL codepoints remapped through the
   *    windows-1252 table, surrogates and out-of-range → U+FFFD;
-  *  - the HTML4 named set plus common symbol entities (147 names, the set
-  *    that occurs in real scraped text), semicolon form;
+  *  - the complete HTML5 named set (all 2231 names of CPython's
+  *    `html.entities.html5`, loaded from a bundled copy of that public
+  *    table — `graft/html5_entities.tsv`), semicolon form;
   *  - the HTML5 "legacy" no-semicolon forms (`&amp` `&copy` …) with
   *    Python's longest-known-prefix rule (`&notin` → `¬in`).
-  *
-  * Full-table difference vs CPython: Python knows all 2231 HTML5 names
-  * (`&alpha;`, `&rarrjoin;`, …); unknown references here pass through
-  * unchanged (exactly as Python treats names outside ITS table).
   *
   * Single pass, left to right — `&amp;lt;` decodes to `&lt;`, not `<` —
   * so a SQL `replace()` chain that substitutes `&amp;` LAST reproduces it.
   */
 object HtmlEntities {
 
-  /** Named entities, semicolon form (values from CPython's html5 table). */
-  val Named: Map[String, String] = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-    "apos" -> "'", "nbsp" -> " ", "iexcl" -> "¡",
-    "cent" -> "¢", "pound" -> "£", "curren" -> "¤",
-    "yen" -> "¥", "brvbar" -> "¦", "sect" -> "§",
-    "uml" -> "¨", "copy" -> "©", "ordf" -> "ª",
-    "laquo" -> "«", "not" -> "¬", "shy" -> "­",
-    "reg" -> "®", "macr" -> "¯", "deg" -> "°",
-    "plusmn" -> "±", "sup2" -> "²", "sup3" -> "³",
-    "acute" -> "´", "micro" -> "µ", "para" -> "¶",
-    "middot" -> "·", "cedil" -> "¸", "sup1" -> "¹",
-    "ordm" -> "º", "raquo" -> "»", "frac14" -> "¼",
-    "frac12" -> "½", "frac34" -> "¾", "iquest" -> "¿",
-    "times" -> "×", "divide" -> "÷", "szlig" -> "ß",
-    "agrave" -> "à", "aacute" -> "á", "acirc" -> "â",
-    "atilde" -> "ã", "auml" -> "ä", "aring" -> "å",
-    "aelig" -> "æ", "ccedil" -> "ç", "egrave" -> "è",
-    "eacute" -> "é", "ecirc" -> "ê", "euml" -> "ë",
-    "igrave" -> "ì", "iacute" -> "í", "icirc" -> "î",
-    "iuml" -> "ï", "eth" -> "ð", "ntilde" -> "ñ",
-    "ograve" -> "ò", "oacute" -> "ó", "ocirc" -> "ô",
-    "otilde" -> "õ", "ouml" -> "ö", "oslash" -> "ø",
-    "ugrave" -> "ù", "uacute" -> "ú", "ucirc" -> "û",
-    "uuml" -> "ü", "yacute" -> "ý", "thorn" -> "þ",
-    "yuml" -> "ÿ", "Agrave" -> "À", "Aacute" -> "Á",
-    "Acirc" -> "Â", "Atilde" -> "Ã", "Auml" -> "Ä",
-    "Aring" -> "Å", "AElig" -> "Æ", "Ccedil" -> "Ç",
-    "Egrave" -> "È", "Eacute" -> "É", "Ecirc" -> "Ê",
-    "Euml" -> "Ë", "Igrave" -> "Ì", "Iacute" -> "Í",
-    "Icirc" -> "Î", "Iuml" -> "Ï", "ETH" -> "Ð",
-    "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó",
-    "Ocirc" -> "Ô", "Otilde" -> "Õ", "Ouml" -> "Ö",
-    "Oslash" -> "Ø", "Ugrave" -> "Ù", "Uacute" -> "Ú",
-    "Ucirc" -> "Û", "Uuml" -> "Ü", "Yacute" -> "Ý",
-    "THORN" -> "Þ", "hellip" -> "…", "mdash" -> "—",
-    "ndash" -> "–", "lsquo" -> "‘", "rsquo" -> "’",
-    "sbquo" -> "‚", "ldquo" -> "“", "rdquo" -> "”",
-    "bdquo" -> "„", "dagger" -> "†", "Dagger" -> "‡",
-    "permil" -> "‰", "lsaquo" -> "‹", "rsaquo" -> "›",
-    "euro" -> "€", "trade" -> "™", "bull" -> "•",
-    "prime" -> "′", "Prime" -> "″", "oline" -> "‾",
-    "frasl" -> "⁄", "minus" -> "−", "infin" -> "∞",
-    "ne" -> "≠", "le" -> "≤", "ge" -> "≥",
-    "larr" -> "←", "uarr" -> "↑", "rarr" -> "→",
-    "darr" -> "↓", "harr" -> "↔", "OElig" -> "Œ",
-    "oelig" -> "œ", "Scaron" -> "Š", "scaron" -> "š",
-    "Yuml" -> "Ÿ", "fnof" -> "ƒ", "circ" -> "ˆ",
-    "tilde" -> "˜", "ensp" -> " ", "emsp" -> " ",
-    "thinsp" -> " ", "zwnj" -> "‌", "zwj" -> "‍",
-    "lrm" -> "‎", "rlm" -> "‏")
-
-  /** HTML5 legacy names that also match WITHOUT a trailing semicolon
-    * (the HTML4 Latin-1 set; Python's html5 table lists them sans `;`).
+  /** All HTML5 named entities keyed WITHOUT the trailing semicolon
+    * (values from the bundled copy of CPython's `html.entities.html5`
+    * table); [[Legacy]] lists the names that also match with no
+    * semicolon. Loaded once at class init — static data, not a per-row
+    * cost.
     */
-  val Legacy: Set[String] = Set(
-    "amp", "lt", "gt", "quot", "nbsp", "iexcl", "cent", "pound", "curren",
-    "yen", "brvbar", "sect", "uml", "copy", "ordf", "laquo", "not", "shy",
-    "reg", "macr", "deg", "plusmn", "sup2", "sup3", "acute", "micro",
-    "para", "middot", "cedil", "sup1", "ordm", "raquo", "frac14", "frac12",
-    "frac34", "iquest", "times", "divide", "szlig", "agrave", "aacute",
-    "acirc", "atilde", "auml", "aring", "aelig", "ccedil", "egrave",
-    "eacute", "ecirc", "euml", "igrave", "iacute", "icirc", "iuml", "eth",
-    "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml", "oslash",
-    "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml",
-    "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig",
-    "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute",
-    "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc",
-    "Otilde", "Ouml", "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml",
-    "Yacute", "THORN")
+  val (named, legacy): (Map[String, String], Set[String]) = {
+    val in = getClass.getClassLoader.getResourceAsStream("graft/html5_entities.tsv")
+    require(in != null, "missing resource graft/html5_entities.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val entries = src.getLines().map { line =>
+        val Array(name, cps) = line.split('\t')
+        val value = cps.split(' ')
+          .map(h => new String(Character.toChars(Integer.parseInt(h, 16))))
+          .mkString
+        (name, value)
+      }.toVector
+      val withSemi = entries.collect {
+        case (n, v) if n.endsWith(";") => (n.dropRight(1), v)
+      }.toMap
+      val noSemi = entries.collect { case (n, _) if !n.endsWith(";") => n }.toSet
+      (withSemi, noSemi)
+    } finally src.close()
+  }
+
+  /** Named entities, semicolon form (full HTML5 table). */
+  val Named: Map[String, String] = named
+
+  /** Names that also match WITHOUT a trailing semicolon (the HTML5
+    * legacy set; Python's html5 table lists them sans `;`).
+    */
+  val Legacy: Set[String] = legacy
 
   /** Windows-1252 remap for numeric refs in the C1/NUL range — Python's
     * `html._invalid_charrefs` (HTML5 error recovery).

@@ -44,6 +44,16 @@ object NativeExpressions {
   def shingleSimhash(tokens: Column, n: Int, bits: Int): Column =
     GraftBridge.column(ShingleSimHash(GraftBridge.expression(tokens), n, bits))
 
+  /** Ordered n-gram shingle strings (tokens joined by one space) of an
+    * array<string> token column, optionally first-occurrence-distinct —
+    * the native form of `transform(sequence(0, size-n), i =>
+    * concat_ws(" ", …))` (+ `array_distinct`), whose interpreted
+    * higher-order evaluation costs ~30× the string work itself. Texts
+    * with fewer than `n` tokens yield an empty array.
+    */
+  def shingles(tokens: Column, n: Int, distinct: Boolean): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(tokens), n, distinct))
+
   /** Whole SRP plane bank in one pass: `numBands` sign-random-projection
     * codes of `bitsPerBand` bits each, over an array<double> vector —
     * replaces numBands×bitsPerBand separate dot-product expressions
@@ -275,6 +285,73 @@ case class ShingleSimHash(child: Expression, n: Int, bits: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_shingle_simhash"
+}
+
+/** Ordered n-gram shingles of a token array as an array<string>, each
+  * shingle `tok(i) + " " + … + tok(i+n-1)`; `distinct = true` keeps the
+  * first occurrence of each shingle (the `array_distinct` order), so the
+  * output is element-for-element identical to the column-algebra
+  * `array_distinct(transform(sequence…, concat_ws(" ", …)))` it
+  * replaces — only the construction moves out of interpreted lambda
+  * evaluation into one per-row loop.
+  */
+case class Shingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n > 0)
+
+  // input is an array<string> token column (TextFunctions.tokens)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public entry point shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val out  = new java.util.ArrayList[Any](m - n + 1)
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    i = 0
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      val s = sb.toString
+      if (seen == null || seen.add(s))
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("shinglesExpr", this)
+    val arr  = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${arr.code}
+        |boolean ${ev.isNull} = ${arr.isNull};
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $expr.compute(${arr.value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
 }
 
 /** All `numBands` SRP band codes of a vector in one pass.

@@ -36,7 +36,8 @@ import org.apache.spark.sql.types._
   *
   * eval returns `array<long>`: for each requested probability q the
   * value whose rank interval covers `floor((n-1)·q) + 1` (the "disc"
-  * lower-value convention, matching `ORDER BY … OFFSET floor((n-1)·q)`).
+  * lower-value convention, matching `ORDER BY … OFFSET floor((n-1)·q)`);
+  * NULL for a group whose inputs were all NULL (percentile semantics).
   */
 case class QuantileSketch(
     child: Expression,
@@ -50,7 +51,9 @@ case class QuantileSketch(
   require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // a group whose inputs are all NULL has no rank distribution — report
+  // NULL like percentile/approx_percentile, not a fabricated 0
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def createAggregationBuffer(): QuantileSketch.Buf =
@@ -68,7 +71,8 @@ case class QuantileSketch(
   }
 
   override def eval(buf: QuantileSketch.Buf): Any =
-    new GenericArrayData(probs.map(buf.query).toArray)
+    if (buf.isEmpty) null
+    else new GenericArrayData(probs.map(buf.query).toArray)
 
   override def serialize(buf: QuantileSketch.Buf): Array[Byte] = buf.serialize()
 
@@ -189,6 +193,9 @@ object QuantileSketch {
       n += other.n
       compress()
     }
+
+    /** True iff no value was ever inserted (the all-NULL-group case). */
+    def isEmpty: Boolean = n == 0L
 
     /** Value whose rank interval covers floor((n-1)·q) + 1. */
     def query(q: Double): Long = {

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -13,4 +14,25 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `df.localCheckpoint(eager = true)` that also hands back the backing
+    * RDD so iterative algorithms can `unpersist` superseded rounds —
+    * `Dataset.localCheckpoint` alone gives the caller no handle to free
+    * the block-manager copy, so loops leak one cached round per
+    * iteration. Same mechanics as `Dataset.checkpoint(reliable=false)`:
+    * copy rows (they are reused mutable buffers), cut lineage, cache,
+    * materialize eagerly.
+    *
+    * The returned DataFrame is NOT recomputable once its RDD is
+    * unpersisted (lineage was cut) — only unpersist a round after its
+    * successor has been materialized and nothing else references it.
+    */
+  def localCheckpointHandle(df: DataFrame): (DataFrame, RDD[_]) = {
+    val cd    = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val spark = cd.sparkSession
+    val rdd   = cd.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    (spark.internalCreateDataFrame(rdd, cd.schema), rdd)
+  }
 }
