@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Labels produced by [[connectedComponentsManaged]]. `labels` is
+    * backed by the final round's local checkpoint (one resident
+    * block-manager snapshot); once the result has been consumed — or
+    * copied with a write/cache of its own — call `release()` to free
+    * that snapshot. Releasing before consumption makes `labels`
+    * unrecomputable (local checkpoints truncate lineage).
+    */
+  final case class CcLabels(labels: DataFrame, release: () => Unit)
+
   /** Connected components by iterative min-label propagation over an
     * undirected edge list `(a, b)`. Returns `(node, cluster_id)` where
     * `cluster_id` is the minimum node id in the component. Only nodes
@@ -41,12 +50,27 @@ object Clustering {
     * The convergence probe is `limit(1).count()` on the changed-label
     * set: a distributed existence check that stops at the first changed
     * row rather than counting all of them.
+    *
+    * The result stays pinned in the block manager; a long-lived driver
+    * issuing many component runs should use [[connectedComponentsManaged]]
+    * and `release()` each result after consuming it.
     */
   def connectedComponents(
       edges: DataFrame,
       a: String = "doc_a",
       b: String = "doc_b",
-      maxRounds: Int = 100): DataFrame = {
+      maxRounds: Int = 100): DataFrame =
+    connectedComponentsManaged(edges, a, b, maxRounds).labels
+
+  /** [[connectedComponents]] plus an explicit handle on the final
+    * checkpoint so callers can free it (ADVICE r3: repeated calls in a
+    * long session otherwise accumulate unreleasable snapshots).
+    */
+  def connectedComponentsManaged(
+      edges: DataFrame,
+      a: String = "doc_a",
+      b: String = "doc_b",
+      maxRounds: Int = 100): CcLabels = {
     import org.apache.spark.sql.graftbridge.GraftBridge.localCheckpointHandle
     val (sym, symRdd) = localCheckpointHandle(
       edges
@@ -95,8 +119,11 @@ object Clustering {
     }
     symRdd.unpersist(blocking = false)
     // the returned frame is backed by the final round's checkpoint (one
-    // resident snapshot); it stays cached for the caller to consume
-    labels.select(col("node"), col("lab").as("cluster_id"))
+    // resident snapshot); it stays cached until the caller releases it
+    val finalRdd = labelsRdd
+    CcLabels(
+      labels.select(col("node"), col("lab").as("cluster_id")),
+      () => { finalRdd.unpersist(blocking = false); () })
   }
 
   /** Cluster assignment for a full document population: every row of

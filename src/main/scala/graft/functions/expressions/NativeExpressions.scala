@@ -293,7 +293,10 @@ case class ShingleSimHash(child: Expression, n: Int, bits: Int)
   * output is element-for-element identical to the column-algebra
   * `array_distinct(transform(sequence…, concat_ws(" ", …)))` it
   * replaces — only the construction moves out of interpreted lambda
-  * evaluation into one per-row loop.
+  * evaluation into one per-row loop. Null elements are skipped when
+  * joining (the `concat_ws` rule), not rendered as empty strings;
+  * [[graft.functions.TextFunctions.tokens]] output never contains them,
+  * but the expression stays faithful for arbitrary containsNull inputs.
   */
 case class Shingles(child: Expression, n: Int, distinct: Boolean)
     extends UnaryExpression {
@@ -316,16 +319,22 @@ case class Shingles(child: Expression, n: Int, distinct: Boolean)
     val toks = new Array[String](m)
     var i = 0
     while (i < m) {
-      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
       i += 1
     }
     val out  = new java.util.ArrayList[Any](m - n + 1)
     val seen = if (distinct) new java.util.HashSet[String]() else null
     i = 0
     while (i <= m - n) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var k = 1
-      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (toks(i + k) != null) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(toks(i + k))
+        }
+        k += 1
+      }
       val s = sb.toString
       if (seen == null || seen.add(s))
         out.add(org.apache.spark.unsafe.types.UTF8String.fromString(s))

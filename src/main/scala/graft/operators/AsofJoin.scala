@@ -71,8 +71,8 @@ object AsofJoin {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
-      .select(keep.map(col) ++
+      .select((keep.map(col).toSeq ++
         valueCols.map(v => col(s"$carry.$v").as(v)) :+
-        col(s"$carry.ts").as(matchedTs): _*)
+        col(s"$carry.ts").as(matchedTs)): _*)
   }
 }

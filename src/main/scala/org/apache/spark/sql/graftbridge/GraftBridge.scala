@@ -27,7 +27,8 @@ object GraftBridge {
     * unpersisted (lineage was cut) — only unpersist a round after its
     * successor has been materialized and nothing else references it.
     */
-  def localCheckpointHandle(df: DataFrame): (DataFrame, RDD[_]) = {
+  def localCheckpointHandle(
+      df: DataFrame): (DataFrame, RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     val cd    = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     val spark = cd.sparkSession
     val rdd   = cd.queryExecution.toRdd.map(_.copy())

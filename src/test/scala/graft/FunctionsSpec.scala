@@ -57,6 +57,8 @@ class FunctionsSpec extends SparkSpec {
       "&copy &notin legacy-prefix"              -> "© ¬in legacy-prefix",
       "&nbsp;&hellip;&mdash;&euro;&trade;"      -> " …—€™",
       "&#0;&#13;&#128;&#xD800;&#1114112; recovery" -> "�\r€�� recovery",
+      "&#1;&#8;&#x7F;&#xFDD0;&#xFFFE;&#x1FFFF;&#x10FFFF;gone" -> "gone",
+      "&#9;tab kept &#xFFFD;"                   -> "\ttab kept �",
       "&unknown; &zzz stays &"                  -> "&unknown; &zzz stays &",
       "Caf&eacute; cr&egrave;me &frac12;"       -> "Café crème ½",
       "a &lt b &lt; c &gt; d"                   -> "a < b < c > d",
@@ -508,6 +510,24 @@ class FunctionsSpec extends SparkSpec {
     })
     got.filter(r => Seq(100L, 101L).contains(r.getLong(0)))
       .foreach(_.getLong(1) shouldBe 0L)
+  }
+
+  test("native Shingles skips null tokens like concat_ws (no empty-string slots)") {
+    import graft.functions.expressions.NativeExpressions
+    val df = Seq(
+      (1L, Seq[String]("a", null, "b", "c")),
+      (2L, Seq[String](null, null, "x")),
+      (3L, Seq[String]("p", "q")))
+      .toDF("id", "toks")
+    val got = df
+      .select(col("id"), NativeExpressions.shingles(col("toks"), 2, distinct = false).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .toMap
+    // concat_ws drops nulls entirely: ("a", null) -> "a", (null, null) -> ""
+    got(1L) shouldBe Seq("a", "b", "b c")
+    got(2L) shouldBe Seq("", "x")
+    got(3L) shouldBe Seq("p q")
   }
 
   test("quantile sketch: exact below capacity under any partitioning; bounded error at 50x overflow") {
