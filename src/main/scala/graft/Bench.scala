@@ -24,7 +24,12 @@ object Bench {
       try { q.spark(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    val results = Queries.all.map { q =>
+    // optional args: query names (exact) to bench — for iterating on one
+    // query without paying for the full catalog; no args = full catalog
+    val selected =
+      if (args.isEmpty) Queries.all
+      else Queries.all.filter(q => args.contains(q.name))
+    val results = selected.map { q =>
       q.name -> math.min(once(q), once(q))
     }
     val failed = results.collect { case (k, v) if v < 0 => k }

@@ -208,15 +208,22 @@ object Similarity {
     * (deterministic total order).
     */
   private def assignToCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val keep = vecs.columns.map(col).toSeq :+ col("cell")
+    // argmax as a max_by aggregation, not a row_number window: the window
+    // form sort-shuffles |vecs|·numCells rows with no partial aggregation,
+    // while max_by combines map-side down to one row per cid before the
+    // shuffle. The ordering struct (csim, -cell) is unique per cid (cell
+    // labels are distinct), so max_by is deterministic and reproduces the
+    // window's lowest-cell tie-break exactly.
+    val carry = vecs.columns.filterNot(_ == "cid").toSeq
     vecs
       .join(broadcast(cents))
       .withColumn("csim",
         round(dot(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")), 4))
-      .withColumn("arn", row_number().over(
-        Window.partitionBy("cid").orderBy(col("csim").desc, col("cell"))))
-      .filter(col("arn") === 1)
-      .select(keep: _*)
+      .groupBy("cid")
+      .agg(max_by(
+        struct((carry.map(col) :+ col("cell")): _*),
+        struct(col("csim"), -col("cell"))).as("best"))
+      .select((col("cid") +: (carry :+ "cell").map(c => col(s"best.$c").as(c))): _*)
   }
 
   /** IVF (inverted-file) approximate k-NN — the scale path for similarity
@@ -249,9 +256,19 @@ object Similarity {
       numCells: Int = 16,
       nProbe: Int = 4,
       iters: Int = 2,
-      dims: Int = 64): DataFrame =
-    ivfSearch(queries, corpus, id, vec, k, nProbe,
-      kmeansCentroids(corpus, id, vec, dims, numCells, iters))
+      dims: Int = 64): DataFrame = {
+    val cn = kmeansCentroids(corpus, id, vec, dims, numCells, iters)
+    // The trained centroid table is ≤ numCells rows but its lineage holds
+    // `iters` full corpus passes; ivfSearch references it twice (corpus
+    // assignment + query probes), so left lazy the training would run
+    // once per reference. Materializing it into a LocalRelation here is
+    // the index-build step — the same driver-side collect any broadcast
+    // of it would do anyway — and pins training to exactly one run.
+    val spark = corpus.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+    ivfSearch(queries, corpus, id, vec, k, nProbe, local)
+  }
 
   /** The IVF inverted list: (cid, cell) assignment of every corpus vector
     * to its trained cell. In production this is computed once and
