@@ -1817,6 +1817,188 @@ object Queries {
             |    '555-[0-9]{4}', '<PHONE>', 'g')) AS red_hash
             |FROM aug""".stripMargin))
 
+  // ===========================================================================
+  // Quality filtering, Bloom dedup, mixture sampling, incremental dedup
+  // ===========================================================================
+
+  private val sqlDocToksGuarded =
+    raw"""CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END"""
+
+  private val qRepetition = Q(
+    "q_repetition",
+    "repetition signals per doc: dup-word, top-word, top-bigram-char, dup-5gram fractions",
+    (s, d) => graft.functions.Quality.repetitionProfile(t(s, d).documents, "doc_id", "text"),
+    Some(raw"""WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+            |    $sqlDocToksGuarded AS toks,
+            |    CAST(len($sqlDocToksGuarded) AS BIGINT) AS n_tokens
+            |  FROM documents),
+            |wc AS (SELECT doc_id, unnest(toks) AS g FROM b),
+            |wcnt AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM wc GROUP BY 1, 2),
+            |wt AS (SELECT doc_id, n_distinct, g AS top_word, cnt AS top_cnt FROM (
+            |  SELECT doc_id, g, cnt,
+            |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct,
+            |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+            |  FROM wcnt) WHERE rn = 1),
+            |bg AS (SELECT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS g
+            |  FROM b CROSS JOIN LATERAL unnest(range(1, len(toks))) AS r(i)
+            |  WHERE len(toks) >= 2),
+            |bcnt AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2),
+            |bt AS (SELECT doc_id, g AS top_bigram, cnt AS bcnt FROM (
+            |  SELECT doc_id, g, cnt,
+            |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+            |  FROM bcnt) WHERE rn = 1),
+            |g5 AS (SELECT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g
+            |  FROM b CROSS JOIN LATERAL unnest(range(1, len(toks) - 3)) AS r(i)
+            |  WHERE len(toks) >= 5),
+            |g5s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tot5,
+            |    CAST(count(DISTINCT g) AS BIGINT) AS dst5 FROM g5 GROUP BY 1)
+            |SELECT b.doc_id, b.n_tokens,
+            |  CASE WHEN b.n_tokens > 0
+            |    THEN ((b.n_tokens - COALESCE(wt.n_distinct, 0)) * 10000) // b.n_tokens
+            |    ELSE 0 END AS dup_word_bp,
+            |  COALESCE(wt.top_word, '') AS top_word,
+            |  CASE WHEN b.n_tokens > 0
+            |    THEN (COALESCE(wt.top_cnt, 0) * 10000) // b.n_tokens
+            |    ELSE 0 END AS top_word_bp,
+            |  COALESCE(bt.top_bigram, '') AS top_bigram,
+            |  CASE WHEN b.n_chars > 0
+            |    THEN (COALESCE(bt.bcnt, 0) * length(COALESCE(bt.top_bigram, '')) * 10000) // b.n_chars
+            |    ELSE 0 END AS top_bigram_char_bp,
+            |  CASE WHEN COALESCE(g5s.tot5, 0) > 0
+            |    THEN ((g5s.tot5 - g5s.dst5) * 10000) // g5s.tot5
+            |    ELSE 0 END AS dup_5gram_bp
+            |FROM b LEFT JOIN wt USING (doc_id) LEFT JOIN bt USING (doc_id)
+            |  LEFT JOIN g5s USING (doc_id)""".stripMargin))
+
+  private val qGopherQuality = Q(
+    "q_gopher_quality",
+    "Gopher-rule heuristic document filter: word count, word length, alpha + stopword checks",
+    (s, d) => graft.functions.Quality.gopherQuality(t(s, d).documents, "doc_id", "text"),
+    Some {
+      val stops = TF.Stopwords.map(w => s"'$w'").mkString(", ")
+      raw"""WITH tk AS (SELECT doc_id, $sqlDocToksGuarded AS toks FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_words,
+           |  CAST(COALESCE(length(list_aggregate(toks, 'string_agg', '')), 0) AS BIGINT) AS sum_len,
+           |  CAST(len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS n_alpha,
+           |  CAST(len(list_filter(toks, t -> t IN ($stops))) AS BIGINT) AS n_stop
+           |FROM tk),
+           |f AS (SELECT doc_id, n_words, n_stop,
+           |  CASE WHEN n_words > 0 THEN (sum_len * 10000) // n_words ELSE 0 END AS mean_word_len_bp,
+           |  CASE WHEN n_words > 0 THEN (n_alpha * 10000) // n_words ELSE 0 END AS alpha_bp
+           |FROM m)
+           |SELECT doc_id, n_words, n_stop, mean_word_len_bp, alpha_bp,
+           |  n_words >= 20 AND n_words <= 1000 AS ok_words,
+           |  mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000 AS ok_word_len,
+           |  alpha_bp >= 8000 AS ok_alpha,
+           |  n_stop >= 2 AS ok_stop,
+           |  (n_words >= 20 AND n_words <= 1000)
+           |    AND (mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000)
+           |    AND alpha_bp >= 8000 AND n_stop >= 2 AS passes
+           |FROM f""".stripMargin
+    })
+
+  private val sqlBagFp =
+    raw"""md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), 'string_agg', ' '))"""
+
+  private val qBloomDedup = Q(
+    "q_bloom_dedup",
+    "Bloom-prefiltered new-document filter vs a reference corpus (result == exact anti-join)",
+    (s, d) => {
+      val docs = t(s, d).documents
+      Dedup.bloomNewDocs(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+    Some(raw"""WITH fp AS (SELECT doc_id, lang, source, $sqlBagFp AS k FROM documents)
+            |SELECT c.doc_id, c.lang, c.source FROM fp c
+            |WHERE c.doc_id >= 400
+            |  AND NOT EXISTS (SELECT 1 FROM fp r WHERE r.doc_id < 400 AND r.k = c.k)""".stripMargin))
+
+  private val qDomainMix = Q(
+    "q_domain_mix",
+    "mixture sampling: deterministic per-source acceptance toward target proportions",
+    (s, d) => {
+      // target mixture: sources 0-4 keep all, 5-9 keep 1/2, rest keep 1/4 —
+      // acceptance by first md5 byte of the salted id (the q_sample_split
+      // determinism trick), so the sample is reproducible on any engine
+      // and stable under corpus growth (a doc's fate never changes).
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val rate = when(srcNum < 5, 256).when(srcNum < 10, 128).otherwise(64)
+      val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+      val hi = ascii(substring(h, 1, 1))
+      val lo = ascii(substring(h, 2, 1))
+      val b = (when(hi <= 57, hi - 48).otherwise(hi - 87) * 16 +
+        when(lo <= 57, lo - 48).otherwise(lo - 87))
+      val kept = sum(when(b < rate, 1L).otherwise(0L))
+      t(s, d).documents
+        .select(col("source"), col("doc_id"), rate.as("rate"), b.as("b"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          kept.as("n_kept"),
+          floor(kept.cast("double") * 10000.0 / count(lit(1))).cast("long").as("kept_bp"),
+          floor(max(col("rate")).cast("double") * 10000.0 / 256.0).cast("long").as("target_bp"))
+    },
+    Some(raw"""WITH h AS (SELECT source, doc_id,
+            |  CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS sn,
+            |  (CASE WHEN ascii(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+            |        THEN ascii(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+            |        ELSE ascii(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16 +
+            |  (CASE WHEN ascii(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+            |        THEN ascii(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+            |        ELSE ascii(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+            |FROM documents),
+            |r AS (SELECT source, b,
+            |  CASE WHEN sn < 5 THEN 256 WHEN sn < 10 THEN 128 ELSE 64 END AS rate FROM h)
+            |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+            |  CAST(sum(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            |  (CAST(sum(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+            |    // CAST(count(*) AS BIGINT) AS kept_bp,
+            |  (CAST(max(rate) AS BIGINT) * 10000) // 256 AS target_bp
+            |FROM r GROUP BY 1""".stripMargin))
+
+  private val qIncrementalDedup = Q(
+    "q_incremental_dedup",
+    "incremental batch-vs-corpus dedup: exact fingerprint, minhash-band near, or new",
+    (s, d) => {
+      val docs = t(s, d).documents
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text", MinhashHashes, MinhashBands)
+    },
+    Some {
+      val r = MinhashHashes / MinhashBands
+      val sigCols = (0 until MinhashHashes)
+        .map(i => s"min(md5('h$i:' || tok)) AS s$i").mkString(",\n  ")
+      val bandSelects = (0 until MinhashBands).map { b =>
+        val cs = (b * r until (b + 1) * r).map(i => s"s$i").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bkey FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      raw"""WITH toks AS (SELECT DISTINCT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+           |sigs AS (SELECT doc_id,
+           |  $sigCols
+           |FROM toks GROUP BY doc_id),
+           |bands AS (
+           |$bandSelects
+           |),
+           |fp AS (SELECT doc_id, $sqlBagFp AS k FROM documents),
+           |ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_id FROM fp b
+           |  JOIN fp c ON b.k = c.k AND b.doc_id >= 400 AND c.doc_id < 400 GROUP BY 1),
+           |nr AS (SELECT b.doc_id, min(c.doc_id) AS near_id FROM bands b
+           |  JOIN bands c ON b.band = c.band AND b.bkey = c.bkey
+           |    AND b.doc_id >= 400 AND c.doc_id < 400 GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+           |       WHEN nr.near_id IS NOT NULL THEN 'near'
+           |       ELSE 'new' END AS dup_kind,
+           |  COALESCE(ex.exact_id, nr.near_id, -1) AS match_id
+           |FROM documents d LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+           |WHERE d.doc_id >= 400""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -1834,5 +2016,6 @@ object Queries {
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp,
     qSubstrDedup, qDupClusters, qDupCanonical,
-    qContamination, qTfidfTopk, qPiiRedact)
+    qContamination, qTfidfTopk, qPiiRedact,
+    qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup)
 }

@@ -369,4 +369,106 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
   }
+
+  /** New-document filter against a reference corpus with a Bloom-filter
+    * prefilter: returns exactly the batch rows whose token-set
+    * fingerprint does NOT appear in `corpus` (the anti-join result,
+    * engine-independent), but only rows the Bloom filter cannot rule out
+    * ever reach the shuffled verification join.
+    *
+    * The filter is built with Catalyst's own `BloomFilterAggregate` /
+    * `BloomFilterMightContain` — the machinery behind Spark's runtime
+    * join filters — collected once on the driver (the index-build step)
+    * and shipped as a literal, so the membership probe is a per-row
+    * codegen'd predicate with no join.
+    *
+    * Scale shape (100 TB): a batch-vs-corpus anti-join shuffles BOTH
+    * sides; with the prefilter, rows the Bloom filter rejects (the vast
+    * majority of a mostly-novel batch) short-circuit map-side, and only
+    * actual duplicates plus the ~`fpp` false-positive sliver pay the
+    * shuffle. False negatives are impossible, so result == anti-join.
+    */
+  def bloomNewDocs(
+      batch: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      expectedItems: Long = 4096L,
+      fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val key     = TextFunctions.bagFingerprint(col(text))
+    val corpusKeys = corpus.select(key.as("k"))
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("k"))),
+        GraftBridge.expression(lit(expectedItems)),
+        GraftBridge.expression(lit(numBits))).toAggregateExpression())
+    val bloomBytes = corpusKeys.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val probed = batch
+      .withColumn("k", key)
+      .withColumn("maybe_dup", GraftBridge.column(
+        new BloomFilterMightContain(
+          GraftBridge.expression(lit(bloomBytes)),
+          GraftBridge.expression(xxhash64(col("k"))))))
+    val definiteNew = probed.filter(!col("maybe_dup"))
+    val verifiedNew = probed.filter(col("maybe_dup"))
+      .join(corpusKeys, Seq("k"), "left_anti")
+    definiteNew.unionByName(verifiedNew).drop("k", "maybe_dup")
+  }
+
+  /** Incremental dedup classification of an arriving batch against an
+    * existing corpus — the shape a continuously-ingesting training
+    * pipeline runs per snapshot, where corpus-vs-corpus re-deduplication
+    * would be O(|corpus|²) wasted work:
+    *
+    *  - `exact` — token-set fingerprint present in the corpus
+    *  - `near`  — shares ≥1 MinHash-LSH band bucket with a corpus doc
+    *  - `new`   — neither
+    *
+    * `match_id` is the smallest matching corpus id (−1 for `new`).
+    *
+    * Scale shape: per-batch cost is |batch| signatures plus joins against
+    * the corpus's fingerprint and band tables — both of which are
+    * batch-independent and in production are persisted (partitioned by
+    * key) and only APPENDED to as batches are accepted; the corpus text
+    * is never re-read per batch.
+    */
+  def incrementalDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val r = numHashes / bands
+    def banded(df: DataFrame, as: String): DataFrame = {
+      val sigs = explodedDistinctTokens(df, id, text)
+        .groupBy(col(id))
+        .agg(minhashSigExprs(numHashes).head, minhashSigExprs(numHashes).tail: _*)
+      (0 until bands)
+        .map(b => sigs.select(col(id).as(as), lit(b).as("band"), bandKeyExpr(b, r).as("bkey")))
+        .reduce(_.unionAll(_))
+    }
+    val key   = TextFunctions.bagFingerprint(col(text))
+    val exact = batch.select(col(id), key.as("fp"))
+      .join(corpus.select(col(id).as("cid"), key.as("fp")), Seq("fp"))
+      .groupBy(col(id))
+      .agg(min(col("cid")).as("exact_id"))
+    val near = banded(batch, id)
+      .join(banded(corpus, "cid"), Seq("band", "bkey"))
+      .groupBy(col(id))
+      .agg(min(col("cid")).as("near_id"))
+    batch.select(col(id))
+      .join(exact, Seq(id), "left")
+      .join(near, Seq(id), "left")
+      .select(
+        col(id),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("new").as("dup_kind"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+  }
 }

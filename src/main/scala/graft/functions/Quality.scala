@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.NativeExpressions
+
+/** Corpus-level quality filtering for LLM training data: the repetition
+  * signals and heuristic document filters of Rae et al., "Scaling
+  * Language Models: Methods, Analysis & Insights from Training Gopher"
+  * (2021, appendix A1) — the step between raw crawled text and the
+  * dedup/mixing stages ([[Dedup]], [[Clustering]]).
+  *
+  * Reference scope: the reference pipeline's only text hygiene is
+  * ingest-time HTML cleaning (producers/steam_utils.py:38-42); repetition
+  * and quality filtering are part of the training-data extension surface.
+  *
+  * All ratios are reported in integer BASIS POINTS (value·10000, floor
+  * division) — exact integer arithmetic that hash-compares bit-identically
+  * across engines, where a double ratio would be at the mercy of each
+  * engine's float formatting.
+  */
+object Quality {
+
+  import TextFunctions.{tokens, Stopwords}
+
+  /** floor(num·10000 / den) as a long, 0 when the denominator is 0.
+    * Operands are small exact integers (≪ 2^53), so the double division
+    * floors identically to integer division.
+    */
+  private def bp(num: Column, den: Column): Column =
+    when(den > 0, floor(num.cast("double") * 10000.0 / den).cast("long"))
+      .otherwise(lit(0L))
+
+  /** Per-document repetition profile (Gopher A1.1's repetition family,
+    * token-based):
+    *
+    *  - `dup_word_bp` — fraction of tokens that are repeats of an
+    *    earlier token (1 − distinct/total)
+    *  - `top_word` / `top_word_bp` — the most frequent token and its
+    *    share of all tokens
+    *  - `top_bigram` / `top_bigram_char_bp` — the most frequent token
+    *    bigram and the fraction of document CHARACTERS its occurrences
+    *    cover (occurrences × bigram length / doc length)
+    *  - `dup_5gram_bp` — fraction of 5-gram shingles that are repeats
+    *
+    * Most-frequent ties break to the lexicographically largest gram (the
+    * `max(struct(count, gram))` order) — deterministic on any engine.
+    *
+    * Scale shape: three explode→two-level-aggregate branches, each with
+    * map-side partial aggregation (`max`/`count` are algebraic; no window
+    * functions), joined back on the document id. Gram rows never carry
+    * the document text — only (id, gram) pairs move in the shuffles.
+    */
+  def repetitionProfile(df: DataFrame, id: String, text: String): DataFrame = {
+    val base = df
+      .select(
+        col(id),
+        tokens(col(text)).as("toks"),
+        length(col(text)).cast("long").as("n_chars"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+
+    val words = base
+      .select(col(id), explode(col("toks")).as("g"))
+      .groupBy(col(id), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val wtop = words
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        max(struct(col("cnt").as("c"), col("g").as("g"))).as("tw"))
+
+    val btop = base
+      .select(col(id),
+        explode(NativeExpressions.shingles(col("toks"), 2, distinct = false)).as("g"))
+      .groupBy(col(id), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(id))
+      .agg(max(struct(col("cnt").as("c"), col("g").as("g"))).as("tb"))
+
+    val g5 = base
+      .select(col(id),
+        explode(NativeExpressions.shingles(col("toks"), 5, distinct = false)).as("g"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("tot5"), countDistinct(col("g")).as("dst5"))
+
+    base
+      .join(wtop, Seq(id), "left")
+      .join(btop, Seq(id), "left")
+      .join(g5, Seq(id), "left")
+      .select(
+        col(id),
+        col("n_tokens"),
+        bp(col("n_tokens") - coalesce(col("n_distinct"), lit(0L)), col("n_tokens"))
+          .as("dup_word_bp"),
+        coalesce(col("tw.g"), lit("")).as("top_word"),
+        bp(coalesce(col("tw.c"), lit(0L)), col("n_tokens")).as("top_word_bp"),
+        coalesce(col("tb.g"), lit("")).as("top_bigram"),
+        bp(coalesce(col("tb.c"), lit(0L)) * length(coalesce(col("tb.g"), lit(""))),
+          col("n_chars")).as("top_bigram_char_bp"),
+        bp(coalesce(col("tot5"), lit(0L)) - coalesce(col("dst5"), lit(0L)),
+          coalesce(col("tot5"), lit(0L))).as("dup_5gram_bp"))
+  }
+
+  /** Gopher-style heuristic document filter (A1.1's quality family,
+    * thresholds scaled to short synthetic documents): word-count bounds,
+    * mean-word-length bounds, alphabetic-token fraction, and a minimum
+    * stopword count. Emits the per-rule measurements, each rule's verdict,
+    * and the conjunction — keeping the measurements in the output is what
+    * makes threshold sweeps a filter-free re-aggregation instead of a
+    * corpus re-scan.
+    *
+    * Pure per-row column algebra: zero shuffles, zero UDFs; everything
+    * lives in one WholeStageCodegen projection over the scan.
+    */
+  def gopherQuality(
+      df: DataFrame,
+      id: String,
+      text: String,
+      minWords: Int = 20,
+      maxWords: Int = 1000,
+      minWordLenBp: Long = 30000L,
+      maxWordLenBp: Long = 100000L,
+      minAlphaBp: Long = 8000L,
+      minStopwords: Int = 2): DataFrame = {
+    val tk = tokens(col(text))
+    val base = df.select(
+      col(id),
+      size(tk).cast("long").as("n_words"),
+      // Σ token length = length of the separator-free concatenation
+      length(array_join(tk, "")).cast("long").as("sum_len"),
+      size(filter(tk, t => t.rlike("^[a-z]+$"))).cast("long").as("n_alpha"),
+      size(filter(tk, t => t.isin(Stopwords.map(lit): _*))).cast("long").as("n_stop"))
+    base
+      .withColumn("mean_word_len_bp", bp(col("sum_len"), col("n_words")))
+      .withColumn("alpha_bp", bp(col("n_alpha"), col("n_words")))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_word_len",
+        col("mean_word_len_bp") >= minWordLenBp &&
+          col("mean_word_len_bp") <= maxWordLenBp)
+      .withColumn("ok_alpha", col("alpha_bp") >= minAlphaBp)
+      .withColumn("ok_stop", col("n_stop") >= minStopwords)
+      .withColumn("passes",
+        col("ok_words") && col("ok_word_len") && col("ok_alpha") && col("ok_stop"))
+      .drop("sum_len", "n_alpha")
+  }
+}

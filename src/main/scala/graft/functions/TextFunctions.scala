@@ -149,6 +149,13 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
 
+  /** Order-insensitive content key: md5 over the sorted distinct token
+    * set — catches shuffled/reordered copies that byte-level
+    * [[fingerprint]] misses.
+    */
+  def bagFingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
   // ---- rolling (Rabin-Karp) fingerprints -------------------------------
 
   /** Polynomial base / modulus for the rolling hash. Mod 2^31-1 keeps every

@@ -664,4 +664,73 @@ class FunctionsSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("repetitionProfile computes known fractions on crafted docs") {
+    import graft.functions.Quality
+    val docs = Seq(
+      (1L, "aa aa aa aa"), // 4 tokens, 1 distinct, top bigram "aa aa" x3
+      (2L, "a b a b c"),   // 5 tokens, 3 distinct; tie a=b=2 -> larger gram "b"
+      (3L, "u v w x y z")  // all distinct, 6 tokens -> 2 five-grams, no dups
+    ).toDF("doc_id", "text")
+    val got = Quality.repetitionProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    got(1L).getAs[Long]("dup_word_bp") shouldBe 7500L
+    got(1L).getAs[String]("top_word") shouldBe "aa"
+    got(1L).getAs[Long]("top_word_bp") shouldBe 10000L
+    got(1L).getAs[String]("top_bigram") shouldBe "aa aa"
+    // 3 occurrences x 5 chars / 11 chars = 13636bp (overlaps may exceed 100%)
+    got(1L).getAs[Long]("top_bigram_char_bp") shouldBe 13636L
+    got(1L).getAs[Long]("dup_5gram_bp") shouldBe 0L
+    got(2L).getAs[Long]("dup_word_bp") shouldBe 4000L
+    got(2L).getAs[String]("top_word") shouldBe "b"
+    got(2L).getAs[String]("top_bigram") shouldBe "a b"
+    got(2L).getAs[Long]("top_bigram_char_bp") shouldBe 6666L
+    got(3L).getAs[Long]("dup_word_bp") shouldBe 0L
+    got(3L).getAs[Long]("dup_5gram_bp") shouldBe 0L
+  }
+
+  test("bloomNewDocs equals the exact anti-join even with a tiny, FP-heavy filter") {
+    import graft.functions.Dedup
+    val corpus = (0L until 60L).map(i => (i, s"corpus doc token$i shared words"))
+      .toDF("doc_id", "text")
+    val batch = ((100L until 140L).map(i => (i, s"batch doc token$i novel words")) ++
+      (0L until 10L).map(i => (i + 200L, s"corpus doc token$i shared words")) // 10 dups
+      ).toDF("doc_id", "text")
+    val expected = batch
+      .withColumn("k", TF.bagFingerprint(col("text")))
+      .join(corpus.select(TF.bagFingerprint(col("text")).as("k")), Seq("k"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 64-item budget at 3% and a deliberately undersized 8-item/50% filter:
+    // false positives just route more rows through verification, never
+    // change the result
+    for (items <- Seq(64L, 8L); fpp <- Seq(0.03, 0.5)) {
+      val got = Dedup.bloomNewDocs(batch, corpus, "doc_id", "text", items, fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      withClue(s"items=$items fpp=$fpp: ") { got shouldBe expected }
+    }
+    expected should have size 40
+  }
+
+  test("incrementalDedup: exact set matches fingerprint semi-join; new iff match_id=-1") {
+    import graft.functions.Dedup
+    val corpus = (0L until 40L).map(i => (i, s"alpha beta gamma delta tok$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "tok7 delta gamma beta alpha"),          // same token SET as doc 7 -> exact
+      (101L, "alpha beta gamma delta tok3 extraword"),// superset of doc 3 -> exact? no: set differs -> near/new
+      (102L, "totally disjoint vocabulary here now")  // -> new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sortBy(_._1)
+    val byId = got.map(g => g._1 -> g).toMap
+    byId(100L)._2 shouldBe "exact"
+    byId(100L)._3 shouldBe 7L
+    byId(102L)._2 shouldBe "new"
+    byId(102L)._3 shouldBe -1L
+    // every row classifies into the three kinds with consistent match ids
+    got.foreach { case (_, kind, m) =>
+      Set("exact", "near", "new") should contain(kind)
+      (kind == "new") shouldBe (m == -1L)
+    }
+  }
 }
