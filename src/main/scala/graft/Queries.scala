@@ -1464,8 +1464,24 @@ object Queries {
       // candidates for 22 true pairs at sf0.01, max bucket 4 at sf0.1.
       val docs = t(s, d).documents
       val cand = Dedup.simhashBucketCandidates(docs, "doc_id", "text")
-      val texts = docs.select(col("doc_id"), substring(col("text"), 1, 80).as("t80"))
+      // the verify side is a pruned projection (id + 80-char prefix) —
+      // broadcast it instead of shuffle-joining the candidate pairs
+      // twice (Catalyst's size estimate comes from the full-text parquet
+      // stats, so it won't pick broadcast on its own). At corpus sizes
+      // where even the projection outgrows broadcast, semi-join-prune it
+      // to the candidate ids first; pairs, not corpus, bound that set.
+      val texts = broadcast(
+        docs.select(col("doc_id"), substring(col("text"), 1, 80).as("t80")))
+      // The pair rows are tiny (two ids), so AQE coalesces the candidate
+      // shuffle to ~one partition — and the O(len²) Levenshtein DP that
+      // follows is compute-bound, not byte-bound, leaving 31 of 32 cores
+      // idle (measured 10 s → 1 s at 50k docs). An explicit partition
+      // count on the repartition disables AQE coalesce for this exchange
+      // and spreads the DP; at cluster scale size this to the fleet, not
+      // to the shuffle's byte count.
+      val lanes = s.sparkContext.defaultParallelism
       cand
+        .repartition(lanes, col("doc_a"))
         .join(texts.select(col("doc_id").as("doc_a"), col("t80").as("ta")), Seq("doc_a"))
         .join(texts.select(col("doc_id").as("doc_b"), col("t80").as("tb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
