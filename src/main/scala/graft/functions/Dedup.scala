@@ -442,23 +442,57 @@ object Dedup {
       id: String,
       text: String,
       numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    incrementalDedupAgainst(
+      batch,
+      fingerprintTable(corpus, id, text).withColumnRenamed(id, "cid"),
+      bandTable(corpus, id, text, numHashes, bands).withColumnRenamed(id, "cid"),
+      id, text, numHashes, bands)
+
+  /** (id, fp) token-set fingerprint table — the exact-dedup index an
+    * incremental pipeline persists and appends to.
+    */
+  def fingerprintTable(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), TextFunctions.bagFingerprint(col(text)).as("fp"))
+
+  /** (id, band, bkey) MinHash-LSH band table — the near-dup index an
+    * incremental pipeline persists and appends to.
+    */
+  def bandTable(
+      df: DataFrame,
+      id: String,
+      text: String,
+      numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val r = numHashes / bands
-    def banded(df: DataFrame, as: String): DataFrame = {
-      val sigs = explodedDistinctTokens(df, id, text)
-        .groupBy(col(id))
-        .agg(minhashSigExprs(numHashes).head, minhashSigExprs(numHashes).tail: _*)
-      (0 until bands)
-        .map(b => sigs.select(col(id).as(as), lit(b).as("band"), bandKeyExpr(b, r).as("bkey")))
-        .reduce(_.unionAll(_))
-    }
-    val key   = TextFunctions.bagFingerprint(col(text))
-    val exact = batch.select(col(id), key.as("fp"))
-      .join(corpus.select(col(id).as("cid"), key.as("fp")), Seq("fp"))
+    val sigs = explodedDistinctTokens(df, id, text)
+      .groupBy(col(id))
+      .agg(minhashSigExprs(numHashes).head, minhashSigExprs(numHashes).tail: _*)
+    (0 until bands)
+      .map(b => sigs.select(col(id), lit(b).as("band"), bandKeyExpr(b, r).as("bkey")))
+      .reduce(_.unionAll(_))
+  }
+
+  /** [[incrementalDedup]] against PRECOMPUTED corpus index tables
+    * (`corpusFp` = (cid, fp), `corpusBands` = (cid, band, bkey)) — the
+    * form a continuously-ingesting pipeline actually runs: the corpus
+    * text is never touched, only its persisted indexes are joined (and
+    * later appended to with the accepted batch's rows).
+    */
+  def incrementalDedupAgainst(
+      batch: DataFrame,
+      corpusFp: DataFrame,
+      corpusBands: DataFrame,
+      id: String,
+      text: String,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val exact = fingerprintTable(batch, id, text)
+      .join(corpusFp, Seq("fp"))
       .groupBy(col(id))
       .agg(min(col("cid")).as("exact_id"))
-    val near = banded(batch, id)
-      .join(banded(corpus, "cid"), Seq("band", "bkey"))
+    val near = bandTable(batch, id, text, numHashes, bands)
+      .join(corpusBands, Seq("band", "bkey"))
       .groupBy(col(id))
       .agg(min(col("cid")).as("near_id"))
     batch.select(col(id))

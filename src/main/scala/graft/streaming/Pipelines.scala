@@ -96,6 +96,70 @@ object Pipelines {
       }
   }
 
+  /** Streaming incremental dedup ingest: each micro-batch is classified
+    * against the corpus-so-far via
+    * [[graft.functions.Dedup.incrementalDedupAgainst]], decisions land in
+    * `<stateDir>/decisions/batch=<id>`, and the ACCEPTED (`new`) docs'
+    * fingerprint and MinHash-band index rows are appended to
+    * `<stateDir>/fp` / `<stateDir>/bands` — so the next batch dedups
+    * against them without ever re-reading corpus text.
+    *
+    * Per-trigger work is O(batch): the corpus contributes only its two
+    * persisted index tables (join-pruned by the batch's keys), and all
+    * writes go to per-batch partition directories with Overwrite, so a
+    * replayed batch rewrites itself (same replay idiom as
+    * [[reviewsMultiSink]]). Batch-internal duplicates are intentionally
+    * left to the NEXT batch's corpus view or an in-batch
+    * [[graft.functions.Dedup.dropExactDuplicates]] pre-pass — keeping the
+    * per-batch classification a pure function of (batch, corpus indexes).
+    */
+  def dedupIngest(
+      docs: DataFrame,
+      stateDir: String,
+      checkpoint: String,
+      id: String = "doc_id",
+      text: String = "text",
+      numHashes: Int = 16,
+      bands: Int = 4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Dedup
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(stateDir), spark.sessionState.newHadoopConf())
+        def readIndex(sub: String, empty: => DataFrame): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+          if (fs.exists(p)) spark.read.parquet(p.toString) else empty
+        }
+        batch.persist()
+        try {
+          val corpusFp = readIndex("fp",
+            Dedup.fingerprintTable(batch.limit(0), id, text).withColumnRenamed(id, "cid"))
+            .select(col("cid"), col("fp"))
+          val corpusBands = readIndex("bands",
+            Dedup.bandTable(batch.limit(0), id, text, numHashes, bands)
+              .withColumnRenamed(id, "cid"))
+            .select(col("cid"), col("band"), col("bkey"))
+          val decisions = Dedup
+            .incrementalDedupAgainst(batch, corpusFp, corpusBands, id, text, numHashes, bands)
+            .persist()
+          try {
+            decisions.write.mode("overwrite")
+              .parquet(s"$stateDir/decisions/batch=$batchId")
+            val accepted = batch.join(
+              decisions.filter(col("dup_kind") === "new").select(id), Seq(id), "left_semi")
+            Dedup.fingerprintTable(accepted, id, text).withColumnRenamed(id, "cid")
+              .write.mode("overwrite").parquet(s"$stateDir/fp/batch=$batchId")
+            Dedup.bandTable(accepted, id, text, numHashes, bands).withColumnRenamed(id, "cid")
+              .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
+          } finally decisions.unpersist()
+        } finally batch.unpersist()
+        ()
+      }
+  }
+
   /** Stream-static enrichment: join a streaming fact against a small
     * static dimension (game metadata). The dimension is broadcast — each
     * micro-batch's tasks probe a local hash map, no shuffle of the stream,

@@ -420,4 +420,36 @@ class StreamingSpec extends SparkSpec {
       replayed shouldBe expected
     } finally { qCold.stop(); qHot.stop() }
   }
+
+  test("dedupIngest: batches classify against the growing index, accepted docs extend it") {
+    val in = memStream[(Long, String)]
+    val state = tmpDir("dedup_state")
+    val q = Pipelines
+      .dedupIngest(in.toDF().toDF("doc_id", "text"), state, tmpDir("dedup_ckpt"))
+      .start()
+    try {
+      in.addData((1L, "alpha beta gamma delta"), (2L, "x y z w"))
+      q.processAllAvailable()
+      // batch 0: empty corpus — everything is new and enters the index
+      val d0 = spark.read.parquet(s"$state/decisions/batch=0")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      d0 shouldBe Map(1L -> ("new", -1L), 2L -> ("new", -1L))
+
+      in.addData(
+        (3L, "delta gamma beta alpha"), // same token set as doc 1 -> exact
+        (4L, "p q r s"),                // novel -> new
+        (5L, "x y z w"))                // same as doc 2 -> exact
+      q.processAllAvailable()
+      val d1 = spark.read.parquet(s"$state/decisions/batch=1")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      d1(3L) shouldBe ("exact", 1L)
+      d1(5L) shouldBe ("exact", 2L)
+      d1(4L)._1 shouldBe "new"
+      // only accepted docs joined the fingerprint index: 1, 2 from batch 0
+      // and 4 from batch 1 — the rejected dups never pollute the corpus
+      val indexed = spark.read.parquet(s"$state/fp")
+        .select("cid").collect().map(_.getLong(0)).toSet
+      indexed shouldBe Set(1L, 2L, 4L)
+    } finally q.stop()
+  }
 }
