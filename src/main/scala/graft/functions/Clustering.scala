@@ -94,9 +94,14 @@ object Clustering {
         .join(labels.select(col("node").as("dst"), col("lab").as("msg")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("msg")).as("nbr"))
+      // the round-start label rides along as `old`, so the convergence
+      // probe below is a filter on `next` itself — no extra join of the
+      // new and old label tables per round
       val viaEdges = labels
         .join(nbrLabels, Seq("node"), "left")
-        .select(col("node"), least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"),
+          col("lab").as("old"))
       // path halving: lab ← lab(lab). Labels are always node ids (inits
       // are, and mins of node ids stay node ids), so the indirection is
       // a self-join of the label table.
@@ -105,16 +110,14 @@ object Clustering {
           .join(
             labels.select(col("node").as("lab"), col("lab").as("lab2")),
             Seq("lab"), "left")
-          .select(col("node"), least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab")))
-      val changed = next
-        .join(labels.withColumnRenamed("lab", "old"), Seq("node"))
-        .filter(col("lab") =!= col("old"))
-        .limit(1)
-      converged = changed.count() == 0L
+          .select(col("node"),
+            least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"),
+            col("old")))
+      converged = next.filter(col("lab") =!= col("old")).limit(1).count() == 0L
       // `next` is materialized and the convergence probe has run — the
       // prior round's block-manager copy has no remaining reader
       labelsRdd.unpersist(blocking = false)
-      labels = next
+      labels = next.select(col("node"), col("lab"))
       labelsRdd = nextRdd
     }
     symRdd.unpersist(blocking = false)
