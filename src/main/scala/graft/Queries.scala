@@ -2015,6 +2015,47 @@ object Queries {
            |WHERE d.doc_id >= 400""".stripMargin
     })
 
+  private val qVocabCoverage = Q(
+    "q_vocab_coverage",
+    "tokenizer prep: top-50 vocabulary with cumulative corpus coverage",
+    (s, d) => {
+      // corpus-wide token frequencies (distributed groupBy with partial
+      // aggregation), top-k via TakeOrderedAndProject, then rank +
+      // running coverage computed by array algebra over the ONE packed
+      // top-k row — no partition-less window over unbounded input, the
+      // post-limit set is 50 rows by construction.
+      val toks = t(s, d).documents
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("tok")).limit(50)
+      val packed = top.agg(
+        sort_array(collect_list(struct((-col("cnt")).as("n"), col("tok"), col("cnt"))))
+          .as("arr"))
+        .crossJoin(counts.agg(sum(col("cnt")).as("total")))
+      packed
+        .select(col("total"), explode(transform(
+          sequence(lit(0), size(col("arr")) - 1),
+          i => struct(
+            (i + 1).cast("int").as("rank"),
+            element_at(col("arr"), i + 1).getField("tok").as("tok"),
+            element_at(col("arr"), i + 1).getField("cnt").as("cnt"),
+            aggregate(slice(col("arr"), lit(1), i + 1), lit(0L),
+              (a, x) => a + x.getField("cnt")).as("cum")))).as("r"))
+        .select(
+          col("r.rank").as("rank"), col("r.tok").as("tok"), col("r.cnt").as("cnt"),
+          floor(col("r.cum").cast("double") * 10000.0 / col("total")).cast("long")
+            .as("coverage_bp"))
+    },
+    Some(raw"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            |  FROM documents WHERE length(trim(text)) > 0),
+            |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+            |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+            |top AS (SELECT tok, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank
+            |  FROM c ORDER BY cnt DESC, tok LIMIT 50)
+            |SELECT rank, tok, cnt,
+            |  (sum(cnt) OVER (ORDER BY rank) * 10000) // total AS coverage_bp
+            |FROM top, tot""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2033,5 +2074,6 @@ object Queries {
     qCorrelation, qMediaAnn, qLshSrp,
     qSubstrDedup, qDupClusters, qDupCanonical,
     qContamination, qTfidfTopk, qPiiRedact,
-    qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup)
+    qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
+    qVocabCoverage)
 }
