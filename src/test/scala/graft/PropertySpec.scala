@@ -86,4 +86,38 @@ class PropertySpec extends SparkSpec {
       withClue(s"seed=$seed: ") { got.toSeq shouldBe expected }
     }
   }
+
+  test("property: repetition/gopher basis points stay in range on random text") {
+    import graft.functions.Quality
+    (1L to 6L).foreach { seed =>
+      val docs = sample(Gen.listOfN(30, textGen), seed)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val rep = Quality.repetitionProfile(df, "doc_id", "text").collect()
+      rep.length shouldBe docs.length
+      rep.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        withClue(s"seed=$seed doc=$id: ") {
+          // shares of a whole are bounded; the bigram CHAR share may pass
+          // 10000 only through overlapping occurrences
+          r.getAs[Long]("dup_word_bp") should (be >= 0L and be <= 10000L)
+          r.getAs[Long]("top_word_bp") should (be >= 0L and be <= 10000L)
+          r.getAs[Long]("dup_5gram_bp") should (be >= 0L and be <= 10000L)
+          r.getAs[Long]("top_bigram_char_bp") should be >= 0L
+          // a doc with any token has a non-empty top word
+          if (r.getAs[Long]("n_tokens") > 0L)
+            r.getAs[String]("top_word") should not be empty
+        }
+      }
+      val gq = Quality.gopherQuality(df, "doc_id", "text").collect()
+      gq.foreach { r =>
+        withClue(s"seed=$seed doc=${r.getAs[Long]("doc_id")}: ") {
+          r.getAs[Long]("alpha_bp") should (be >= 0L and be <= 10000L)
+          r.getAs[Boolean]("passes") shouldBe (
+            r.getAs[Boolean]("ok_words") && r.getAs[Boolean]("ok_word_len") &&
+              r.getAs[Boolean]("ok_alpha") && r.getAs[Boolean]("ok_stop"))
+        }
+      }
+    }
+  }
 }
