@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Catalog-wide physical-plan hygiene gate: no query may plan an
+  * unbounded nested-loop join. The exceptions are the oracle-pinned
+  * exhaustive BASELINES, which are quadratic by declared intent and
+  * bounded by literal id filters (their scale paths — LSH buckets, band
+  * joins — are separate catalog entries), and scalar (one-row) cross
+  * joins that attach a grand total to every row.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers {
+
+  /** The catalog assumes the product session (GraftExtensions for the
+    * range-join rewrite, nanosAsLong for the events table); the shared
+    * TestSpark session predates both, so audit under a sibling session
+    * on the same context, defaults restored after.
+    */
+  private def withGraftSession[A](body: SparkSession => A): A = {
+    TestSpark.spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    try body(s)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
+  private val quadraticBaselines = Set(
+    "q_embed_neardup" // bounded exhaustive ground truth for q_neardup_banded
+  )
+  private val scalarCrossJoins = Set(
+    "q_vocab_coverage", // one-row totals frame crossed into the top-k row
+    "q_tfidf_topk")     // one-row corpus doc count crossed into the tf table
+  private val broadcastSmallSideFanOuts = Set(
+    // nested loop over a TINY broadcast side, linear in the big side:
+    // brute-force kNN probes a handful of broadcast query vectors per
+    // corpus row; IVF fans every row out against <=16 broadcast centroids
+    // for the argmax assignment
+    "q_knn_cosine", "q_media_ann", "q_knn_ivf")
+
+  test("every catalog query plans without an unbounded nested-loop join") {
+    withGraftSession { s =>
+      Queries.all.foreach { q =>
+        val plan = q.spark(s, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        val allowed = quadraticBaselines(q.name) || scalarCrossJoins(q.name) ||
+          broadcastSmallSideFanOuts(q.name)
+        if (!allowed) withClue(s"${q.name}: ") {
+          plan should not include "CartesianProduct"
+          plan should not include "BroadcastNestedLoopJoin"
+        }
+      }
+    }
+  }
+}
