@@ -2056,6 +2056,52 @@ object Queries {
             |  (sum(cnt) OVER (ORDER BY rank) * 10000) // total AS coverage_bp
             |FROM top, tot""".stripMargin))
 
+  private val qEmbedQuantize = Q(
+    "q_embed_quantize",
+    "int8 symmetric embedding quantization with exact-integer error accounting",
+    (s, d) => {
+      // serving-time compression shape: per-vector symmetric int8
+      // quantization in the exact 1e6-quantized integer space (the same
+      // space the IVF trainer uses), so scale factor, saturation count,
+      // and total reconstruction error |qv·127 − q8·vmax| are all exact
+      // integer arithmetic — bit-identical on any engine. Pure per-row
+      // array algebra: zero shuffles, one projection over the scan.
+      val qv = transform(col("embedding").cast("array<double>"),
+        x => round(x * lit(1000000.0)))
+      t(s, d).embeddings
+        .select(col("vec_id"), qv.as("qv"))
+        .withColumn("vmax", array_max(transform(col("qv"), x => abs(x))))
+        .withColumn("q8",
+          when(col("vmax") > 0,
+            transform(col("qv"), x => floor(x * lit(127.0) / col("vmax"))))
+            .otherwise(transform(col("qv"), _ => lit(0.0))))
+        .select(
+          col("vec_id"),
+          col("vmax").cast("long").as("vmax"),
+          size(filter(col("q8"), x => abs(x) === 127)).cast("long").as("n_saturated"),
+          aggregate(col("q8"), lit(0L), (a, x) => a + abs(x).cast("long")).as("l1_q8"),
+          aggregate(
+            zip_with(col("qv"), col("q8"), (v, q) => abs(v * 127 - q * col("vmax"))),
+            lit(0L), (a, x) => a + x.cast("long")).as("sum_abs_err"))
+    },
+    Some(raw"""WITH b AS (SELECT vec_id,
+            |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS qv
+            |  FROM embeddings),
+            |m AS (SELECT vec_id, qv,
+            |    list_max(list_transform(qv, x -> abs(x))) AS vmax FROM b),
+            |q AS (SELECT vec_id, qv, vmax,
+            |    CASE WHEN vmax > 0
+            |      THEN list_transform(qv, x -> floor(x * 127.0 / vmax))
+            |      ELSE list_transform(qv, x -> 0.0) END AS q8
+            |  FROM m)
+            |SELECT vec_id, CAST(vmax AS BIGINT) AS vmax,
+            |  CAST(len(list_filter(q8, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
+            |  CAST(list_sum(list_transform(q8, x -> abs(x))) AS BIGINT) AS l1_q8,
+            |  CAST(list_sum(list_transform(range(len(qv)),
+            |    i -> abs(qv[CAST(i AS INT) + 1] * 127 - q8[CAST(i AS INT) + 1] * vmax)))
+            |    AS BIGINT) AS sum_abs_err
+            |FROM q""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2075,5 +2121,5 @@ object Queries {
     qSubstrDedup, qDupClusters, qDupCanonical,
     qContamination, qTfidfTopk, qPiiRedact,
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
-    qVocabCoverage)
+    qVocabCoverage, qEmbedQuantize)
 }

@@ -232,4 +232,60 @@ object Pipelines {
     */
   def replayReviews(archive: DataFrame): (DataFrame, DataFrame) =
     (SteamOps.sentimentAgg(archive), SteamOps.reviewBombAgg(archive))
+
+  // --------------------------------------------------------------------
+  // Custom-state sessionization (flatMapGroupsWithState): emits CLOSED
+  // sessions only — the session closes when the event-time watermark
+  // passes last-event + gap (EventTimeTimeout), or earlier when a later
+  // in-batch event opens the next session. Complements the declarative
+  // `session_window` aggregation (q_session_window): this is the path
+  // for session logic the built-in can't express (per-event custom
+  // folds, multi-record emission), with state bounded at O(open keys).
+  // --------------------------------------------------------------------
+
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  final case class ClosedSession(
+      key: String,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  def sessionsStateful(
+      events: Dataset[(String, java.sql.Timestamp)],
+      gapMinutes: Int): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(key, ts(s.start), ts(s.end), s.n))
+          } else {
+            // events inside a batch are unordered; fold them in time order
+            var out = List.empty[ClosedSession]
+            var cur = state.getOption
+            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  out ::= ClosedSession(key, ts(s.start), ts(s.end), s.n)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
 }

@@ -452,4 +452,40 @@ class StreamingSpec extends SparkSpec {
       indexed shouldBe Set(1L, 2L, 4L)
     } finally q.stop()
   }
+
+  test("sessionsStateful: flatMapGroupsWithState closes sessions on gap and watermark") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val in = memStream[(String, java.sql.Timestamp)]
+    val sessions = Pipelines.sessionsStateful(
+      in.toDS().withWatermark("_2", "0 seconds"), gapMinutes = 5)
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_out")
+      .start()
+    try {
+      // u1: two events 60s apart (one session); u2: one event.
+      // (start at t=1: an event exactly AT the initial watermark of 0
+      // is dropped as late before the stateful operator)
+      in.addData(("u1", t(1)), ("u1", t(61)), ("u2", t(30)))
+      q.processAllAvailable()
+      spark.table("sessions_out").count() shouldBe 0L // nothing closed yet
+
+      // an event far in the future advances the watermark past both
+      // open sessions' last-event + gap; u1 also opens a new session
+      in.addData(("u1", t(10000)))
+      q.processAllAvailable()
+      // timeouts fire on the NEXT batch after the watermark advances;
+      // push one empty-ish batch to collect them
+      in.addData(("u3", t(10001)))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet
+      closed should contain(("u1", 1L, 61L, 2L))
+      closed should contain(("u2", 30L, 30L, 1L))
+      // the in-flight u1/u3 sessions are still open, not emitted
+      closed.map(_._1) should not contain "u3"
+    } finally q.stop()
+  }
 }
