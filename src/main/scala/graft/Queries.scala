@@ -2102,6 +2102,43 @@ object Queries {
             |    AS BIGINT) AS sum_abs_err
             |FROM q""".stripMargin))
 
+  private val qLengthTrim = Q(
+    "q_length_trim",
+    "percentile length trim: GK-sketch p5/p95 thresholds drive the outlier filter",
+    (s, d) => {
+      // the standard length-outlier pass of a corpus pipeline: thresholds
+      // come from the mergeable GK sketch (exact in this regime — one
+      // tiny aggregate, not a global sort), broadcast into the filter as
+      // a one-row frame. Reports per-language keep rates so threshold
+      // effects are visible per shard.
+      val th = t(s, d).documents
+        .agg(graft.functions.expressions.NativeExpressions
+          .quantileSketch(col("n_chars"), Seq(0.05, 0.95), 100000).as("qs"))
+        .select(col("qs")(0).as("lo"), col("qs")(1).as("hi"))
+      val kept = sum(when(col("n_chars").between(col("lo"), col("hi")), 1L).otherwise(0L))
+      t(s, d).documents
+        .crossJoin(broadcast(th))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          kept.as("n_kept"),
+          floor(kept.cast("double") * 10000.0 / count(lit(1))).cast("long").as("kept_bp"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    },
+    Some {
+      def pick(q: String, as: String) =
+        s"max(CASE WHEN rn = CAST(floor((n - 1) * $q) AS BIGINT) + 1 THEN n_chars END) AS $as"
+      s"""WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+         |    count(*) OVER () AS n FROM documents),
+         |th AS (SELECT ${pick("0.05", "lo")}, ${pick("0.95", "hi")} FROM r)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  (CAST(sum(CASE WHEN n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         |    // CAST(count(*) AS BIGINT) AS kept_bp,
+         |  max(lo) AS lo, max(hi) AS hi
+         |FROM documents, th GROUP BY 1""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2121,5 +2158,5 @@ object Queries {
     qSubstrDedup, qDupClusters, qDupCanonical,
     qContamination, qTfidfTopk, qPiiRedact,
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
-    qVocabCoverage, qEmbedQuantize)
+    qVocabCoverage, qEmbedQuantize, qLengthTrim)
 }
