@@ -1129,6 +1129,33 @@ object Queries {
             |  r.click_cents, strftime(r.ts, '$DuckFmt') AS click_ts
             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
 
+  private val qAsofJoinExec = Q(
+    "q_asof_join_exec",
+    "as-of join via the custom physical operator (AsofJoinPlan/Strategy/Exec)",
+    (s, d) => {
+      val e = t(s, d).events
+      val l = e.filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          cents(col("value")).as("p_cents"))
+      val r = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(cents(col("value"))).as("click_cents"))
+      graft.operators.AsofJoin
+        .asofJoinMerge(l, r, "user_id", "ts", "ts", Seq("click_cents"))
+        .select(
+          col("user_id"), col("event_id"),
+          date_format(col("ts"), Fmt).as("p_ts"),
+          col("click_cents"),
+          date_format(col("asof_ts"), Fmt).as("click_ts"))
+    },
+    Some(s"""WITH l AS (SELECT user_id, event_id, ts, ${sqlCents("value")} AS p_cents
+            |  FROM events WHERE event_type = 'purchase' AND user_id < 50),
+            |r AS (SELECT user_id, ts, max(${sqlCents("value")}) AS click_cents
+            |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            |SELECT l.user_id, l.event_id, strftime(l.ts, '$DuckFmt') AS p_ts,
+            |  r.click_cents, strftime(r.ts, '$DuckFmt') AS click_ts
+            |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
+
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private val qPivot = Q(
@@ -2149,7 +2176,7 @@ object Queries {
     qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
-    qAsofJoin, qPivot, qSetOps, qRangeJoin, qRangeJoinAuto, qHeavyHitters, qCube,
+    qAsofJoin, qAsofJoinExec, qPivot, qSetOps, qRangeJoin, qRangeJoinAuto, qHeavyHitters, qCube,
     qGroupingSets, qQuantileSketch,
     qSampleSplit, qSampleStratified, qSampleWeighted, qPackBudget,
     qEmbedCentroid, qProfile,

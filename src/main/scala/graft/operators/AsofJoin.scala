@@ -75,4 +75,47 @@ object AsofJoin {
         valueCols.map(v => col(s"$carry.$v").as(v)) :+
         col(s"$carry.ts").as(matchedTs)): _*)
   }
+
+  /** Same semantics and output shape as [[asofJoin]], executed by the
+    * dedicated physical operator ([[graft.plans.AsofJoinExec]]): both
+    * sides hash-clustered on the key, sorted by (key, ts), one forward
+    * merge scan per partition. No union/tag columns, no window state —
+    * each right row is buffered at most once beyond the sort.
+    *
+    * The planner strategy is registered via `GraftExtensions`; for
+    * sessions built without the extensions this self-registers through
+    * the public `spark.experimental.extraStrategies` hook (idempotent).
+    */
+  def asofJoinMerge(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      matchedTs: String = "asof_ts"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    import graft.plans.{AsofJoinPlan, AsofJoinStrategy}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy) &&
+        !spark.sessionState.planner.strategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    val lp  = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    // fresh exprIds on the right side so self-joins (both inputs derived
+    // from the same table) don't produce duplicate attributes
+    val rAliases = rp0.output.map(a => Alias(a, a.name)())
+    val rp    = Project(rAliases, rp0)
+    val rAttr = rAliases.map(al => al.name -> al.toAttribute).toMap
+    val lAttr = lp.output.map(a => a.name -> a).toMap
+    val joined = GraftBridge.ofRows(spark,
+      AsofJoinPlan(lp, rp, lAttr(key), lAttr(leftTs), rAttr(key), rAttr(rightTs)))
+    val keep = left.columns.filterNot(c => c == matchedTs || valueCols.contains(c))
+    joined.select((keep.map(c => GraftBridge.column(lAttr(c))).toSeq ++
+      valueCols.map(v => GraftBridge.column(rAttr(v)).as(v)) :+
+      GraftBridge.column(rAttr(rightTs)).as(matchedTs)): _*)
+  }
 }

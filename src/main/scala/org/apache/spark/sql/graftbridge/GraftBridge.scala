@@ -15,6 +15,16 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over a hand-built logical plan (for custom nodes like
+    * `graft.plans.AsofJoinPlan`); `Dataset.ofRows` is `private[sql]` in
+    * Spark 4.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** `df.localCheckpoint(eager = true)` that also hands back the backing
     * RDD so iterative algorithms can `unpersist` superseded rounds —
     * `Dataset.localCheckpoint` alone gives the caller no handle to free

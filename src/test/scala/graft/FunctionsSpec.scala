@@ -218,6 +218,30 @@ class FunctionsSpec extends SparkSpec {
     out("l4") shouldBe (Some(40), Some(ts(400).toString))
   }
 
+  test("asofJoinMerge (custom AsofJoinExec) == window-formulation asofJoin, and plans the exec") {
+    import graft.operators.AsofJoin
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(1000).toLong), s"l$i")).toDF("k", "ts", "tag")
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(6).toLong, ts(rnd.nextInt(1000).toLong), i))
+      .distinctBy(r => (r._1, r._2)) // unique per (key, ts) — documented contract
+      .toDF("k", "ts", "v")
+    val a = AsofJoin.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+    val b = AsofJoin.asofJoinMerge(left, right, "k", "ts", "ts", Seq("v"))
+    b.columns.toSeq shouldBe a.columns.toSeq
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(2), Option(r.get(3)), Option(r.get(4)).map(_.toString))
+    b.collect().map(key).sortBy(_._1).toSeq shouldBe
+      a.collect().map(key).sortBy(_._1).toSeq
+    b.queryExecution.executedPlan.toString should include("AsofJoin")
+    // empty right side: every left row survives with null carry
+    val b0 = AsofJoin.asofJoinMerge(left, right.limit(0), "k", "ts", "ts", Seq("v"))
+    b0.count() shouldBe 300
+    b0.filter(col("v").isNotNull).count() shouldBe 0
+  }
+
   test("asofJoin: all carried columns come from the SAME matched row (nulls stay null)") {
     import graft.operators.AsofJoin
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
