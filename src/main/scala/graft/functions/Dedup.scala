@@ -407,6 +407,9 @@ object Dedup {
         GraftBridge.expression(lit(expectedItems)),
         GraftBridge.expression(lit(numBits))).toAggregateExpression())
     val bloomBytes = corpusKeys.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    // empty corpus → the aggregate yields a null filter; every batch row
+    // is new (a null-literal probe would instead null out BOTH branches)
+    if (bloomBytes == null) return batch
     val probed = batch
       .withColumn("k", key)
       .withColumn("maybe_dup", GraftBridge.column(

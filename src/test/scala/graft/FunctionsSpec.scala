@@ -733,6 +733,9 @@ class FunctionsSpec extends SparkSpec {
       withClue(s"items=$items fpp=$fpp: ") { got shouldBe expected }
     }
     expected should have size 40
+    // empty corpus (null aggregate filter): everything is new
+    Dedup.bloomNewDocs(batch, corpus.limit(0), "doc_id", "text")
+      .count() shouldBe batch.count()
   }
 
   test("incrementalDedup: exact set matches fingerprint semi-join; new iff match_id=-1") {
