@@ -2060,6 +2060,9 @@ object Queries {
           .as("arr"))
         .crossJoin(counts.agg(sum(col("cnt")).as("total")))
       packed
+        // empty corpus guard: sequence(0, -1) DESCENDS in Spark, and the
+        // ANSI element_at on the empty array would throw
+        .filter(size(col("arr")) > 0)
         .select(col("total"), explode(transform(
           sequence(lit(0), size(col("arr")) - 1),
           i => struct(
