@@ -460,20 +460,36 @@ object Dedup {
 
   /** (id, band, bkey) MinHash-LSH band table — the near-dup index an
     * incremental pipeline persists and appends to.
+    *
+    * `maxBucket > 0` drops band buckets holding more than that many docs
+    * (same broadcast-anti-join cap as [[minhashCandidates]], same
+    * rationale: a boilerplate bucket of m docs costs every future batch
+    * row that lands in it m join rows — at corpus scale the cap is what
+    * keeps per-batch cost ∝ |batch|). 0 = no cap (the oracle regime).
     */
   def bandTable(
       df: DataFrame,
       id: String,
       text: String,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucket: Int = 0): DataFrame = {
     val r = numHashes / bands
     val sigs = explodedDistinctTokens(df, id, text)
       .groupBy(col(id))
       .agg(minhashSigExprs(numHashes).head, minhashSigExprs(numHashes).tail: _*)
-    (0 until bands)
+    val banded = (0 until bands)
       .map(b => sigs.select(col(id), lit(b).as("band"), bandKeyExpr(b, r).as("bkey")))
       .reduce(_.unionAll(_))
+    if (maxBucket <= 0) banded
+    else {
+      val oversized = banded
+        .groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket)
+        .select(col("band"), col("bkey"))
+      banded.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    }
   }
 
   /** [[incrementalDedup]] against PRECOMPUTED corpus index tables
