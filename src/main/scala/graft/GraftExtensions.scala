@@ -36,5 +36,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_simhash(tokenArray)")
         SimHash(args(0))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.Shingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(tokenArray, n)")
+        graft.functions.expressions.Shingles(
+          args(0), intLit(args(1), "graft_shingles n"), distinct = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_simhash"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.ShingleSimHash].getName,
+        "graft_shingle_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_shingle_simhash(tokenArray)")
+        graft.functions.expressions.ShingleSimHash(args(0), n = 3, bits = 64)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_fp"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.RollingFp].getName, "graft_rolling_fp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_rolling_fp(tokenArray, windowSize)")
+        graft.functions.expressions.RollingFp(
+          args(0), intLit(args(1), "graft_rolling_fp windowSize"))
+      }))
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
   }
 }

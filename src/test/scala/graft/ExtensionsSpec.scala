@@ -48,6 +48,28 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("graft_shingles / graft_shingle_simhash / graft_rolling_fp callable from SQL") {
+    withExtSession { s =>
+      import org.apache.spark.sql.functions.col
+      val sh = s.sql("SELECT graft_shingles(array('a','b','c','b','c'), 2) AS g")
+        .collect().head.getSeq[String](0)
+      sh shouldBe Seq("a b", "b c", "c b")
+      val ssh = s.sql("SELECT graft_shingle_simhash(array('a','b','c','d')) AS h")
+        .collect().head.getLong(0)
+      import s.implicits._
+      val sshApi = Seq("a b c d").toDF("text")
+        .select(graft.functions.Dedup.shingleSimhash(col("text")))
+        .collect().head.getLong(0)
+      ssh shouldBe sshApi
+      // rolling fp returns the (doc_fp, min_shingle_fp) struct
+      val rf = s.sql("SELECT graft_rolling_fp(array('a','b','c','d'), 3) AS f")
+        .collect().head.getStruct(0)
+      rf.length shouldBe 2
+      an[IllegalArgumentException] should be thrownBy
+        s.sql("SELECT graft_shingles(array('a'), 'x')").collect()
+    }
+  }
+
   test("RangeJoinRule: naive interval join plans as bucketed equi-join, same rows") {
     withExtSession { s =>
       import s.implicits._
