@@ -26,6 +26,9 @@ object Bench {
     }
     // optional args: query names (exact) to bench — for iterating on one
     // query without paying for the full catalog; no args = full catalog
+    val unknown = args.filterNot(a => Queries.all.exists(_.name == a))
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) Queries.all
       else Queries.all.filter(q => args.contains(q.name))

@@ -2055,10 +2055,15 @@ object Queries {
         .select(explode(TF.tokens(col("text"))).as("tok"))
       val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val top = counts.orderBy(col("cnt").desc, col("tok")).limit(50)
+      // grand total = Σ vocab counts = Σ per-doc token counts: take it
+      // from a narrow scan of the documents instead of re-running the
+      // explode+groupBy a second time for one number
+      val total = t(s, d).documents
+        .agg(sum(size(TF.tokens(col("text")))).cast("long").as("total"))
       val packed = top.agg(
         sort_array(collect_list(struct((-col("cnt")).as("n"), col("tok"), col("cnt"))))
           .as("arr"))
-        .crossJoin(counts.agg(sum(col("cnt")).as("total")))
+        .crossJoin(broadcast(total))
       packed
         // empty corpus guard: sequence(0, -1) DESCENDS in Spark, and the
         // ANSI element_at on the empty array would throw

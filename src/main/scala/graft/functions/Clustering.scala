@@ -132,14 +132,28 @@ object Clustering {
   /** Cluster assignment for a full document population: every row of
     * `docs` gets a `cluster_id` (min doc id of its component; its own id
     * if it shares no edge) and the component's `cluster_size`.
+    *
+    * The component labels ride on a pinned local checkpoint that lives
+    * until the session ends (fine for a one-shot job). A long-lived
+    * driver looping over many cluster runs should use
+    * [[clustersOfManaged]] and `release()` each result after consuming
+    * it — the returned frame is lazy, so release only after the last
+    * action over it.
     */
-  def clustersOf(docs: DataFrame, edges: DataFrame, id: String): DataFrame = {
-    val cc = connectedComponents(edges)
+  def clustersOf(docs: DataFrame, edges: DataFrame, id: String): DataFrame =
+    clustersOfManaged(docs, edges, id).labels
+
+  /** [[clustersOf]] plus the component-label checkpoint's release handle
+    * (see [[CcLabels]]); the handle frees the one block-manager snapshot
+    * the whole lazy result is rooted in.
+    */
+  def clustersOfManaged(docs: DataFrame, edges: DataFrame, id: String): CcLabels = {
+    val cc = connectedComponentsManaged(edges)
     val assigned = docs
-      .join(cc.withColumnRenamed("node", id), Seq(id), "left")
+      .join(cc.labels.withColumnRenamed("node", id), Seq(id), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
     val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    assigned.join(sizes, Seq("cluster_id"))
+    CcLabels(assigned.join(sizes, Seq("cluster_id")), cc.release)
   }
 
   /** One canonical document per cluster: highest `prefCol` wins, ties

@@ -80,27 +80,10 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    val r = numHashes / bands
-    val sigs = explodedDistinctTokens(df, id, text)
-      .groupBy(col(id))
-      .agg(minhashSigExprs(numHashes).head, minhashSigExprs(numHashes).tail: _*)
-    val banded = (0 until bands)
-      .map(b => sigs.select(col(id), lit(b).as("band"), bandKeyExpr(b, r).as("bkey")))
-      .reduce(_.unionAll(_))
-    // Bucket-size cap without a window function: the oversized-bucket key
-    // list is tiny by construction (each key holds > maxBucket docs), so
-    // aggregate it (map-side partial combine) and broadcast an anti-join —
-    // the banded set is never shuffled-and-sorted wholesale the way a
-    // count().over(partitionBy(bucket)) would.
-    val capped =
-      if (maxBucket > 0) {
-        val oversized = banded
-          .groupBy(col("band"), col("bkey"))
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") > maxBucket)
-          .select(col("band"), col("bkey"))
-        banded.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
-      } else banded
+    // signature build + banding + bucket cap all live in [[bandTable]]
+    // (shared with the incremental-dedup index) so the banding scheme
+    // has exactly one implementation
+    val capped = bandTable(df, id, text, numHashes, bands, maxBucket)
     val a = capped.select(col(id).as("doc_a"), col("band"), col("bkey"))
     val b = capped.select(col(id).as("doc_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))

@@ -74,12 +74,14 @@ object HtmlEntities {
     0x9e -> "ž", 0x9f -> "Ÿ")
 
   /** Python's `html._invalid_codepoints`: C0 controls (minus TAB/LF/FF/CR,
-    * which are valid), DEL–C1, the U+FDD0–FDEF noncharacter block, and the
-    * two trailing noncharacters of every plane (U+xFFFE / U+xFFFF). The
-    * C1 range 0x80–0x9F is fully shadowed by the [[Cp1252]] remap checked
-    * first, so here it only catches 0x7F. */
+    * which are valid — 0x0B vertical tab IS invalid), DEL–C1, the
+    * U+FDD0–FDEF noncharacter block, and the two trailing noncharacters
+    * of every plane (U+xFFFE / U+xFFFF). The C1 range 0x80–0x9F is fully
+    * shadowed by the [[Cp1252]] remap checked first, so here it only
+    * catches 0x7F. */
   private def isInvalidCodepoint(cp: Int): Boolean =
     (cp >= 0x01 && cp <= 0x08) ||
+      cp == 0x0b ||
       (cp >= 0x0e && cp <= 0x1f) ||
       (cp >= 0x7f && cp <= 0x9f) ||
       (cp >= 0xfdd0 && cp <= 0xfdef) ||

@@ -128,8 +128,13 @@ case class AsofJoinExec(
           val kc = keyOrd.compare(rk, k)
           if (kc < 0) pending = null // right key before left key: discard
           else if (kc == 0 && tsOrd.compare(rTsB.eval(pending), t) <= 0) {
-            // rows from the sort iterator are reused buffers — copy
-            candidate = pending.copy(); candidateKey = rk; pending = null
+            // rows from the sort iterator are reused buffers — copy the
+            // row AND re-evaluate the key from the copy: `rk` itself may
+            // be buffer-backed (UTF8String/binary) and clobbered by the
+            // next rIter.next()
+            candidate = pending.copy()
+            candidateKey = rKeyB.eval(candidate)
+            pending = null
           } else scan = false // right side is ahead of this left row
         }
         val matched =

@@ -129,9 +129,17 @@ object Pipelines {
         val spark = batch.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(stateDir), spark.sessionState.newHadoopConf())
+        // REPLAY SAFETY: only index partitions from batches strictly
+        // before this one are corpus — a replayed batch must not read the
+        // partition its own crashed attempt half-wrote, or every one of
+        // its docs "matches" itself and the rewrite then EMPTIES the
+        // index partition (permanent loss)
         def readIndex(sub: String, empty: => DataFrame): DataFrame = {
           val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-          if (fs.exists(p)) spark.read.parquet(p.toString) else empty
+          if (fs.exists(p))
+            spark.read.parquet(p.toString)
+              .filter(col("batch") < batchId)
+          else empty
         }
         batch.persist()
         try {
@@ -235,15 +243,19 @@ object Pipelines {
 
   // --------------------------------------------------------------------
   // Custom-state sessionization (flatMapGroupsWithState): emits CLOSED
-  // sessions only — the session closes when the event-time watermark
-  // passes last-event + gap (EventTimeTimeout), or earlier when a later
-  // in-batch event opens the next session. Complements the declarative
-  // `session_window` aggregation (q_session_window): this is the path
-  // for session logic the built-in can't express (per-event custom
-  // folds, multi-record emission), with state bounded at O(open keys).
+  // sessions only, and only once the event-time watermark passes a
+  // session's end + gap — the same close condition the declarative
+  // `session_window` aggregation uses, because until then an allowed-late
+  // out-of-order event may still extend or BRIDGE sessions. State is the
+  // key's list of open intervals (events inside the allowed lateness can
+  // arrive before the earliest open interval, so one interval is not
+  // enough); each event merges every interval within `gap` of it. This
+  // is the path for session logic the built-in can't express (per-event
+  // custom folds, multi-record emission), state bounded at O(open
+  // intervals per key).
   // --------------------------------------------------------------------
 
-  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class SessionState(sessions: List[(Long, Long, Long)])
 
   final case class ClosedSession(
       key: String,
@@ -257,35 +269,44 @@ object Pipelines {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+    // fold one event time into the sorted interval list: merge every
+    // interval within gap of t (an event can bridge two intervals)
+    def absorb(ivs: List[(Long, Long, Long)], t: Long): List[(Long, Long, Long)] = {
+      val (touch, rest) = ivs.partition { case (s, e, _) =>
+        t >= s - gapMs && t <= e + gapMs
+      }
+      val merged = touch.foldLeft((t, t, 1L)) { case ((s, e, n), (s2, e2, n2)) =>
+        (math.min(s, s2), math.max(e, e2), n + n2)
+      }
+      (merged :: rest).sortBy(_._1)
+    }
+
+    // close intervals no allowed-late event can still touch, keep the rest
+    def emitAndKeep(
+        key: String,
+        ivs: List[(Long, Long, Long)],
+        state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, open) = ivs.partition { case (_, e, _) => e + gapMs <= wm }
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionState(open))
+        state.setTimeoutTimestamp(open.map(_._2).min + gapMs)
+      }
+      closed.iterator.map { case (s, e, n) => ClosedSession(key, ts(s), ts(e), n) }
+    }
+
     events
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key, rows, state) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(key, ts(s.start), ts(s.end), s.n))
-          } else {
-            // events inside a batch are unordered; fold them in time order
-            var out = List.empty[ClosedSession]
-            var cur = state.getOption
-            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
-              cur = cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  out ::= ClosedSession(key, ts(s.start), ts(s.end), s.n)
-                  Some(SessionState(t, t, 1))
-                case None => Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            out.reverseIterator
-          }
+          val prior = state.getOption.map(_.sessions).getOrElse(Nil)
+          val ivs =
+            if (state.hasTimedOut) prior
+            else rows.map(_._2.getTime).toSeq.sorted.foldLeft(prior)(absorb)
+          emitAndKeep(key, ivs, state)
       }
   }
 }

@@ -57,7 +57,7 @@ class FunctionsSpec extends SparkSpec {
       "&copy &notin legacy-prefix"              -> "© ¬in legacy-prefix",
       "&nbsp;&hellip;&mdash;&euro;&trade;"      -> " …—€™",
       "&#0;&#13;&#128;&#xD800;&#1114112; recovery" -> "�\r€�� recovery",
-      "&#1;&#8;&#x7F;&#xFDD0;&#xFFFE;&#x1FFFF;&#x10FFFF;gone" -> "gone",
+      "&#1;&#8;&#11;&#x7F;&#xFDD0;&#xFFFE;&#x1FFFF;&#x10FFFF;gone" -> "gone",
       "&#9;tab kept &#xFFFD;"                   -> "\ttab kept �",
       "&unknown; &zzz stays &"                  -> "&unknown; &zzz stays &",
       "Caf&eacute; cr&egrave;me &frac12;"       -> "Café crème ½",
@@ -240,6 +240,15 @@ class FunctionsSpec extends SparkSpec {
     val b0 = AsofJoin.asofJoinMerge(left, right.limit(0), "k", "ts", "ts", Seq("v"))
     b0.count() shouldBe 300
     b0.filter(col("v").isNotNull).count() shouldBe 0
+    // string keys: buffer-backed (UTF8String) key values through the
+    // merge scan — the candidate key must be re-evaluated off the copy
+    val lS = left.select(concat(lit("key-"), col("k")).as("k"), col("ts"), col("tag"))
+    val rS = right.select(concat(lit("key-"), col("k")).as("k"), col("ts"), col("v"))
+    val aS = AsofJoin.asofJoin(lS, rS, "k", "ts", "ts", Seq("v"))
+      .collect().map(key).sortBy(_._1).toSeq
+    val bS = AsofJoin.asofJoinMerge(lS, rS, "k", "ts", "ts", Seq("v"))
+      .collect().map(key).sortBy(_._1).toSeq
+    bS shouldBe aS
   }
 
   test("asofJoin: all carried columns come from the SAME matched row (nulls stay null)") {
