@@ -10,6 +10,10 @@ package graft
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // validate pure arguments before paying session bootstrap + warm-up
+    val unknownNames = args.filterNot(a => Queries.all.exists(_.name == a))
+    require(unknownNames.isEmpty,
+      s"unknown query name(s): ${unknownNames.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
 
@@ -26,9 +30,6 @@ object Bench {
     }
     // optional args: query names (exact) to bench — for iterating on one
     // query without paying for the full catalog; no args = full catalog
-    val unknown = args.filterNot(a => Queries.all.exists(_.name == a))
-    require(unknown.isEmpty,
-      s"unknown query name(s): ${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) Queries.all
       else Queries.all.filter(q => args.contains(q.name))

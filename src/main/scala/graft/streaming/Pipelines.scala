@@ -136,10 +136,14 @@ object Pipelines {
         // index partition (permanent loss)
         def readIndex(sub: String, empty: => DataFrame): DataFrame = {
           val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-          if (fs.exists(p))
-            spark.read.parquet(p.toString)
-              .filter(col("batch") < batchId)
-          else empty
+          if (!fs.exists(p)) empty
+          else
+            // a crashed FIRST write can leave the directory with no
+            // committed footers at all — schema inference then throws
+            // before the batch filter could save the replay; treat an
+            // uninferable index as empty
+            try spark.read.parquet(p.toString).filter(col("batch") < batchId)
+            catch { case _: org.apache.spark.sql.AnalysisException => empty }
         }
         batch.persist()
         try {
@@ -255,6 +259,10 @@ object Pipelines {
   // intervals per key).
   // --------------------------------------------------------------------
 
+  /** State schema v2 (interval list; v1 was three flat longs) — a
+    * streaming query restarted across that change needs a fresh
+    * checkpoint, the state store rejects the old encoding.
+    */
   final case class SessionState(sessions: List[(Long, Long, Long)])
 
   final case class ClosedSession(
@@ -287,7 +295,13 @@ object Pipelines {
         key: String,
         ivs: List[(Long, Long, Long)],
         state: GroupState[SessionState]): Iterator[ClosedSession] = {
-      val wm = state.getCurrentWatermarkMs()
+      // batch execution has no watermark (getCurrentWatermarkMs throws
+      // after EliminateEventTimeWatermark strips the node): all data has
+      // been seen, so every session is closable — watermark = +∞. This
+      // keeps the Kappa batch-replay parity the streaming ops promise.
+      val wm =
+        try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => Long.MaxValue }
       val (closed, open) = ivs.partition { case (_, e, _) => e + gapMs <= wm }
       if (open.isEmpty) state.remove()
       else {

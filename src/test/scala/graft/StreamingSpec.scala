@@ -488,4 +488,18 @@ class StreamingSpec extends SparkSpec {
       closed.map(_._1) should not contain "u3"
     } finally q.stop()
   }
+
+  test("sessionsStateful on a batch Dataset closes everything (Kappa replay parity)") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // batch execution has no watermark: all sessions are final
+    val events = Seq(
+      ("u1", t(1)), ("u1", t(61)), ("u1", t(10000)), // gap splits u1 in two
+      ("u2", t(30))).toDS()
+    val got = Pipelines.sessionsStateful(events, gapMinutes = 5)
+      .collect()
+      .map(r => (r.key, r.session_start.getTime / 1000,
+        r.session_end.getTime / 1000, r.n_events)).toSet
+    got shouldBe Set(
+      ("u1", 1L, 61L, 2L), ("u1", 10000L, 10000L, 1L), ("u2", 30L, 30L, 1L))
+  }
 }
