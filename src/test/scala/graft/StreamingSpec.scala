@@ -502,4 +502,28 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Set(
       ("u1", 1L, 61L, 2L), ("u1", 10000L, 10000L, 1L), ("u2", 30L, 30L, 1L))
   }
+
+  test("batch sessionsStateful == declarative session_window on random events") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val rnd = new scala.util.Random(23)
+    val events = (1 to 400).map(_ =>
+      (s"u${rnd.nextInt(6)}", t(rnd.nextInt(5000).toLong)))
+    val gapMin = 5
+    val custom = Pipelines.sessionsStateful(events.toDS(), gapMin)
+      .collect()
+      .map(r => (r.key, r.session_start.getTime / 1000,
+        // session_window's end is last event + gap
+        r.session_end.getTime / 1000 + gapMin * 60L, r.n_events))
+      .toSet
+    val declarative = events.toDF("key", "ts")
+      .groupBy(col("key"), session_window(col("ts"), s"$gapMin minutes"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getStruct(1).getTimestamp(0).getTime / 1000,
+        r.getStruct(1).getTimestamp(1).getTime / 1000,
+        r.getLong(2)))
+      .toSet
+    custom shouldBe declarative
+  }
 }
