@@ -197,15 +197,17 @@ object Clustering {
       stride: Int = 8,
       maxWindowFreq: Int = 0): DataFrame = {
     // substring+md5 are evaluated before the shuffle, so only
-    // (id, 32-char hash) rows move — never the document text
+    // (id, 32-char hash) rows move — never the document text. Per-doc
+    // window dedup happens map-side (`array_distinct` over the window
+    // array) instead of a corpus-wide `.distinct()` — that saved shuffle
+    // carried every (id, hash) row just to drop in-document repeats
     val hashed = df
       .filter(length(col(text)) >= win)
       .select(
         col(id),
-        explode(sequence(lit(1), length(col(text)) - (win - 1), lit(stride))).as("off"),
-        col(text))
-      .select(col(id), md5(col(text).substr(col("off"), lit(win))).as("wh"))
-      .distinct()
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col(text)) - (win - 1), lit(stride)),
+          off => md5(col(text).substr(off, lit(win)))))).as("wh"))
     val capped =
       if (maxWindowFreq > 0) {
         val common = hashed
