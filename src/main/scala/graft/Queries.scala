@@ -1808,9 +1808,13 @@ object Queries {
     (s, d) => {
       val toks = t(s, d).documents
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-      val tf  = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfc = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
-      val n   = toks.agg(countDistinct("doc_id").as("n"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // df re-aggregates tf (one row per (doc, tok) already) instead of
+      // re-exploding the corpus with a countDistinct expand; n (docs with
+      // ≥1 token) is a narrow scan, not a third explode
+      val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = t(s, d).documents
+        .agg(sum(when(size(TF.tokens(col("text"))) > 0, 1L).otherwise(0L)).as("n"))
       val w = Window.partitionBy("doc_id")
         .orderBy(expr("tf * 1000000 * n div df").desc, col("tf").desc, col("tok"))
       tf.join(dfc, "tok")
