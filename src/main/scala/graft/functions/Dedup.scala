@@ -212,13 +212,19 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     val sh = df.select(col(id), simhashExpr(col(text)).as("simhash"))
-    val banded = (0 until bands).map { bnd =>
+    // all band buckets from ONE evaluation of the sketch (a per-band
+    // union would re-tokenize and re-hash the corpus `bands` times)
+    val keys = array((0 until bands).map { bnd =>
       val lo = bnd * SimhashBits / bands
       val hi = (bnd + 1) * SimhashBits / bands
       val mask = (1L << (hi - lo)) - 1
-      sh.select(col(id), col("simhash"), lit(bnd).as("band"),
+      struct(lit(bnd).as("band"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bucket"))
-    }.reduce(_.unionAll(_))
+    }: _*)
+    val banded = sh
+      .select(col(id), col("simhash"), explode(keys).as("bk"))
+      .select(col(id), col("simhash"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val a = banded.select(
       col(id).as("doc_a"), col("simhash").as("ha"), col("band"), col("bucket"))
     val b = banded.select(
@@ -461,9 +467,15 @@ object Dedup {
     val sigs = explodedDistinctTokens(df, id, text)
       .groupBy(col(id))
       .agg(minhashSigExprs(numHashes).head, minhashSigExprs(numHashes).tail: _*)
-    val banded = (0 until bands)
-      .map(b => sigs.select(col(id), lit(b).as("band"), bandKeyExpr(b, r).as("bkey")))
-      .reduce(_.unionAll(_))
+    // all band keys from ONE evaluation of the signature aggregation (a
+    // per-band union would re-aggregate the corpus `bands` times — same
+    // pattern as simhashBucketCandidates)
+    val keys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), bandKeyExpr(b, r).as("bkey"))
+    }: _*)
+    val banded = sigs
+      .select(col(id), explode(keys).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     if (maxBucket <= 0) banded
     else {
       val oversized = banded
