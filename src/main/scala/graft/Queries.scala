@@ -1806,15 +1806,20 @@ object Queries {
     "q_tfidf_topk",
     "top-3 salient terms per doc by integer-scaled TF-IDF",
     (s, d) => {
+      // null ids are excluded up front so the df-from-tf and narrow-n
+      // derivations below stay equivalent to distinct-doc counting
       val toks = t(s, d).documents
+        .filter(col("doc_id").isNotNull)
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       // df re-aggregates tf (one row per (doc, tok) already) instead of
       // re-exploding the corpus with a countDistinct expand; n (docs with
-      // ≥1 token) is a narrow scan, not a third explode
+      // ≥1 token ⇔ non-blank text) is a narrow scan with a length check,
+      // not a third explode through the tokenizer
       val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = t(s, d).documents
-        .agg(sum(when(size(TF.tokens(col("text"))) > 0, 1L).otherwise(0L)).as("n"))
+        .filter(col("doc_id").isNotNull)
+        .agg(sum(when(length(trim(col("text"))) > 0, 1L).otherwise(0L)).as("n"))
       val w = Window.partitionBy("doc_id")
         .orderBy(expr("tf * 1000000 * n div df").desc, col("tf").desc, col("tok"))
       tf.join(dfc, "tok")
@@ -1824,7 +1829,8 @@ object Queries {
         .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rank"))
     },
     Some(raw"""WITH tk AS (SELECT doc_id,
-            |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+            |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+            |  WHERE doc_id IS NOT NULL),
             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
             |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
             |n AS (SELECT count(DISTINCT doc_id) AS n FROM tk)

@@ -200,14 +200,28 @@ object Clustering {
     // (id, 32-char hash) rows move — never the document text. Per-doc
     // window dedup happens map-side (`array_distinct` over the window
     // array) instead of a corpus-wide `.distinct()` — that saved shuffle
-    // carried every (id, hash) row just to drop in-document repeats
-    val hashed = df
-      .filter(length(col(text)) >= win)
+    // carried every (id, hash) row just to drop in-document repeats.
+    // Giant documents are the exception: materializing len/stride md5
+    // strings in ONE array row would blow a task on a 100 MB outlier, so
+    // docs past the threshold stream through the old explode + per-doc
+    // distinct shuffle — only the rare outliers' hashes pay it.
+    val bigDocChars = 65536
+    def windows(rows: DataFrame) = rows.select(
+      col(id),
+      explode(sequence(lit(1), length(col(text)) - (win - 1), lit(stride))).as("off"),
+      col(text))
+    val eligible = df.filter(length(col(text)) >= win)
+    val small = eligible
+      .filter(length(col(text)) <= bigDocChars)
       .select(
         col(id),
         explode(array_distinct(transform(
           sequence(lit(1), length(col(text)) - (win - 1), lit(stride)),
           off => md5(col(text).substr(off, lit(win)))))).as("wh"))
+    val big = windows(eligible.filter(length(col(text)) > bigDocChars))
+      .select(col(id), md5(col(text).substr(col("off"), lit(win))).as("wh"))
+      .distinct()
+    val hashed = small.unionAll(big)
     val capped =
       if (maxWindowFreq > 0) {
         val common = hashed

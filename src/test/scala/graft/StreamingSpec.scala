@@ -509,12 +509,13 @@ class StreamingSpec extends SparkSpec {
     val events = (1 to 400).map(_ =>
       (s"u${rnd.nextInt(6)}", t(rnd.nextInt(5000).toLong)))
     val gapMin = 5
+    // sorted Seq, not Set: a duplicate emission must fail, not collapse
     val custom = Pipelines.sessionsStateful(events.toDS(), gapMin)
       .collect()
       .map(r => (r.key, r.session_start.getTime / 1000,
         // session_window's end is last event + gap
         r.session_end.getTime / 1000 + gapMin * 60L, r.n_events))
-      .toSet
+      .sorted.toSeq
     val declarative = events.toDF("key", "ts")
       .groupBy(col("key"), session_window(col("ts"), s"$gapMin minutes"))
       .agg(count(lit(1)).as("n"))
@@ -523,7 +524,7 @@ class StreamingSpec extends SparkSpec {
         r.getStruct(1).getTimestamp(0).getTime / 1000,
         r.getStruct(1).getTimestamp(1).getTime / 1000,
         r.getLong(2)))
-      .toSet
+      .sorted.toSeq
     custom shouldBe declarative
   }
 }
