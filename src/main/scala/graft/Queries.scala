@@ -2184,6 +2184,61 @@ object Queries {
          |FROM documents, th GROUP BY 1""".stripMargin
     })
 
+  private val qCorpusReport = Q(
+    "q_corpus_report",
+    "data-card report: per (lang, source) doc counts, token budget, quality, filter pass + dup rates",
+    (s, d) => {
+      // the per-shard summary a dataset release ships: one pass computes
+      // every per-doc signal (quality in basis points — the doubles are
+      // oracle-bit-identical so their floor is too, token count, Gopher
+      // pass flag, content fingerprint), a tiny fingerprint-count join
+      // marks duplicates, and one groupBy folds it all per shard
+      val txt = col("text")
+      val quality = TF.qualityScore(txt)
+      val nw = TF.tokenCount(txt).cast("long")
+      val stop = size(filter(TF.tokens(txt), t => t.isin(TF.Stopwords.map(lit): _*)))
+      val perDoc = t(s, d).documents.select(
+        col("lang"), col("source"), col("doc_id"),
+        TF.bagFingerprint(txt).as("fp"),
+        floor(quality * 10000.0).cast("long").as("q_bp"),
+        nw.as("n_tokens"),
+        (nw >= 20 && nw <= 1000 && stop >= 2).as("passes"))
+      val fpCnt = perDoc.groupBy(col("fp"))
+        .agg((count(lit(1)) > 1).as("is_dup"))
+      perDoc.join(fpCnt, Seq("fp"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          floor(sum(col("q_bp")).cast("double") / count(lit(1))).cast("long")
+            .as("mean_quality_bp"),
+          sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+    },
+    Some {
+      val stops = TF.Stopwords.map(w => s"'$w'").mkString(", ")
+      raw"""WITH base AS (SELECT lang, source, doc_id,
+           |  md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), 'string_agg', ' ')) AS fp,
+           |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+           |  CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($stops))) END AS n_stop,
+           |  CASE WHEN length(text) = 0 THEN 0.0
+           |       ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text) END AS punct_ratio
+           |FROM documents),
+           |q AS (SELECT lang, source, doc_id, fp, n_tokens,
+           |  CAST(floor(((least(n_tokens, 64) / 64.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+           |    + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END) * 4.0, 1.0) * 0.2) * 10000.0) AS BIGINT) AS q_bp,
+           |  n_tokens >= 20 AND n_tokens <= 1000 AND n_stop >= 2 AS passes
+           |FROM base),
+           |fpc AS (SELECT fp, count(*) > 1 AS is_dup FROM base GROUP BY 1)
+           |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  CAST(floor(sum(q_bp) / count(*)) AS BIGINT) AS mean_quality_bp,
+           |  CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           |FROM q JOIN fpc USING (fp) GROUP BY 1, 2""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2203,5 +2258,5 @@ object Queries {
     qSubstrDedup, qDupClusters, qDupCanonical,
     qContamination, qTfidfTopk, qPiiRedact,
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
-    qVocabCoverage, qEmbedQuantize, qLengthTrim)
+    qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport)
 }
