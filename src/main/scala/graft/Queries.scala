@@ -2239,6 +2239,50 @@ object Queries {
            |FROM q JOIN fpc USING (fp) GROUP BY 1, 2""".stripMargin
     })
 
+  private val qDedupPipeline = Q(
+    "q_dedup_pipeline",
+    "end-to-end dedup: window edges → components → canonical keep-list → kept-corpus report",
+    (s, d) => {
+      // the full user story in one query: near-dup evidence → connected
+      // components → one canonical doc per cluster (longest, min-id tie)
+      // → semi-join the keep-list back onto the corpus → per-language
+      // before/after accounting. Each stage is the already-oracle-pinned
+      // operator; this composes them the way a production dedup job runs.
+      val docs = t(s, d).documents
+      val canon = Clustering
+        .canonicalPerCluster(
+          Clustering.clustersOf(docs, windowPairs(s, d), "doc_id"),
+          "doc_id", "n_chars")
+        .select(col("canon_doc_id").as("doc_id"))
+      val kept = docs.join(canon, Seq("doc_id"), "left_semi")
+      val before = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      val after = kept.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("kept_tokens"))
+      before
+        .join(after, Seq("lang"), "left")
+        .select(
+          col("lang"), col("n_before"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+    },
+    Some(s"""WITH RECURSIVE
+            |$sqlWindowEdges,
+            |canon AS (SELECT doc_id FROM (
+            |  SELECT asg.doc_id, row_number() OVER (PARTITION BY asg.cluster_id
+            |    ORDER BY asg.n_chars DESC, asg.doc_id ASC) AS rn FROM asg) WHERE rn = 1),
+            |before AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+            |  FROM documents GROUP BY 1),
+            |kept AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+            |    CAST(sum(CASE WHEN length(trim(d.text)) = 0 THEN 0
+            |      ELSE len(string_split_regex(trim(d.text), '\\s+')) END) AS BIGINT) AS kept_tokens
+            |  FROM documents d JOIN canon USING (doc_id) GROUP BY 1)
+            |SELECT b.lang, b.n_before,
+            |  COALESCE(kept.n_kept, 0) AS n_kept,
+            |  COALESCE(kept.kept_tokens, 0) AS kept_tokens
+            |FROM before b LEFT JOIN kept USING (lang)""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2258,5 +2302,5 @@ object Queries {
     qSubstrDedup, qDupClusters, qDupCanonical,
     qContamination, qTfidfTopk, qPiiRedact,
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
-    qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport)
+    qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline)
 }
