@@ -52,6 +52,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // for the argmax assignment
     "q_knn_cosine", "q_media_ann", "q_knn_ivf")
 
+  test("literal-bounded queries push their id bounds into the parquet scan") {
+    // the bound is what keeps the quadratic baselines quadratic-over-a-
+    // CONSTANT; if pushdown regresses, the scan reads the whole table and
+    // the bound only applies post-scan
+    val bounded = Seq(
+      "q_dedup_minhash",  // doc_id < 2000
+      "q_dedup_jaccard",  // doc_id < 500
+      "q_incremental_dedup", // corpus doc_id < 400 / batch >= 400
+      "q_asof_join")      // user_id < 50 + event_type pushdown
+    withGraftSession { s =>
+      bounded.foreach { name =>
+        val q = Queries.all.find(_.name == name).get
+        val plan = q.spark(s, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        withClue(s"$name: ") {
+          plan should include("PushedFilters: [")
+          (plan should include regex "PushedFilters: \\[[^\\]]*(LessThan|GreaterThan)")
+        }
+      }
+    }
+  }
+
   test("every catalog query plans without an unbounded nested-loop join") {
     withGraftSession { s =>
       Queries.all.foreach { q =>
