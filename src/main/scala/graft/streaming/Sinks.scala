@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, sum, to_date}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
@@ -44,6 +44,52 @@ object Sinks {
       .trigger(trigger)
       .outputMode("append")
     if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
+
+  /** Archive compaction: rewrite a per-batch partitioned archive (the
+    * `batch=<id>` directories [[graft.streaming.Pipelines.reviewsMultiSink]]
+    * and `dedupIngest` land, one per trigger) into a date-partitioned
+    * layout with few large files.
+    *
+    * The per-batch layout is what makes the WRITERS replay-safe, but left
+    * alone it is the classic streaming small-file problem — at one batch
+    * per trigger a day is thousands of directories of kilobyte files, and
+    * both scan planning and the NameNode pay per file. Compaction runs as
+    * a periodic batch job: one shuffle keyed by event date, one file per
+    * (date, shuffle lane), partition-pruned reads afterward. Write lands
+    * in `dstDir` (swap-then-delete is the caller's atomic-publish step,
+    * same pointer idiom as [[ParquetUpsertSink]]).
+    *
+    * Returns (rows, filesBefore, filesAfter) for the job log.
+    */
+  def compactArchive(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      tsCol: String,
+      lanesPerDate: Int = 1): (Long, Long, Long) = {
+    def dataFiles(dir: String): Long = {
+      val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(new HPath(dir), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(srcDir)
+    val src = spark.read.parquet(srcDir).drop("batch")
+    val dated = src.withColumn("event_date", to_date(col(tsCol)))
+    val rows = dated.count()
+    dated
+      .repartition(lanesPerDate, col("event_date"))
+      .write
+      .mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(dstDir)
+    (rows, before, dataFiles(dstDir))
   }
 
   /** A3 (parity flavor) — complete-mode in-memory table, reproducing the

@@ -489,6 +489,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactArchive: per-batch small files become date partitions, row-for-row") {
+    val src = tmpDir("arch_src"); val dst = tmpDir("arch_dst")
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val batches = Seq(
+      Seq(("a", ts(1, 1)), ("b", ts(1, 2))),
+      Seq(("c", ts(1, 3)), ("d", ts(2, 1))),
+      Seq(("e", ts(2, 2))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("app_id", "timestamp").repartition(2)
+        .write.mode("overwrite").parquet(s"$src/batch=$i")
+    }
+    val (rows, before, after) = Sinks.compactArchive(spark, src, dst, "timestamp")
+    rows shouldBe 5L
+    before shouldBe 6L // 3 batches x 2 shuffle lanes
+    after should be < before
+    val out = spark.read.parquet(dst)
+    out.count() shouldBe 5L
+    out.select("app_id").collect().map(_.getString(0)).toSet shouldBe
+      Set("a", "b", "c", "d", "e")
+    // the compacted layout partition-prunes on the derived date
+    out.filter(col("event_date") === "2024-01-02").count() shouldBe 2L
+  }
+
   test("sessionsStateful on a batch Dataset closes everything (Kappa replay parity)") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
     // batch execution has no watermark: all sessions are final
