@@ -2283,6 +2283,51 @@ object Queries {
             |  COALESCE(kept.kept_tokens, 0) AS kept_tokens
             |FROM before b LEFT JOIN kept USING (lang)""".stripMargin))
 
+  private val qMinhashCluster = Q(
+    "q_minhash_cluster",
+    "duplicate clusters over MinHash-LSH candidate edges (components compose with any generator)",
+    (s, d) => {
+      val docs = t(s, d).documents.filter(col("doc_id") < 500)
+      Clustering
+        .clustersOf(docs,
+          Dedup.minhashCandidates(docs, "doc_id", "text",
+            MinhashHashes, MinhashBands, maxBucket = 0),
+          "doc_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    },
+    Some {
+      val r = MinhashHashes / MinhashBands
+      val sigCols = (0 until MinhashHashes)
+        .map(i => s"min(md5('h$i:' || tok)) AS s$i").mkString(",\n  ")
+      val bandSelects = (0 until MinhashBands).map { b =>
+        val cs = (b * r until (b + 1) * r).map(i => s"s$i").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bkey FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE toks AS (${sqlDocToks(500)}),
+         |sigs AS (SELECT doc_id,
+         |  $sigCols
+         |FROM toks GROUP BY doc_id),
+         |bands AS (
+         |$bandSelects
+         |),
+         |p AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach AS (
+         |  SELECT a AS node, a AS lab FROM e
+         |  UNION
+         |  SELECT e.b AS node, r.lab FROM reach r JOIN e ON e.a = r.node
+         |),
+         |cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |asg AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+         |  WHERE d.doc_id < 500),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)
+         |SELECT asg.doc_id, asg.cluster_id, sz.cluster_size
+         |FROM asg JOIN sz USING (cluster_id)""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2302,5 +2347,6 @@ object Queries {
     qSubstrDedup, qDupClusters, qDupCanonical,
     qContamination, qTfidfTopk, qPiiRedact,
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
-    qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline)
+    qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,
+    qMinhashCluster)
 }
