@@ -1991,8 +1991,11 @@ object Queries {
         .agg(
           count(lit(1)).as("n_total"),
           kept.as("n_kept"),
-          floor(kept.cast("double") * 10000.0 / count(lit(1))).cast("long").as("kept_bp"),
-          floor(max(col("rate")).cast("double") * 10000.0 / 256.0).cast("long").as("target_bp"))
+          max(col("rate")).cast("long").as("max_rate"))
+        // exact integer basis points (DIV == the oracle's `//` at any scale)
+        .withColumn("kept_bp", expr("(n_kept * 10000) DIV n_total"))
+        .withColumn("target_bp", expr("(max_rate * 10000) DIV 256"))
+        .drop("max_rate")
     },
     Some(raw"""WITH h AS (SELECT source, doc_id,
             |  CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS sn,
@@ -2088,8 +2091,10 @@ object Queries {
               (a, x) => a + x.getField("cnt")).as("cum")))).as("r"))
         .select(
           col("r.rank").as("rank"), col("r.tok").as("tok"), col("r.cnt").as("cnt"),
-          floor(col("r.cum").cast("double") * 10000.0 / col("total")).cast("long")
-            .as("coverage_bp"))
+          // exact integer basis points: DIV keeps this bit-identical to the
+          // oracle's `//` at any corpus size (a double quotient would lose
+          // exactness once cum·10000 passes 2^53 — reachable at 100 TB)
+          expr("(r.cum * 10000) DIV total").as("coverage_bp"))
     },
     Some(raw"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
             |  FROM documents WHERE length(trim(text)) > 0),
@@ -2098,7 +2103,7 @@ object Queries {
             |top AS (SELECT tok, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank
             |  FROM c ORDER BY cnt DESC, tok LIMIT 50)
             |SELECT rank, tok, cnt,
-            |  (sum(cnt) OVER (ORDER BY rank) * 10000) // total AS coverage_bp
+            |  CAST((sum(cnt) OVER (ORDER BY rank) * 10000) // total AS BIGINT) AS coverage_bp
             |FROM top, tot""".stripMargin))
 
   private val qEmbedQuantize = Q(
@@ -2167,8 +2172,9 @@ object Queries {
         .agg(
           count(lit(1)).as("n_total"),
           kept.as("n_kept"),
-          floor(kept.cast("double") * 10000.0 / count(lit(1))).cast("long").as("kept_bp"),
           max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+        // exact integer basis points (DIV == the oracle's `//` at any scale)
+        .withColumn("kept_bp", expr("(n_kept * 10000) DIV n_total"))
     },
     Some {
       def pick(q: String, as: String) =
