@@ -60,7 +60,39 @@ object Queries {
 
   private def sqlDocToks(maxId: Long) =
     s"""SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-       |FROM documents WHERE doc_id < $maxId""".stripMargin
+       |FROM documents WHERE doc_id < $maxId AND length(trim(text)) > 0""".stripMargin
+
+  /** `hp` + `sigs` CTE bodies of the MinHash family
+    * ([[graft.functions.expressions.MinHashFamily]]): expects a `toks`
+    * CTE of (doc_id, tok) in scope; `sigs` is (doc_id, s0…s{k−1}) with
+    * s_i = min over tokens of (A_i·(h mod P)+B_i) mod P, h = first 15
+    * md5 hex chars of "t:"++tok as int64 — the exact arithmetic of the
+    * Spark-side native expression, all intermediates < 2^62.
+    */
+  private def sqlMinhashSigs(numHashes: Int): String = {
+    import graft.functions.expressions.MinHashFamily.{P, a, b}
+    val sigCols = (0 until numHashes)
+      .map(i => s"min((${a(i)} * hp + ${b(i)}) % $P) AS s$i").mkString(",\n  ")
+    s"""hp AS (SELECT DISTINCT doc_id,
+       |  (CAST('0x' || substr(md5('t:' || tok), 1, 15) AS BIGINT) % $P) AS hp
+       |  FROM toks),
+       |sigs AS (SELECT doc_id,
+       |  $sigCols
+       |FROM hp GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Band rows (doc_id, band, bkey) from the `sigs` CTE of
+    * [[sqlMinhashSigs]]; bkey renders the band's signature components in
+    * decimal — identical strings to Spark's `concat_ws` over
+    * `sig(i).cast("string")`.
+    */
+  private def sqlMinhashBands(numHashes: Int, bands: Int): String = {
+    val r = numHashes / bands
+    (0 until bands).map { b =>
+      val cs = (b * r until (b + 1) * r).map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bkey FROM sigs"
+    }.mkString("\nUNION ALL\n")
+  }
 
   // ===========================================================================
   // Steam-parity queries (§2.A/B/C re-expressed over the testdata)
@@ -539,19 +571,10 @@ object Queries {
         t(s, d).documents.filter(col("doc_id") < 2000),
         "doc_id", "text", MinhashHashes, MinhashBands, maxBucket = 0),
     Some {
-      val r = MinhashHashes / MinhashBands
-      val sigCols = (0 until MinhashHashes)
-        .map(i => s"min(md5('h$i:' || tok)) AS s$i").mkString(",\n  ")
-      val bandSelects = (0 until MinhashBands).map { b =>
-        val cs = (b * r until (b + 1) * r).map(i => s"s$i").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bkey FROM sigs"
-      }.mkString("\nUNION ALL\n")
       s"""WITH toks AS (${sqlDocToks(2000)}),
-         |sigs AS (SELECT doc_id,
-         |  $sigCols
-         |FROM toks GROUP BY doc_id),
+         |${sqlMinhashSigs(MinhashHashes)},
          |bands AS (
-         |$bandSelects
+         |${sqlMinhashBands(MinhashHashes, MinhashBands)}
          |)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
@@ -573,21 +596,12 @@ object Queries {
           abs(col("est_jaccard") - coalesce(col("jaccard"), lit(0.0))).as("abs_err"))
     },
     Some {
-      val r = MinhashHashes / MinhashBands
-      val sigCols = (0 until MinhashHashes)
-        .map(i => s"min(md5('h$i:' || tok)) AS s$i").mkString(",\n  ")
-      val bandSelects = (0 until MinhashBands).map { b =>
-        val cs = (b * r until (b + 1) * r).map(i => s"s$i").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bkey FROM sigs"
-      }.mkString("\nUNION ALL\n")
       val nMatch = (0 until MinhashHashes)
         .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
       s"""WITH toks AS (${sqlDocToks(500)}),
-         |sigs AS (SELECT doc_id,
-         |  $sigCols
-         |FROM toks GROUP BY doc_id),
+         |${sqlMinhashSigs(MinhashHashes)},
          |bands AS (
-         |$bandSelects
+         |${sqlMinhashBands(MinhashHashes, MinhashBands)}
          |),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -2025,20 +2039,12 @@ object Queries {
         "doc_id", "text", MinhashHashes, MinhashBands)
     },
     Some {
-      val r = MinhashHashes / MinhashBands
-      val sigCols = (0 until MinhashHashes)
-        .map(i => s"min(md5('h$i:' || tok)) AS s$i").mkString(",\n  ")
-      val bandSelects = (0 until MinhashBands).map { b =>
-        val cs = (b * r until (b + 1) * r).map(i => s"s$i").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bkey FROM sigs"
-      }.mkString("\nUNION ALL\n")
       raw"""WITH toks AS (SELECT DISTINCT doc_id,
-           |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
-           |sigs AS (SELECT doc_id,
-           |  $sigCols
-           |FROM toks GROUP BY doc_id),
+           |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |${sqlMinhashSigs(MinhashHashes)},
            |bands AS (
-           |$bandSelects
+           |${sqlMinhashBands(MinhashHashes, MinhashBands)}
            |),
            |fp AS (SELECT doc_id, $sqlBagFp AS k FROM documents),
            |ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_id FROM fp b
@@ -2302,19 +2308,10 @@ object Queries {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     },
     Some {
-      val r = MinhashHashes / MinhashBands
-      val sigCols = (0 until MinhashHashes)
-        .map(i => s"min(md5('h$i:' || tok)) AS s$i").mkString(",\n  ")
-      val bandSelects = (0 until MinhashBands).map { b =>
-        val cs = (b * r until (b + 1) * r).map(i => s"s$i").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bkey FROM sigs"
-      }.mkString("\nUNION ALL\n")
       s"""WITH RECURSIVE toks AS (${sqlDocToks(500)}),
-         |sigs AS (SELECT doc_id,
-         |  $sigCols
-         |FROM toks GROUP BY doc_id),
+         |${sqlMinhashSigs(MinhashHashes)},
          |bands AS (
-         |$bandSelects
+         |${sqlMinhashBands(MinhashHashes, MinhashBands)}
          |),
          |p AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM bands a JOIN bands b

@@ -49,18 +49,27 @@ object Dedup {
     fp.join(keep, Seq("fp", id), "left_semi").drop("fp")
   }
 
-  /** MinHash signature columns: s_i = min over tokens of md5("h<i>:" ++ tok).
-    * A true MinHash into the 128-bit md5 space; min over hex strings is a
-    * total order identical in every engine.
+  /** Per-row MinHash signature (array<long>, one element per hash; NULL
+    * when the text has no tokens): the native
+    * [[graft.functions.expressions.MinHashSig]] expression — one md5 per
+    * distinct token + k affine mixes mod 2^31−1
+    * ([[graft.functions.expressions.MinHashFamily]]). A map-side
+    * projection: signature build shuffles NOTHING, unlike the
+    * explode → groupBy(id) → k×min aggregation it replaces, which
+    * shuffled (partials of) every exploded token row.
     */
-  def minhashSigExprs(numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { i =>
-      min(md5(concat(lit(s"h$i:"), col("tok")))).as(s"s$i")
-    }
+  def minhashSig(text: Column, numHashes: Int): Column =
+    graft.functions.expressions.NativeExpressions
+      .minhashSig(tokens(text), numHashes)
 
-  /** LSH band keys from a signature row: band b hashes hashes [b*r, b*r+r). */
-  def bandKeyExpr(band: Int, rowsPerBand: Int): Column = {
-    val cols = (band * rowsPerBand until (band + 1) * rowsPerBand).map(i => col(s"s$i"))
+  /** LSH band key for band b of an array<long> signature column:
+    * md5 over the "|"-joined decimal renderings of components
+    * [b·r, b·r+r) — string-identical to the SQL oracle's
+    * `md5(concat_ws('|', CAST(s_i AS VARCHAR)…))`.
+    */
+  def bandKeyExpr(sig: Column, band: Int, rowsPerBand: Int): Column = {
+    val cols = (band * rowsPerBand until (band + 1) * rowsPerBand)
+      .map(i => sig.getItem(i).cast("string"))
     md5(concat_ws("|", cols: _*))
   }
 
@@ -108,16 +117,14 @@ object Dedup {
       text: String,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val sigs = explodedDistinctTokens(df, id, text)
-      .groupBy(col(id))
-      .agg(minhashSigExprs(numHashes).head, minhashSigExprs(numHashes).tail: _*)
+    val sigs = df
+      .select(col(id), minhashSig(col(text), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val cand = minhashCandidates(df, id, text, numHashes, bands, maxBucket = 0)
-    val a = sigs.select(
-      col(id).as("doc_a") +: (0 until numHashes).map(i => col(s"s$i").as(s"a$i")): _*)
-    val b = sigs.select(
-      col(id).as("doc_b") +: (0 until numHashes).map(i => col(s"s$i").as(s"b$i")): _*)
+    val a = sigs.select(col(id).as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col(id).as("doc_b"), col("sig").as("sig_b"))
     val nMatch = (0 until numHashes)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .map(i => when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1).otherwise(0))
       .reduce(_ + _)
     cand
       .join(a, Seq("doc_a"))
@@ -464,14 +471,18 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 0): DataFrame = {
     val r = numHashes / bands
-    val sigs = explodedDistinctTokens(df, id, text)
-      .groupBy(col(id))
-      .agg(minhashSigExprs(numHashes).head, minhashSigExprs(numHashes).tail: _*)
-    // all band keys from ONE evaluation of the signature aggregation (a
-    // per-band union would re-aggregate the corpus `bands` times — same
-    // pattern as simhashBucketCandidates)
+    // per-row native signature: no explode, no aggregation — the only
+    // shuffle left in candidate generation is the band-bucket join.
+    // Tokenless docs (null sig) have no signature to band, exactly like
+    // the absent groupBy rows of the aggregation formulation.
+    val sigs = df
+      .select(col(id), minhashSig(col(text), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    // all band keys from ONE evaluation of the signature (a per-band
+    // union would recompute the signatures `bands` times — same pattern
+    // as simhashBucketCandidates)
     val keys = array((0 until bands).map { b =>
-      struct(lit(b).as("band"), bandKeyExpr(b, r).as("bkey"))
+      struct(lit(b).as("band"), bandKeyExpr(col("sig"), b, r).as("bkey"))
     }: _*)
     val banded = sigs
       .select(col(id), explode(keys).as("bk"))

@@ -64,6 +64,13 @@ object NativeExpressions {
   def srpBank(v: Column, dims: Int, bitsPerBand: Int, numBands: Int): Column =
     GraftBridge.column(SrpBank(GraftBridge.expression(v), dims, bitsPerBand, numBands))
 
+  /** All `numHashes` MinHash components of an array<string> token column
+    * in one pass (one md5 per distinct token + k affine mixes — see
+    * [[MinHashFamily]]); array<long>, NULL when the row has no tokens.
+    */
+  def minhashSig(tokens: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(tokens), numHashes))
+
   /** Misra-Gries heavy-hitters aggregate over a string column: at most
     * `k` (item, cnt) counters, mergeable across partitions; exact when
     * the column has ≤ k distinct values (see [[HeavyHitters]]).
@@ -432,4 +439,130 @@ case class SrpBank(child: Expression, dims: Int, bitsPerBand: Int, numBands: Int
     copy(child = newChild)
 
   override def prettyName: String = "graft_srp_bank"
+}
+
+/** The MinHash hash family shared by the Spark-side [[MinHashSig]]
+  * expression and the DuckDB oracle SQL (Queries.sqlMinhashSigs): one
+  * engine-independent md5 per DISTINCT token anchors the family, then
+  * each of the k components is a cheap affine mix modulo the Mersenne
+  * prime P = 2^31 − 1.
+  *
+  * Component i of token t:
+  *   h  = int64 of the first 15 hex chars of md5("t:" ++ t)   (60 bits)
+  *   s_i = (A(i) · (h mod P) + B(i)) mod P
+  * and the per-document signature is the component-wise min over the
+  * document's tokens. All intermediates stay < 2^62, so the arithmetic
+  * is exact int64 on any engine — in SQL the same value is
+  * `(A*(CAST('0x'||substr(md5('t:'||tok),1,15) AS BIGINT) % P)+B) % P`.
+  *
+  * Versus the previous family (min over full md5 hex strings, one md5
+  * per component per token — reference semantics: the k independent
+  * permutations of Broder's minwise scheme), this computes ONE md5 per
+  * token instead of k, and the mins are 8-byte longs instead of 32-char
+  * strings. A ≠ 0 mod P keeps each mix a bijection of Z_P, so the
+  * classic MinHash estimator properties are unchanged.
+  */
+object MinHashFamily {
+  val P: Long = 2147483647L // 2^31 − 1
+
+  /** Multiplier for component i — Knuth's multiplicative constant scaled
+    * by (i+1), reduced mod P; never 0 for any realistic i.
+    */
+  def a(i: Int): Long = ((i + 1L) * 2654435761L) % P
+
+  /** Offset for component i (murmur3's C2 scaled, reduced mod P). */
+  def b(i: Int): Long = ((i + 1L) * 2246822507L) % P
+}
+
+/** All `numHashes` MinHash components of an array<string> token column in
+  * one pass over the row (family: [[MinHashFamily]]). Returns
+  * array<long> of the component-wise mins over the row's DISTINCT
+  * tokens, or NULL when the array has no non-null tokens — the same
+  * absent-row semantics as the explode → groupBy(id) → k×min
+  * aggregation this replaces, but with zero shuffle: the signature is a
+  * map-side projection, so LSH banding starts from a narrow (id, sig)
+  * table instead of shuffling every exploded token.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0 && numHashes <= 256)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  // empty token arrays yield NULL even when the child is non-nullable
+  override def nullable: Boolean = true
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(MinHashFamily.a)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(MinHashFamily.b)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public entry point shared by interpreted eval and generated code;
+    * null when the array holds no non-null token.
+    */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md   = SimHash.digest.get()
+    val seen = new java.util.HashSet[String]()
+    var any  = false
+    var t    = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val tok = arr.getUTF8String(t).toString
+        // min is duplicate-insensitive; the set only saves repeat md5s
+        if (seen.add(tok)) {
+          any = true
+          md.reset()
+          md.update(MinHashSig.Prefix)
+          val bytes = md.digest(tok.getBytes("UTF-8"))
+          // first 15 hex nibbles of the digest, as in the SQL oracle's
+          // CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)
+          var h = 0L
+          var k = 0
+          while (k < 7) { h = (h << 8) | (bytes(k) & 0xffL); k += 1 }
+          h = (h << 4) | ((bytes(7) & 0xffL) >>> 4)
+          val hp = h % MinHashFamily.P
+          var i = 0
+          while (i < numHashes) {
+            val s = (as(i) * hp + bs(i)) % MinHashFamily.P
+            if (s < mins(i)) mins(i) = s
+            i += 1
+          }
+        }
+      }
+      t += 1
+    }
+    if (!any) null else ArrayData.toArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("minhashSigExpr", this)
+    val arr  = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${arr.code}
+        |boolean ${ev.isNull} = ${arr.isNull};
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $expr.compute(${arr.value});
+        |  ${ev.isNull} = (${ev.value} == null);
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+object MinHashSig {
+  private[expressions] val Prefix: Array[Byte] =
+    "t:".getBytes("UTF-8")
 }

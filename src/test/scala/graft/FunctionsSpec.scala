@@ -488,6 +488,40 @@ class FunctionsSpec extends SparkSpec {
     out.foreach(r => r.getLong(0) shouldBe r.getLong(1))
   }
 
+  test("MinHashSig matches an independent model of the documented family") {
+    val fam = graft.functions.expressions.MinHashFamily
+    // the family as specified in MinHashFamily's scaladoc (and the SQL
+    // oracle), written the slow way: hex-string md5, substr, parseLong
+    def model(text: String, k: Int): Option[Seq[Long]] = {
+      val toks = text.trim.split("\\s+").toSeq.filter(_ => text.trim.nonEmpty)
+      if (toks.isEmpty) None
+      else Some((0 until k).map { i =>
+        toks.map { t =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"t:$t".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 15)
+          val hp = java.lang.Long.parseLong(hex, 16) % fam.P
+          (fam.a(i) * hp + fam.b(i)) % fam.P
+        }.min
+      })
+    }
+    val texts = Seq(
+      "alpha beta gamma", "the quick brown fox", "a", "", "   ",
+      "dup dup dup dup", "naïve café über schön", "x y z w q r s t u v")
+    val out = texts.toDF("text")
+      .select(col("text"), Dedup.minhashSig(col("text"), 16).as("sig"))
+      .collect()
+    out.foreach { r =>
+      val got =
+        if (r.isNullAt(1)) None else Some(r.getSeq[Long](1).toSeq)
+      got shouldBe model(r.getString(0), 16)
+    }
+    // duplicate tokens cannot move a min
+    val Array(d1, d2) = Seq("one two three", "three two one two one two")
+      .toDF("text").select(Dedup.minhashSig(col("text"), 16)).collect()
+    d1.getSeq[Long](0) shouldBe d2.getSeq[Long](0)
+  }
+
   test("lshCandidates buckets identical vectors together") {
     val df = Seq(
       (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
