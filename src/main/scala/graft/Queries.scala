@@ -2331,6 +2331,163 @@ object Queries {
          |FROM asg JOIN sz USING (cluster_id)""".stripMargin
     })
 
+  // ===========================================================================
+  // Boilerplate coverage, vocab growth, tokenizer fertility, NFC cleanup
+  // ===========================================================================
+
+  private val qBoilerplate = Q(
+    "q_boilerplate",
+    "cross-doc repeated 5-gram coverage: the per-doc boilerplate fraction",
+    (s, d) => {
+      // templated-content detector: a 5-gram that appears in >= 3 distinct
+      // docs is boilerplate evidence; each doc reports how much of its
+      // distinct-gram mass is covered. Grams are built per-row by the
+      // native Shingles expression (no higher-order lambdas), the only
+      // shuffles are the gram-frequency groupBy and the gram join — both
+      // keyed on the gram string, the canonical shape at any corpus size.
+      val docs = t(s, d).documents
+      val grams = docs.select(
+        col("doc_id"),
+        explode(graft.functions.expressions.NativeExpressions
+          .shingles(TF.tokens(col("text")), 5, distinct = true)).as("gram"))
+      val common = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("gram"), lit(1).as("is_common"))
+      grams.join(common, Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(coalesce(col("is_common"), lit(0))).cast("long").as("n_common"))
+        .withColumn("boiler_bp", expr("(n_common * 10000) DIV n_grams"))
+    },
+    Some(raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+            |  FROM documents WHERE length(trim(text)) > 0),
+            |g AS (SELECT DISTINCT doc_id,
+            |    array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
+            |  FROM tk CROSS JOIN LATERAL unnest(range(1, len(ts) - 4 + 1)) AS r(i)),
+            |freq AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 3)
+            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+            |  CAST(count(f.gram) AS BIGINT) AS n_common,
+            |  (count(f.gram) * 10000) // count(*) AS boiler_bp
+            |FROM g LEFT JOIN freq f USING (gram)
+            |GROUP BY 1""".stripMargin))
+
+  private val qVocabGrowth = Q(
+    "q_vocab_growth",
+    "Heaps-law curve: cumulative vocabulary vs cumulative tokens at doc checkpoints",
+    (s, d) => {
+      // tokenizer planning: how fast does the vocabulary grow as the
+      // corpus grows? Each token contributes its FIRST document to the
+      // curve (min(doc_id) — one shuffle on the token, output |vocab|
+      // rows), bucketed to 100-doc checkpoints; the running sums then
+      // run over |docs|/100 rows. At 100 TB the checkpoint granularity
+      // is the knob: the per-token min and per-bucket counts stay one
+      // keyed shuffle each regardless, only the tiny prefix-sum frame
+      // grows with 1/granularity.
+      val toks = t(s, d).documents
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      val vb = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+        .groupBy(expr("((fd DIV 100) + 1) * 100").as("checkpoint"))
+        .agg(count(lit(1)).as("new_vocab"))
+      val tb = toks
+        .groupBy(expr("((doc_id DIV 100) + 1) * 100").as("checkpoint"))
+        .agg(count(lit(1)).as("new_tokens"))
+      val w = Window.orderBy(col("checkpoint"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vb.join(tb, Seq("checkpoint"), "full")
+        .select(
+          col("checkpoint"),
+          coalesce(col("new_vocab"), lit(0L)).as("new_vocab"),
+          coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+        .withColumn("vocab_cum", sum(col("new_vocab")).over(w).cast("long"))
+        .withColumn("tokens_cum", sum(col("new_tokens")).over(w).cast("long"))
+    },
+    Some(raw"""WITH tk AS (SELECT doc_id,
+            |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+            |  FROM documents WHERE length(trim(text)) > 0),
+            |f AS (SELECT tok, min(doc_id) AS fd FROM tk GROUP BY 1),
+            |vb AS (SELECT ((fd // 100) + 1) * 100 AS checkpoint,
+            |    CAST(count(*) AS BIGINT) AS new_vocab FROM f GROUP BY 1),
+            |tb AS (SELECT ((doc_id // 100) + 1) * 100 AS checkpoint,
+            |    CAST(count(*) AS BIGINT) AS new_tokens FROM tk GROUP BY 1),
+            |j AS (SELECT COALESCE(vb.checkpoint, tb.checkpoint) AS checkpoint,
+            |    COALESCE(new_vocab, 0) AS new_vocab,
+            |    COALESCE(new_tokens, 0) AS new_tokens
+            |  FROM vb FULL JOIN tb ON vb.checkpoint = tb.checkpoint)
+            |SELECT checkpoint, new_vocab, new_tokens,
+            |  CAST(sum(new_vocab) OVER (ORDER BY checkpoint) AS BIGINT) AS vocab_cum,
+            |  CAST(sum(new_tokens) OVER (ORDER BY checkpoint) AS BIGINT) AS tokens_cum
+            |FROM j""".stripMargin))
+
+  private val qFertility = Q(
+    "q_fertility",
+    "tokenizer fertility per language: subword-proxy tokens per whitespace token",
+    (s, d) => {
+      // the cost model for tokenizer choice: how many subword tokens per
+      // word, per language shard. One narrow scan, one tiny groupBy;
+      // fertility in exact integer basis points (DIV, not double).
+      val sub = size(regexp_extract_all(
+        col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]+"), lit(0)))
+      t(s, d).documents
+        .select(col("lang"),
+          TF.tokenCount(col("text")).cast("long").as("ws"),
+          sub.cast("long").as("sub"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("sub")).as("subword_tokens"))
+        .withColumn("fertility_bp",
+          expr("CASE WHEN ws_tokens > 0"
+            + " THEN (subword_tokens * 10000) DIV ws_tokens ELSE 0 END"))
+    },
+    Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+            |    ELSE len($sqlToks) END) AS BIGINT) AS ws_tokens,
+            |  CAST(sum(len(regexp_extract_all(text,
+            |    '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]+'))) AS BIGINT) AS subword_tokens,
+            |  CASE WHEN sum(CASE WHEN length(trim(text)) = 0 THEN 0
+            |      ELSE len($sqlToks) END) > 0
+            |    THEN (CAST(sum(len(regexp_extract_all(text,
+            |        '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]+'))) AS BIGINT) * 10000)
+            |      // CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+            |        ELSE len($sqlToks) END) AS BIGINT)
+            |    ELSE 0 END AS fertility_bp
+            |FROM documents GROUP BY 1""".stripMargin))
+
+  /** Mixed-normalization suffix exercised by [[qUnicodeNfc]]: decomposed
+    * e + COMBINING ACUTE (NFC → é), ANGSTROM SIGN U+212B (NFC → Å), and
+    * a decomposed Vietnamese ế (e + circumflex + acute → U+1EBF). The
+    * same codepoints are embedded in the SQL literal, so both engines
+    * normalize identical input.
+    */
+  private val NfcSuffix = " née Å ế"
+
+  private val qUnicodeNfc = Q(
+    "q_unicode_nfc",
+    "Unicode NFC normalization pass (native expression vs DuckDB nfc_normalize)",
+    (s, d) => {
+      // corpus hygiene: canonically compose combining sequences so
+      // equal-looking strings hash equal (dedup/fingerprints all assume
+      // it). The testdata is ASCII (where NFC is the identity and the
+      // expression's isNormalized fast path never copies), so the query
+      // appends a decomposed suffix to make the normalization
+      // observable end-to-end on every row.
+      val raw = concat(col("text"), lit(NfcSuffix))
+      t(s, d).documents
+        .select(col("doc_id"),
+          length(raw).as("n_raw"),
+          length(graft.functions.expressions.NativeExpressions
+            .nfcNormalize(raw)).as("n_nfc"),
+          md5(graft.functions.expressions.NativeExpressions
+            .nfcNormalize(raw)).as("nfc_md5"))
+    },
+    Some(s"""SELECT doc_id,
+            |  length(text || '$NfcSuffix') AS n_raw,
+            |  length(nfc_normalize(text || '$NfcSuffix')) AS n_nfc,
+            |  md5(nfc_normalize(text || '$NfcSuffix')) AS nfc_md5
+            |FROM documents""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2351,5 +2508,6 @@ object Queries {
     qContamination, qTfidfTopk, qPiiRedact,
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
     qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,
-    qMinhashCluster)
+    qMinhashCluster,
+    qBoilerplate, qVocabGrowth, qFertility, qUnicodeNfc)
 }

@@ -71,6 +71,12 @@ object NativeExpressions {
   def minhashSig(tokens: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(tokens), numHashes))
 
+  /** Unicode NFC normalization of a string column (UAX #15 canonical
+    * composition; ASCII/already-normalized fast path never copies).
+    */
+  def nfcNormalize(c: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
+
   /** Misra-Gries heavy-hitters aggregate over a string column: at most
     * `k` (item, cnt) counters, mergeable across partitions; exact when
     * the column has ≤ k distinct values (see [[HeavyHitters]]).
@@ -565,4 +571,48 @@ case class MinHashSig(child: Expression, numHashes: Int)
 object MinHashSig {
   private[expressions] val Prefix: Array[Byte] =
     "t:".getBytes("UTF-8")
+}
+
+/** Unicode NFC normalization (canonical composition) of a string column —
+  * `java.text.Normalizer.normalize(s, NFC)`, the same UAX #15 algorithm
+  * ICU and DuckDB's `nfc_normalize` implement, so results are
+  * byte-identical across engines. ASCII fast path: NFC cannot change a
+  * pure-ASCII string, and `Normalizer.isNormalized` is O(n) without
+  * allocation, so the common corpus case never copies.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Public entry point shared by interpreted eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("nfcExpr", this)
+    val in   = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${in.code}
+        |boolean ${ev.isNull} = ${in.isNull};
+        |org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $expr.compute(${in.value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_nfc"
 }
