@@ -2488,6 +2488,117 @@ object Queries {
             |  md5(nfc_normalize(text || '$NfcSuffix')) AS nfc_md5
             |FROM documents""".stripMargin))
 
+  private val KmvK = 64
+
+  private val qKmvDistinct = Q(
+    "q_kmv_distinct",
+    "KMV distinct-count sketch per language vs exact, with integer-exact error",
+    (s, d) => {
+      // the mergeable alternative to countDistinct at corpus scale: keep
+      // the K smallest hash values per group (WindowGroupLimit makes the
+      // rank filter a map-side partial top-K — bounded state, one
+      // shuffle of at most K rows per group per partition), estimate
+      // n̂ = (K−1)·⌊M/h_K⌋ in exact int64 (M = 16^15, the hash-space
+      // size). The exact count rides along so the result doubles as an
+      // estimator-quality report.
+      val toks = t(s, d).documents
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+        .select(col("lang"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+      val kmv = toks
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KmvK)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))
+      val exact = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+      exact.join(kmv, Seq("lang"))
+        .withColumn("n_est",
+          expr(s"CASE WHEN cnt < $KmvK THEN cnt" +
+            s" ELSE (cnt - 1) * (1152921504606846976 DIV hk) END"))
+        .withColumn("err_bp",
+          expr("(abs(n_est - n_exact) * 10000) DIV n_exact"))
+        .select("lang", "n_exact", "n_est", "err_bp")
+    },
+    Some(raw"""WITH tok AS (SELECT lang,
+            |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+            |  FROM documents WHERE length(trim(text)) > 0),
+            |tk AS (SELECT DISTINCT lang,
+            |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+            |r AS (SELECT lang, h,
+            |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM tk),
+            |kmv AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt, max(h) AS hk
+            |  FROM r WHERE rn <= $KmvK GROUP BY 1),
+            |x AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM tk GROUP BY 1)
+            |SELECT x.lang, n_exact,
+            |  CASE WHEN cnt < $KmvK THEN cnt
+            |       ELSE (cnt - 1) * (1152921504606846976 // hk) END AS n_est,
+            |  (abs((CASE WHEN cnt < $KmvK THEN cnt
+            |        ELSE (cnt - 1) * (1152921504606846976 // hk) END) - n_exact) * 10000)
+            |    // n_exact AS err_bp
+            |FROM x JOIN kmv USING (lang)""".stripMargin))
+
+  private val qCurriculum = Q(
+    "q_curriculum",
+    "curriculum binning: quality-decile buckets from sketch thresholds, per-bin token budget",
+    (s, d) => {
+      // data-ordering prep for curriculum training: bin every doc into a
+      // quality decile and report each bin's doc count and token budget.
+      // The 9 cut points come from the mergeable GK sketch (exact in
+      // this regime — one tiny aggregate, not a global sort) broadcast
+      // into the scan as a one-row frame, so binning is a map-side
+      // comparison against 9 constants at any corpus size.
+      val txt = col("text")
+      val qbp = floor(TF.qualityScore(txt) * 10000.0).cast("long")
+      val perDoc = t(s, d).documents.select(
+        qbp.as("q_bp"),
+        TF.tokenCount(txt).cast("long").as("n_tokens"))
+      val th = perDoc.agg(
+        graft.functions.expressions.NativeExpressions
+          .quantileSketch(col("q_bp"), (1 to 9).map(_ / 10.0), 100000).as("th"))
+      val bin = (1 to 9)
+        .map(i => when(col("q_bp") >= element_at(col("th"), i), 1L).otherwise(0L))
+        .reduce(_ + _)
+      perDoc.crossJoin(broadcast(th))
+        .select(bin.as("bin"), col("q_bp"), col("n_tokens"))
+        .groupBy(col("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("q_bp")).as("min_q_bp"),
+          max(col("q_bp")).as("max_q_bp"))
+    },
+    Some {
+      val stops = TF.Stopwords.map(w => s"'$w'").mkString(", ")
+      def pick(q: String, as: String) =
+        s"max(CASE WHEN rn = CAST(floor((n - 1) * $q) AS BIGINT) + 1 THEN q_bp END) AS $as"
+      val picks = (1 to 9).map(i => pick(s"0.$i", s"t$i")).mkString(",\n  ")
+      val binExpr = (1 to 9)
+        .map(i => s"(CASE WHEN q_bp >= t$i THEN 1 ELSE 0 END)").mkString(" + ")
+      raw"""WITH base AS (SELECT doc_id,
+           |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+           |  CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($stops))) END AS n_stop,
+           |  CASE WHEN length(text) = 0 THEN 0.0
+           |       ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text) END AS punct_ratio
+           |FROM documents),
+           |q AS (SELECT doc_id, n_tokens,
+           |  CAST(floor(((least(n_tokens, 64) / 64.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+           |    + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END) * 4.0, 1.0) * 0.2) * 10000.0) AS BIGINT) AS q_bp
+           |FROM base),
+           |r AS (SELECT q_bp, row_number() OVER (ORDER BY q_bp) AS rn,
+           |    count(*) OVER () AS n FROM q),
+           |th AS (SELECT
+           |  $picks
+           |FROM r)
+           |SELECT $binExpr AS bin,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  min(q_bp) AS min_q_bp, max(q_bp) AS max_q_bp
+           |FROM q, th GROUP BY 1""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2509,5 +2620,6 @@ object Queries {
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
     qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,
     qMinhashCluster,
-    qBoilerplate, qVocabGrowth, qFertility, qUnicodeNfc)
+    qBoilerplate, qVocabGrowth, qFertility, qUnicodeNfc,
+    qKmvDistinct, qCurriculum)
 }
