@@ -63,6 +63,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.RollingFp(
           args(0), intLit(args(1), "graft_rolling_fp windowSize"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.MinHashSig].getName,
+        "graft_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash_sig(tokenArray, numHashes)")
+        graft.functions.expressions.MinHashSig(
+          args(0), intLit(args(1), "graft_minhash_sig numHashes"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc(str)")
+        graft.functions.expressions.NfcNormalize(args(0))
+      }))
   }
 
   private def intLit(e: Expression, what: String): Int = e match {

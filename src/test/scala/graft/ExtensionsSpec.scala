@@ -70,6 +70,26 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("graft_minhash_sig / graft_nfc callable from SQL") {
+    withExtSession { s =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val viaSql = s.sql(
+        "SELECT graft_minhash_sig(array('alpha', 'beta', 'gamma'), 16) AS sig")
+        .collect().head.getSeq[Long](0)
+      val viaApi = Seq("alpha beta gamma").toDF("text")
+        .select(graft.functions.Dedup.minhashSig(col("text"), 16))
+        .collect().head.getSeq[Long](0)
+      viaSql shouldBe viaApi
+      // decomposed e + combining acute composes to é (U+00E9)
+      val nfc = s.sql("SELECT graft_nfc('café') AS t")
+        .collect().head.getString(0)
+      nfc shouldBe "café"
+      an[IllegalArgumentException] should be thrownBy
+        s.sql("SELECT graft_minhash_sig(array('a'), 'x')").collect()
+    }
+  }
+
   test("RangeJoinRule: naive interval join plans as bucketed equi-join, same rows") {
     withExtSession { s =>
       import s.implicits._

@@ -75,6 +75,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_kmv_distinct's rank filter plans as a partial WindowGroupLimit") {
+    // the KMV sketch's scale claim: the K-smallest-per-group selection
+    // must be a map-side partial top-K (bounded state), not a full
+    // per-group sort of every distinct hash
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_kmv_distinct").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should include("WindowGroupLimit")
+      plan should include regex "(?i)partial"
+    }
+  }
+
   test("every catalog query plans without an unbounded nested-loop join") {
     withGraftSession { s =>
       Queries.all.foreach { q =>
