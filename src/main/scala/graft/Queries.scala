@@ -62,6 +62,42 @@ object Queries {
     s"""SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |FROM documents WHERE doc_id < $maxId AND length(trim(text)) > 0""".stripMargin
 
+  /** Shared SQL mirror of `Similarity.kmeansCentroids` +
+    * `cellAssignments` (quantized integer space — exact,
+    * order-independent sums; md5-stratified seeds; 2 Lloyd iterations
+    * with sum-centroids, cosine being scale-invariant): CTEs `base` …
+    * `af`, where `af` = (cid, v, vn2, cell) is every corpus vector's
+    * final trained-cell assignment. Prefix of the IVF-search and
+    * semantic-dedup oracles.
+    */
+  private val sqlIvfCellCtes: String = {
+    val sums = (1 to 64).map(i => s"sum(qv[$i])").mkString(", ")
+    def asg(cent: String): String =
+      s"""SELECT cid, qv, qn2, cell FROM (
+         |  SELECT b.cid, b.qv, b.qn2, c.cell, row_number() OVER (PARTITION BY b.cid
+         |    ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS arn
+         |  FROM bn b, $cent c) WHERE arn = 1""".stripMargin
+    s"""base AS (SELECT vec_id AS cid,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS qv,
+       |    CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |bn AS (SELECT cid, qv, list_dot_product(qv, qv) AS qn2,
+       |    v, list_dot_product(v, v) AS vn2 FROM base),
+       |c0 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
+       |  SELECT cid AS cell, qv AS cv FROM bn
+       |  ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT 16)),
+       |a1 AS (${asg("c0")}),
+       |c1 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
+       |  SELECT cell, list_value($sums) AS cv FROM a1 GROUP BY cell)),
+       |a2 AS (${asg("c1")}),
+       |c2 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
+       |  SELECT cell, list_value($sums) AS cv FROM a2 GROUP BY cell)),
+       |af AS (SELECT cid, v, vn2, cell FROM (
+       |  SELECT b.cid, b.v, b.vn2, c.cell, row_number() OVER (PARTITION BY b.cid
+       |    ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS arn
+       |  FROM bn b, c2 c) WHERE arn = 1)""".stripMargin
+  }
+
   /** `hp` + `sigs` CTE bodies of the MinHash family
     * ([[graft.functions.expressions.MinHashFamily]]): expects a `toks`
     * CTE of (doc_id, tok) in scope; `sigs` is (doc_id, s0…s{k−1}) with
@@ -960,35 +996,7 @@ object Queries {
         k = 5, numCells = 16, nProbe = 4, iters = 2)
     },
     Some {
-      // mirrors Similarity.kmeansCentroids + ivfKnnCosine: quantized
-      // integer space (exact, order-independent sums), md5-stratified
-      // seeds, 2 Lloyd iterations with sum-centroids (cosine is
-      // scale-invariant, so sums rank identically to means).
-      val sums = (1 to 64).map(i => s"sum(qv[$i])").mkString(", ")
-      def asg(cent: String): String =
-        s"""SELECT cid, qv, qn2, cell FROM (
-           |  SELECT b.cid, b.qv, b.qn2, c.cell, row_number() OVER (PARTITION BY b.cid
-           |    ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS arn
-           |  FROM bn b, $cent c) WHERE arn = 1""".stripMargin
-      s"""WITH base AS (SELECT vec_id AS cid,
-         |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS qv,
-         |    CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |bn AS (SELECT cid, qv, list_dot_product(qv, qv) AS qn2,
-         |    v, list_dot_product(v, v) AS vn2 FROM base),
-         |c0 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
-         |  SELECT cid AS cell, qv AS cv FROM bn
-         |  ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT 16)),
-         |a1 AS (${asg("c0")}),
-         |c1 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
-         |  SELECT cell, list_value($sums) AS cv FROM a1 GROUP BY cell)),
-         |a2 AS (${asg("c1")}),
-         |c2 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
-         |  SELECT cell, list_value($sums) AS cv FROM a2 GROUP BY cell)),
-         |af AS (SELECT cid, v, vn2, cell FROM (
-         |  SELECT b.cid, b.v, b.vn2, c.cell, row_number() OVER (PARTITION BY b.cid
-         |    ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS arn
-         |  FROM bn b, c2 c) WHERE arn = 1),
+      s"""WITH $sqlIvfCellCtes,
          |pr AS (SELECT query_id, qv, qn2, cell FROM (
          |  SELECT b.cid AS query_id, b.v AS qv, b.vn2 AS qn2, c.cell,
          |    row_number() OVER (PARTITION BY b.cid
@@ -2599,6 +2607,30 @@ object Queries {
            |FROM q, th GROUP BY 1""".stripMargin
     })
 
+  private val qSemanticDedup = Q(
+    "q_semantic_dedup",
+    "SemDeDup: k-means cells bound the pair space, smaller-id near-neighbor marks dups",
+    (s, d) =>
+      // semantic (embedding-space) dedup at corpus scale: the trained
+      // cells cap the quadratic comparison at |corpus|²/numCells expected
+      // candidates, and the keep rule (dup iff a smaller-id cell-mate has
+      // cosine ≥ τ) is the parallel form of greedy keep-first — no
+      // sequential pass, no unbounded all-pairs join.
+      Similarity.semanticDedup(
+        t(s, d).embeddings, "vec_id", "embedding", threshold = 0.4),
+    Some(s"""WITH $sqlIvfCellCtes,
+            |p AS (SELECT a.cid AS da, b.cid AS db,
+            |    round(list_dot_product(a.v, b.v) / sqrt(a.vn2 * b.vn2), 4) AS cos
+            |  FROM af a JOIN af b ON a.cell = b.cell AND a.cid < b.cid),
+            |agg AS (SELECT db, CAST(count(*) AS BIGINT) AS n_prior_near,
+            |    min(da) AS dup_of
+            |  FROM p WHERE cos >= 0.4 GROUP BY 1)
+            |SELECT af.cid AS vec_id, af.cell,
+            |  COALESCE(n_prior_near, 0) AS n_prior_near,
+            |  COALESCE(dup_of, -1) AS dup_of,
+            |  (dup_of IS NULL) AS kept
+            |FROM af LEFT JOIN agg ON agg.db = af.cid""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2621,5 +2653,5 @@ object Queries {
     qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,
     qMinhashCluster,
     qBoilerplate, qVocabGrowth, qFertility, qUnicodeNfc,
-    qKmvDistinct, qCurriculum)
+    qKmvDistinct, qCurriculum, qSemanticDedup)
 }

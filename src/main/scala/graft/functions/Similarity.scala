@@ -270,6 +270,73 @@ object Similarity {
     ivfSearch(queries, corpus, id, vec, k, nProbe, local)
   }
 
+  /** Trained-cell assignment of every corpus vector with the original
+    * vector and its norm carried through: (cid, cell, v, vn2). Trains
+    * [[kmeansCentroids]], materializes the ≤ numCells centroid table
+    * into a LocalRelation (training runs exactly once regardless of how
+    * often the result plan is referenced), and broadcast-assigns.
+    * The shared front half of IVF search and semantic dedup.
+    */
+  def cellAssignments(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int = 64,
+      numCells: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val cn = kmeansCentroids(corpus, id, vec, dims, numCells, iters)
+    val spark = corpus.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+    val corp = corpus.select(
+        col(id).as("cid"),
+        quantized(toDouble(col(vec))).as("qv"),
+        toDouble(col(vec)).as("v"))
+      .withColumn("qn2", norm2(col("qv")))
+      .withColumn("vn2", norm2(col("v")))
+    assignToCells(corp, local)
+      .select(col("cid"), col("cell"), col("v"), col("vn2"))
+  }
+
+  /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
+    * the embedding space (deterministic k-means cells), compare only
+    * WITHIN cells (the cells bound the quadratic work — |corpus|²/numCells
+    * expected pair candidates instead of |corpus|²), and mark a vector a
+    * duplicate iff some SMALLER-id vector in its cell has cosine ≥
+    * `threshold` — the parallel, order-deterministic form of "greedily
+    * keep the first of each near-dup group". Returns every corpus id:
+    * (id, cell, n_prior_near, dup_of = min such neighbor or −1, kept).
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      dims: Int = 64,
+      numCells: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val asg = cellAssignments(corpus, id, vec, dims, numCells, iters)
+    val a = asg.select(
+      col("cid").as("doc_a"), col("cell"),
+      col("v").as("va"), col("vn2").as("na"))
+    val b = asg.select(
+      col("cid").as("doc_b"), col("cell"),
+      col("v").as("vb"), col("vn2").as("nb"))
+    val near = a.join(b, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+    val prior = near.groupBy(col("doc_b").as("cid"))
+      .agg(count(lit(1)).as("n_prior_near"), min(col("doc_a")).as("dup_of"))
+    asg.join(prior, Seq("cid"), "left")
+      .select(
+        col("cid").as(id), col("cell"),
+        coalesce(col("n_prior_near"), lit(0L)).as("n_prior_near"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** The IVF inverted list: (cid, cell) assignment of every corpus vector
     * to its trained cell. In production this is computed once and
     * persisted `partitionBy("cell")` so a probe-limited search touches
