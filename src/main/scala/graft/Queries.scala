@@ -2631,6 +2631,33 @@ object Queries {
             |  (dup_of IS NULL) AS kept
             |FROM af LEFT JOIN agg ON agg.db = af.cid""".stripMargin))
 
+  private val qClusterBalance = Q(
+    "q_cluster_balance",
+    "IVF cell-balance diagnostic: per-cell sizes vs the uniform ideal",
+    (s, d) => {
+      // the |corpus|·nProbe/numCells cost claim of IVF search (and the
+      // |corpus|²/numCells pair bound of semantic dedup) holds only if
+      // the trained cells are balanced — this is the diagnostic a 100 TB
+      // deployment watches. One trained assignment, one tiny groupBy;
+      // imbalance = cell size in basis points of the uniform share.
+      val e = t(s, d).embeddings
+      val cents = Similarity.kmeansCentroids(
+        e, "vec_id", "embedding", dims = 64, numCells = 16, iters = 2)
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+      val total = e.count() // tiny action; at scale read from table stats
+      Similarity.ivfAssign(e, "vec_id", "embedding", local)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("share_bp",
+          expr(s"(n_vecs * 10000 * 16) DIV ${total}L"))
+    },
+    Some(s"""WITH $sqlIvfCellCtes,
+            |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM af)
+            |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+            |  (CAST(count(*) AS BIGINT) * 10000 * 16) // total AS share_bp
+            |FROM af, tot GROUP BY cell, total""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2653,5 +2680,5 @@ object Queries {
     qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,
     qMinhashCluster,
     qBoilerplate, qVocabGrowth, qFertility, qUnicodeNfc,
-    qKmvDistinct, qCurriculum, qSemanticDedup)
+    qKmvDistinct, qCurriculum, qSemanticDedup, qClusterBalance)
 }

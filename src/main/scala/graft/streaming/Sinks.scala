@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, to_date}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod, sum, to_date}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
@@ -90,6 +90,49 @@ object Sinks {
       .partitionBy("event_date")
       .parquet(dstDir)
     (rows, before, dataFiles(dstDir))
+  }
+
+  /** Dataset-release writer: the final step of a training-data pipeline.
+    * Writes the kept corpus Hive-partitioned by the given columns (so a
+    * trainer's reader prunes to the shard mix it wants) with
+    * `maxRecordsPerFile` capping file sizes — at 100 TB the failure
+    * mode is a handful of giant files per partition (no read
+    * parallelism) or millions of tiny ones (listing dominates);
+    * `lanesPerPartition` spreads each partition's rows over that many
+    * writer tasks, and the per-file cap splits anything still
+    * oversized. Returns (rows, data files) written.
+    */
+  def writeCorpusRelease(
+      df: DataFrame,
+      outDir: String,
+      partitionCols: Seq[String],
+      lanesPerPartition: Int = 1,
+      maxRecordsPerFile: Long = 1000000L): (Long, Long) = {
+    val spark = df.sparkSession
+    val rows = df.count()
+    // salt INSIDE each partition-col combination: repartition(n, cols)
+    // would give n writer tasks total, not n per partition value
+    val lane = pmod(hash(df.columns.map(col): _*), lit(lanesPerPartition))
+    df.withColumn("_lane", lane)
+      .repartition((partitionCols.map(col) :+ col("_lane")): _*)
+      .drop("_lane")
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
+    def dataFiles(dir: String): Long = {
+      val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(new HPath(dir), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+    (rows, dataFiles(outDir))
   }
 
   /** A3 (parity flavor) — complete-mode in-memory table, reproducing the

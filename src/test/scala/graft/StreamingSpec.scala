@@ -513,6 +513,40 @@ class StreamingSpec extends SparkSpec {
     out.filter(col("event_date") === "2024-01-02").count() shouldBe 2L
   }
 
+  test("writeCorpusRelease: partitioned layout, per-file row cap, prunable, row parity") {
+    val dst = tmpDir("release")
+    val docs = (0 until 400).map { i =>
+      (i.toLong, s"doc body $i", if (i % 2 == 0) "en" else "de", s"src${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+    val (rows, files) = Sinks.writeCorpusRelease(
+      docs, dst, Seq("lang", "source"), lanesPerPartition = 2,
+      maxRecordsPerFile = 50)
+    rows shouldBe 400L
+    // 6 (lang, source) combos x 2 lanes, each lane further split by the
+    // 50-row cap (400/6 ≈ 67 per combo, ~34 per lane → 1 file each, but
+    // never fewer than one file per non-empty lane)
+    files should be >= 12L
+    val out = spark.read.parquet(dst)
+    out.count() shouldBe 400L
+    out.columns.toSet shouldBe Set("doc_id", "text", "lang", "source")
+    // partition pruning reaches the file listing
+    val pruned = out.filter(col("lang") === "en" && col("source") === "src0")
+    pruned.count() shouldBe docs
+      .filter(col("lang") === "en" && col("source") === "src0").count()
+    val planStr = pruned.queryExecution.executedPlan.toString
+    planStr should include("PartitionFilters")
+    // no parquet data file exceeds the record cap
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dst), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        spark.read.parquet(f.getPath.toString).count() should be <= 50L
+      }
+    }
+  }
+
   test("sessionsStateful on a batch Dataset closes everything (Kappa replay parity)") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
     // batch execution has no watermark: all sessions are final
