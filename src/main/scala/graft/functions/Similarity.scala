@@ -463,6 +463,76 @@ object Similarity {
       .distinct()
   }
 
+  /** The two persistable index tables of a continuously-ingesting
+    * embedding-dedup pipeline, computed from a vector table:
+    * `vecs` = (cid, v, vn2) full-precision vectors with norms, and
+    * `codes` = (cid, band, bcode) SRP band codes (one [[SrpBank]]
+    * evaluation per row). A batch joins `codes` on (band, bcode) for
+    * candidates and verifies against `vecs` — per-batch cost ∝ |batch|,
+    * the corpus embeddings are never re-coded.
+    */
+  def srpIndexTables(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int,
+      bitsPerBand: Int = 16,
+      numBands: Int = 16): (DataFrame, DataFrame) = {
+    val base = df.select(col(id).as("cid"), toDouble(col(vec)).as("v"))
+      .withColumn("vn2", norm2(col("v")))
+    val codes = base
+      .withColumn("codes",
+        graft.functions.expressions.NativeExpressions
+          .srpBank(col("v"), dims, bitsPerBand, numBands))
+      .select(col("cid"), posexplode(col("codes")).as(Seq("band", "bcode")))
+    (base.select(col("cid"), col("v"), col("vn2")), codes)
+  }
+
+  /** Incremental embedding dedup of a batch AGAINST persisted corpus
+    * index tables (from [[srpIndexTables]]): SRP band-code equi-join for
+    * candidates, exact cosine ≥ `threshold` to verify, `min` corpus id
+    * as the deterministic match. Every batch row classifies as
+    * ('near', match_id) or ('new', −1) — the embedding analog of
+    * `Dedup.incrementalDedupAgainst`.
+    */
+  def embedDedupAgainst(
+      batch: DataFrame,
+      corpusVecs: DataFrame,
+      corpusCodes: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int,
+      threshold: Double,
+      bitsPerBand: Int = 16,
+      numBands: Int = 16,
+      roundTo: Int = 4): DataFrame = {
+    val (bVecs, bCodes) = srpIndexTables(batch, id, vec, dims, bitsPerBand, numBands)
+    val cand = bCodes
+      .join(
+        corpusCodes.select(col("cid").as("ccid"), col("band"), col("bcode")),
+        Seq("band", "bcode"))
+      .select(col("cid"), col("ccid"))
+      .distinct()
+    val verified = cand
+      .join(bVecs, Seq("cid"))
+      .join(
+        corpusVecs.select(
+          col("cid").as("ccid"), col("v").as("cv"), col("vn2").as("cn2")),
+        Seq("ccid"))
+      .withColumn("cos",
+        round(dot(col("v"), col("cv")) / sqrt(col("vn2") * col("cn2")), roundTo))
+      .filter(col("cos") >= threshold)
+    val agg = verified.groupBy(col("cid"))
+      .agg(min(col("ccid")).as("match_id"))
+    bVecs.select(col("cid"))
+      .join(agg, Seq("cid"), "left")
+      .select(
+        col("cid").as(id),
+        when(col("match_id").isNotNull, lit("near")).otherwise(lit("new"))
+          .as("dup_kind"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"))
+  }
+
   /** LSH-bucketed near-dup candidates: pairs sharing an SRP hypercube code.
     * Recall is tunable via `bitsB` (fewer bits → bigger buckets → higher
     * recall, more candidates). Verify candidates with exact [[cosine]].

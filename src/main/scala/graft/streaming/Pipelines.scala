@@ -172,6 +172,69 @@ object Pipelines {
       }
   }
 
+  /** Streaming EMBEDDING dedup ingest — the vector analog of
+    * [[dedupIngest]]: each micro-batch classifies its vectors against
+    * the SRP code index of everything accepted so far
+    * ([[graft.functions.Similarity.embedDedupAgainst]]), writes
+    * per-batch decisions, and appends only the 'new' vectors' code and
+    * vector rows to the index. Same replay-safety contract as the text
+    * ingest: index partitions are corpus only when their batch id is
+    * strictly smaller than the current one.
+    */
+  def embedDedupIngest(
+      vecs: DataFrame,
+      stateDir: String,
+      checkpoint: String,
+      id: String = "vec_id",
+      vec: String = "embedding",
+      dims: Int = 64,
+      threshold: Double = 0.9,
+      bitsPerBand: Int = 16,
+      numBands: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Similarity
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(stateDir), spark.sessionState.newHadoopConf())
+        def readIndex(sub: String, empty: => DataFrame): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+          if (!fs.exists(p)) empty
+          else
+            try spark.read.parquet(p.toString).filter(col("batch") < batchId)
+            catch { case _: org.apache.spark.sql.AnalysisException => empty }
+        }
+        batch.persist()
+        try {
+          val (emptyVecs, emptyCodes) =
+            Similarity.srpIndexTables(
+              batch.limit(0), id, vec, dims, bitsPerBand, numBands)
+          val corpusVecs = readIndex("vecs", emptyVecs)
+            .select(col("cid"), col("v"), col("vn2"))
+          val corpusCodes = readIndex("codes", emptyCodes)
+            .select(col("cid"), col("band"), col("bcode"))
+          val decisions = Similarity
+            .embedDedupAgainst(batch, corpusVecs, corpusCodes,
+              id, vec, dims, threshold, bitsPerBand, numBands)
+            .persist()
+          try {
+            decisions.write.mode("overwrite")
+              .parquet(s"$stateDir/decisions/batch=$batchId")
+            val accepted = batch.join(
+              decisions.filter(col("dup_kind") === "new").select(id),
+              Seq(id), "left_semi")
+            val (aVecs, aCodes) = Similarity.srpIndexTables(
+              accepted, id, vec, dims, bitsPerBand, numBands)
+            aVecs.write.mode("overwrite").parquet(s"$stateDir/vecs/batch=$batchId")
+            aCodes.write.mode("overwrite").parquet(s"$stateDir/codes/batch=$batchId")
+          } finally decisions.unpersist()
+        } finally batch.unpersist()
+        ()
+      }
+  }
+
   /** Stream-static enrichment: join a streaming fact against a small
     * static dimension (game metadata). The dimension is broadcast — each
     * micro-batch's tasks probe a local hash map, no shuffle of the stream,

@@ -52,7 +52,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // corpus row; IVF fans every row out against <=16 broadcast centroids
     // for the argmax assignment
     "q_knn_cosine", "q_media_ann", "q_knn_ivf",
-    "q_semantic_dedup") // same <=16-centroid broadcast assignment as IVF
+    "q_semantic_dedup",  // same <=16-centroid broadcast assignment as IVF
+    "q_cluster_balance") // same <=16-centroid broadcast assignment as IVF
 
   test("literal-bounded queries push their id bounds into the parquet scan") {
     // the bound is what keeps the quadratic baselines quadratic-over-a-

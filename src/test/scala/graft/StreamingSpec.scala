@@ -453,6 +453,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedDedupIngest: vectors classify against the growing SRP index") {
+    val in = memStream[(Long, Array[Double])]
+    val state = tmpDir("embdedup_state")
+    def unit(axis: Int, scale: Double = 1.0): Array[Double] =
+      Array.tabulate(8)(d => if (d == axis) scale else 0.0)
+    val q = Pipelines
+      .embedDedupIngest(
+        in.toDF().toDF("vec_id", "embedding"), state, tmpDir("embdedup_ckpt"),
+        dims = 8, threshold = 0.9, bitsPerBand = 8, numBands = 4)
+      .start()
+    try {
+      in.addData((1L, unit(0)), (2L, unit(1)))
+      q.processAllAvailable()
+      // batch 0: empty corpus — everything is new
+      val d0 = spark.read.parquet(s"$state/decisions/batch=0")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      d0 shouldBe Map(1L -> ("new", -1L), 2L -> ("new", -1L))
+
+      in.addData(
+        (3L, unit(0, 0.7)), // same direction as vec 1 (cos = 1) -> near
+        (4L, unit(2)))      // orthogonal to the corpus -> new
+      q.processAllAvailable()
+      val d1 = spark.read.parquet(s"$state/decisions/batch=1")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      d1(3L) shouldBe ("near", 1L)
+      d1(4L) shouldBe ("new", -1L)
+      // only accepted vectors joined the index — the rejected near-dup
+      // never pollutes the corpus
+      val indexed = spark.read.parquet(s"$state/vecs")
+        .select("cid").collect().map(_.getLong(0)).toSet
+      indexed shouldBe Set(1L, 2L, 4L)
+    } finally q.stop()
+  }
+
   test("sessionsStateful: flatMapGroupsWithState closes sessions on gap and watermark") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
     val in = memStream[(String, java.sql.Timestamp)]
