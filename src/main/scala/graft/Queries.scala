@@ -2658,6 +2658,70 @@ object Queries {
             |  (CAST(count(*) AS BIGINT) * 10000 * 16) // total AS share_bp
             |FROM af, tot GROUP BY cell, total""".stripMargin))
 
+  private val qZorderLayout = Q(
+    "q_zorder_layout",
+    "Z-order vs linear file layout: per-file bounding boxes for two-dim data skipping",
+    (s, d) => {
+      // lakehouse layout planning: interleave the bits of two
+      // rank-scaled dimensions so range-bucketing the z-value yields
+      // files whose min/max footers are tight in BOTH dimensions (the
+      // precondition for two-sided data skipping); the naive
+      // one-dimension sort is the baseline. Pure integer algebra (DIV /
+      // % / *), one tiny min-max agg broadcast into the scan, one
+      // groupBy per layout — no global sort at any scale: the z bucket
+      // IS the range-partition key a writer would use.
+      val base = t(s, d).events
+        .select(col("user_id").as("a"), cents(col("value")).as("b"))
+      val mm = base.agg(
+        min(col("a")).as("amin"), max(col("a")).as("amax"),
+        min(col("b")).as("bmin"), max(col("b")).as("bmax"))
+      val terms = (0 until 16).map { j =>
+        s"((a16 DIV ${1L << j}) % 2) * ${1L << (2 * j)}" +
+          s" + ((b16 DIV ${1L << j}) % 2) * ${1L << (2 * j + 1)}"
+      }.mkString(" + ")
+      val scaled = base.crossJoin(broadcast(mm))
+        .withColumn("a16", expr(
+          "CASE WHEN amax > amin THEN ((a - amin) * 65535) DIV (amax - amin) ELSE 0 END"))
+        .withColumn("b16", expr(
+          "CASE WHEN bmax > bmin THEN ((b - bmin) * 65535) DIV (bmax - bmin) ELSE 0 END"))
+        .withColumn("z", expr(terms))
+      def summary(layout: String, fid: Column) = scaled
+        .groupBy(fid.as("fid"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (max(col("a")) - min(col("a"))).as("span_user"),
+          (max(col("b")) - min(col("b"))).as("span_cents"))
+        .withColumn("layout", lit(layout))
+      summary("zorder", expr("z DIV 67108864"))
+        .unionByName(summary("linear", expr("a16 DIV 1024")))
+        .select("layout", "fid", "n_rows", "span_user", "span_cents")
+    },
+    Some {
+      val terms = (0 until 16).map { j =>
+        s"((a16 // ${1L << j}) % 2) * ${1L << (2 * j)}" +
+          s" + ((b16 // ${1L << j}) % 2) * ${1L << (2 * j + 1)}"
+      }.mkString(" + ")
+      s"""WITH base AS (SELECT user_id AS a, ${sqlCents("value")} AS b FROM events),
+         |mm AS (SELECT min(a) AS amin, max(a) AS amax,
+         |    min(b) AS bmin, max(b) AS bmax FROM base),
+         |scaled AS (SELECT a, b,
+         |    CASE WHEN amax > amin THEN ((a - amin) * 65535) // (amax - amin) ELSE 0 END AS a16,
+         |    CASE WHEN bmax > bmin THEN ((b - bmin) * 65535) // (bmax - bmin) ELSE 0 END AS b16
+         |  FROM base, mm),
+         |z AS (SELECT a, b, a16, $terms AS z FROM scaled),
+         |zs AS (SELECT 'zorder' AS layout, z // 67108864 AS fid,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    max(a) - min(a) AS span_user, max(b) - min(b) AS span_cents
+         |  FROM z GROUP BY 2),
+         |ls AS (SELECT 'linear' AS layout, a16 // 1024 AS fid,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    max(a) - min(a) AS span_user, max(b) - min(b) AS span_cents
+         |  FROM z GROUP BY 2)
+         |SELECT layout, fid, n_rows, span_user, span_cents FROM zs
+         |UNION ALL
+         |SELECT layout, fid, n_rows, span_user, span_cents FROM ls""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2680,5 +2744,6 @@ object Queries {
     qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,
     qMinhashCluster,
     qBoilerplate, qVocabGrowth, qFertility, qUnicodeNfc,
-    qKmvDistinct, qCurriculum, qSemanticDedup, qClusterBalance)
+    qKmvDistinct, qCurriculum, qSemanticDedup, qClusterBalance,
+    qZorderLayout)
 }

@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_vocab_coverage", // one-row totals frame crossed into the top-k row
     "q_tfidf_topk",     // one-row corpus doc count crossed into the tf table
     "q_length_trim",    // one-row sketch-threshold frame crossed into the filter
-    "q_curriculum")     // one-row decile-threshold frame crossed into the binning
+    "q_curriculum",     // one-row decile-threshold frame crossed into the binning
+    "q_zorder_layout")  // one-row min-max frame crossed into the bit interleave
   private val broadcastSmallSideFanOuts = Set(
     // nested loop over a TINY broadcast side, linear in the big side:
     // brute-force kNN probes a handful of broadcast query vectors per

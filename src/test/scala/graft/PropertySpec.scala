@@ -87,6 +87,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: semanticDedup flags every planted duplicate, keeps one per group") {
+    // md5-seeded pseudo-random corpus + planted near-copies (tiny noise,
+    // same direction): every planted copy must be marked dup of an
+    // earlier id, and no singleton vector may be dropped
+    def vec(i: Int): Array[Double] = Array.tabulate(64) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sd$i:$d".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 0xffffffffL.toDouble - 0.5
+    }
+    val base = (0 until 150).map(i => (i.toLong, vec(i)))
+    val planted = (0 until 50).map(i => (1000L + i, vec(i).map(_ * 1.01)))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val out = Similarity
+      .semanticDedup(df, "vec_id", "embedding", threshold = 0.99)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // every planted copy: dup of exactly its source (same direction ⇒
+    // same argmax cell as the source, cos ≈ 1)
+    (0 until 50).foreach { i =>
+      val (dupOf, kept) = out(1000L + i)
+      withClue(s"planted copy of $i: ") {
+        kept shouldBe false
+        dupOf shouldBe i.toLong
+      }
+    }
+    // originals and unplanted vectors survive (hash-random 64-dim
+    // vectors never reach cos 0.99 by chance)
+    (0 until 150).foreach { i =>
+      withClue(s"original $i: ") { out(i.toLong)._2 shouldBe true }
+    }
+  }
+
   test("property: repetition/gopher basis points stay in range on random text") {
     import graft.functions.Quality
     (1L to 6L).foreach { seed =>
