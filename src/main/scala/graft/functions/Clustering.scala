@@ -77,11 +77,17 @@ object Clustering {
         .select(col(a).as("src"), col(b).as("dst"))
         .union(edges.select(col(b).as("src"), col(a).as("dst")))
         .distinct())
+    // init = the first propagation hop, unrolled: lab₀ = min(node,
+    // min(neighbors)) costs one aggregation over the edge list (vs a
+    // full round's three joins + checkpoint + probe) and converges the
+    // common clique-shaped duplicate component in ONE loop round — the
+    // propagation fixpoint is the component min for any init whose
+    // labels stay inside the component, which node ids trivially do
     var (labels, labelsRdd) = localCheckpointHandle(
       sym
-        .select(col("src").as("node"))
-        .distinct()
-        .withColumn("lab", col("node")))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("nbr_min"))
+        .select(col("node"), least(col("node"), col("nbr_min")).as("lab")))
     var converged = false
     var rounds = 0
     while (!converged) {
