@@ -32,6 +32,12 @@ object Queries {
   private val Fmt     = "yyyy-MM-dd HH:mm:ss"
   private val DuckFmt = "%Y-%m-%d %H:%M:%S"
 
+  /** Cell count shared by every IVF / k-means query (Spark side AND the
+    * DuckDB oracle mirror [[sqlIvfCellCtes]]) — one constant so the two
+    * sides cannot drift.
+    */
+  val IvfNumCells: Int = 16
+
   /** 2-dp double → exact integer cents. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
   private def sqlCents(e: String): String = s"CAST(round(($e)*100,0) AS BIGINT)"
@@ -85,7 +91,7 @@ object Queries {
        |    v, list_dot_product(v, v) AS vn2 FROM base),
        |c0 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
        |  SELECT cid AS cell, qv AS cv FROM bn
-       |  ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT 16)),
+       |  ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT $IvfNumCells)),
        |a1 AS (${asg("c0")}),
        |c1 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
        |  SELECT cell, list_value($sums) AS cv FROM a1 GROUP BY cell)),
@@ -993,7 +999,7 @@ object Queries {
       val e = t(s, d).embeddings
       Similarity.ivfKnnCosine(
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
-        k = 5, numCells = 16, nProbe = 4, iters = 2)
+        k = 5, numCells = IvfNumCells, nProbe = 4, iters = 2)
     },
     Some {
       s"""WITH $sqlIvfCellCtes,
@@ -2617,7 +2623,8 @@ object Queries {
       // cosine ≥ τ) is the parallel form of greedy keep-first — no
       // sequential pass, no unbounded all-pairs join.
       Similarity.semanticDedup(
-        t(s, d).embeddings, "vec_id", "embedding", threshold = 0.4),
+        t(s, d).embeddings, "vec_id", "embedding", threshold = 0.4,
+        numCells = IvfNumCells),
     Some(s"""WITH $sqlIvfCellCtes,
             |p AS (SELECT a.cid AS da, b.cid AS db,
             |    round(list_dot_product(a.v, b.v) / sqrt(a.vn2 * b.vn2), 4) AS cos
@@ -2642,20 +2649,24 @@ object Queries {
       // imbalance = cell size in basis points of the uniform share.
       val e = t(s, d).embeddings
       val cents = Similarity.kmeansCentroids(
-        e, "vec_id", "embedding", dims = 64, numCells = 16, iters = 2)
+        e, "vec_id", "embedding", dims = 64,
+        numCells = Queries.IvfNumCells, iters = 2)
       val local = s.createDataFrame(
         java.util.Arrays.asList(cents.collect(): _*), cents.schema)
       val total = e.count() // tiny action; at scale read from table stats
+      // empty input: Spark's integer DIV by 0 yields NULL where the
+      // DuckDB oracle's `// 0` raises — fail fast instead of diverging
+      require(total > 0, "q_cluster_balance needs a non-empty embeddings table")
       Similarity.ivfAssign(e, "vec_id", "embedding", local)
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vecs"))
         .withColumn("share_bp",
-          expr(s"(n_vecs * 10000 * 16) DIV ${total}L"))
+          expr(s"(n_vecs * 10000 * ${Queries.IvfNumCells}) DIV ${total}L"))
     },
     Some(s"""WITH $sqlIvfCellCtes,
             |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM af)
             |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
-            |  (CAST(count(*) AS BIGINT) * 10000 * 16) // total AS share_bp
+            |  (CAST(count(*) AS BIGINT) * 10000 * ${Queries.IvfNumCells}) // total AS share_bp
             |FROM af, tot GROUP BY cell, total""".stripMargin))
 
   private val qZorderLayout = Q(

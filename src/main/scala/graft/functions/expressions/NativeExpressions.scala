@@ -465,8 +465,14 @@ case class SrpBank(child: Expression, dims: Int, bitsPerBand: Int, numBands: Int
   * per component per token — reference semantics: the k independent
   * permutations of Broder's minwise scheme), this computes ONE md5 per
   * token instead of k, and the mins are 8-byte longs instead of 32-char
-  * strings. A ≠ 0 mod P keeps each mix a bijection of Z_P, so the
-  * classic MinHash estimator properties are unchanged.
+  * strings. A ≠ 0 mod P keeps each mix a bijection of Z_P, but note the
+  * weaker independence guarantee of the shared-base-hash construction:
+  * all k components are affine mixes of the SAME 60-bit base hash, so
+  * two tokens that collide in the base hash collapse in every component
+  * simultaneously (probability ~n²/2^61 per document pair of seeing any
+  * such collision — negligible in practice, and the standard caveat of
+  * datasketch-style 2-wise families, but strictly weaker than k
+  * independent permutations).
   */
 object MinHashFamily {
   val P: Long = 2147483647L // 2^31 − 1

@@ -180,6 +180,16 @@ object Pipelines {
     * vector rows to the index. Same replay-safety contract as the text
     * ingest: index partitions are corpus only when their batch id is
     * strictly smaller than the current one.
+    *
+    * Batch-internal near-duplicates are intentionally NOT detected: a
+    * vector is only compared against index partitions with batch id <
+    * current, so near-dup vectors arriving within the same micro-batch
+    * are all classified 'new' and all enter the SRP index (same caveat
+    * as [[dedupIngest]]). Where that matters, run an in-batch pre-pass
+    * (e.g. exact dedup on a vector fingerprint, or
+    * [[graft.functions.Similarity.nearDupBanded]] within the batch)
+    * before the stream — keeping the per-batch classification a pure
+    * function of (batch, corpus index) is what makes replay safe.
     */
   def embedDedupIngest(
       vecs: DataFrame,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod, sum, to_date}
+import org.apache.spark.sql.functions.{col, count, hash, lit, pmod, sum, to_date}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
@@ -109,13 +109,17 @@ object Sinks {
       lanesPerPartition: Int = 1,
       maxRecordsPerFile: Long = 1000000L): (Long, Long) = {
     val spark = df.sparkSession
-    val rows = df.count()
+    // count DURING the write via observe — a separate df.count() would
+    // recompute the (possibly expensive, possibly non-deterministic)
+    // input a second time and could disagree with what was written
+    val obs = org.apache.spark.sql.Observation()
     // salt INSIDE each partition-col combination: repartition(n, cols)
     // would give n writer tasks total, not n per partition value
     val lane = pmod(hash(df.columns.map(col): _*), lit(lanesPerPartition))
     df.withColumn("_lane", lane)
       .repartition((partitionCols.map(col) :+ col("_lane")): _*)
       .drop("_lane")
+      .observe(obs, count(lit(1)).as("rows"))
       .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -132,6 +136,7 @@ object Sinks {
       }
       n
     }
+    val rows = obs.get("rows").asInstanceOf[Long]
     (rows, dataFiles(outDir))
   }
 
