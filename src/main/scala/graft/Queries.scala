@@ -1676,10 +1676,14 @@ object Queries {
     "q_media_ann",
     "multimodal → similarity: kNN over decoded media feature vectors",
     (s, d) => {
-      val dec = MM.decodeBatched(media(s, d), MM.StubCodec)
+      // decode is a mapPartitions — a filter placed AFTER it cannot be
+      // pushed through by Catalyst, so the query side must filter the
+      // RAW media table first (decode 10 rows, not the corpus twice)
+      val m = media(s, d)
+      def dec(df: DataFrame) = MM.decodeBatched(df, MM.StubCodec)
         .select(col("doc_id"), col("features"))
       Similarity.knnCosine(
-        dec.filter(col("doc_id") < 10), dec, "doc_id", "features", k = 3)
+        dec(m.filter(col("doc_id") < 10)), dec(m), "doc_id", "features", k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
           col("rank").cast("int").as("rank"))
     },
