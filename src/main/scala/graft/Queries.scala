@@ -2737,6 +2737,184 @@ object Queries {
          |SELECT layout, fid, n_rows, span_user, span_cents FROM ls""".stripMargin
     })
 
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
+  private val qCmsFreq = Q(
+    "q_cms_freq",
+    "Count-Min sketch: mergeable fixed-size frequency table vs exact counts",
+    (s, d) => {
+      import graft.functions.expressions.{CountMin, NativeExpressions}
+      // the fixed-memory answer to per-key frequency at 100 TB: the
+      // sketch is depth×width longs regardless of vocabulary size,
+      // partials merge by addition (one map-side pass + tiny combine),
+      // and estimates overcount by at most 2n/width w.h.p. The exact
+      // counts ride along so the result doubles as an error report —
+      // collisions are real at width 512 << |vocab|, which is the point.
+      val toks = t(s, d).documents
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      val sk = toks.agg(
+        NativeExpressions.countMin(col("tok"), CmsDepth, CmsWidth).as("cms"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(20)
+      top.crossJoin(broadcast(sk))
+        .withColumn("cms_est",
+          CountMin.estimate(col("cms"), col("tok"), CmsDepth, CmsWidth))
+        .withColumn("over_bp", expr("((cms_est - n_exact) * 10000) DIV n_exact"))
+        .select("tok", "n_exact", "cms_est", "over_bp")
+    },
+    Some {
+      import graft.functions.expressions.CountMin
+      val counters = (0 until CmsDepth).map { i =>
+        s"c$i AS (SELECT ${CountMin.sqlBucket("base", i, CmsWidth)} AS b, " +
+          s"CAST(sum(n_exact) AS BIGINT) AS c FROM hb GROUP BY 1)"
+      }.mkString(",\n")
+      val joins = (0 until CmsDepth).map { i =>
+        s"JOIN c$i ON c$i.b = ${CountMin.sqlBucket("top.base", i, CmsWidth)}"
+      }.mkString("\n")
+      val est = s"least(${(0 until CmsDepth).map(i => s"c$i.c").mkString(", ")})"
+      raw"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |x AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY 1),
+           |hb AS (SELECT tok, n_exact, ${CountMin.sqlBase("tok")} AS base FROM x),
+           |$counters,
+           |top AS (SELECT tok, n_exact, base FROM hb ORDER BY n_exact DESC, tok LIMIT 20)
+           |SELECT top.tok, top.n_exact, $est AS cms_est,
+           |  (($est - top.n_exact) * 10000) // top.n_exact AS over_bp
+           |FROM top
+           |$joins""".stripMargin
+    })
+
+  private val WinnowK = 3
+  private val WinnowW = 8
+
+  private val qWinnowFp = Q(
+    "q_winnow_fp",
+    "winnowing (MOSS) fingerprint selection: per-window rightmost-min gram hashes",
+    (s, d) => {
+      import graft.functions.expressions.NativeExpressions
+      // the guaranteed-coverage fingerprint selector: any shared run of
+      // ≥ w+k−1 tokens yields a shared selected hash, at expected
+      // density 2/(w+1) of the full gram set. One native pass per row,
+      // zero shuffle — the (doc, fp) pairs that feed a fp-keyed
+      // candidate join are built entirely map-side.
+      t(s, d).documents
+        .select(col("doc_id"),
+          (TF.tokenCount(col("text")) - (WinnowK - 1)).cast("long").as("n_grams"),
+          NativeExpressions
+            .winnowFp(TF.tokens(col("text")), WinnowK, WinnowW).as("fp"))
+        .filter(size(col("fp")) > 0)
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fp")).cast("long").as("n_fp"),
+          expr("(CAST(size(fp) AS BIGINT) * 10000) DIV n_grams").as("density_bp"),
+          element_at(col("fp"), 1).as("fp_min"),
+          element_at(col("fp"), -1).as("fp_max"))
+    },
+    Some(
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |gd AS (SELECT doc_id, tk, CAST(len(tk) - ${WinnowK - 1} AS BIGINT) AS g
+           |  FROM tk WHERE len(tk) >= $WinnowK),
+           |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+           |    CAST('0x' || substr(md5('g:' ||
+           |      array_to_string(tk[CAST(i AS INT):CAST(i + ${WinnowK - 1} AS INT)], ' ')),
+           |      1, 15) AS BIGINT) % ${1L << 40} AS h
+           |  FROM gd CROSS JOIN LATERAL unnest(range(1, CAST(g + 1 AS BIGINT))) AS t(i)),
+           |wins AS (SELECT doc_id, CAST(s AS BIGINT) AS s
+           |  FROM gd CROSS JOIN LATERAL
+           |    unnest(range(0, greatest(g - $WinnowW, 0) + 1)) AS t(s)),
+           |sel AS (SELECT w.doc_id, w.s,
+           |    min(g.h * 1024 + (${WinnowW - 1} - (g.p - w.s))) AS key
+           |  FROM wins w JOIN grams g
+           |    ON g.doc_id = w.doc_id AND g.p >= w.s AND g.p < w.s + $WinnowW
+           |  GROUP BY 1, 2),
+           |fps AS (SELECT DISTINCT doc_id, key // 1024 AS h FROM sel)
+           |SELECT f.doc_id, gd.g AS n_grams,
+           |  CAST(count(*) AS BIGINT) AS n_fp,
+           |  (CAST(count(*) AS BIGINT) * 10000) // gd.g AS density_bp,
+           |  min(f.h) AS fp_min, max(f.h) AS fp_max
+           |FROM fps f JOIN gd ON gd.doc_id = f.doc_id
+           |GROUP BY 1, 2""".stripMargin))
+
+  private val qSnapshotCdc = Q(
+    "q_snapshot_cdc",
+    "snapshot diff / CDC: added-removed-changed-unchanged between two corpus versions",
+    (s, d) => {
+      // lakehouse change-data-capture between two corpus snapshots
+      // (simulated deterministically from the one kit table: v1 drops
+      // id%7==0, v2 drops id%11==3 and revises id%5==0). Scale shape:
+      // each side projects to (id, content-hash) BEFORE the full-outer
+      // join, so only two narrow columns shuffle — never the text.
+      val docs = t(s, d).documents
+      val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    },
+    Some(
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |            WHEN h2 IS NULL THEN 'removed'
+        |            WHEN h1 <> h2 THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM j GROUP BY 1""".stripMargin))
+
+  private val qLmSurprisal = Q(
+    "q_lm_surprisal",
+    "unigram LM surprisal scoring: per-doc average token surprisal in exact centibits",
+    (s, d) => {
+      // the CCNet-style LM quality signal without floats: per-token
+      // surprisal ≈ log2(T/c) computed as the integer bit-length
+      // difference len(bin(T)) − len(bin(c)) — exact on every engine —
+      // then averaged per document in centibits via integer DIV.
+      // Low avg = stopword-heavy/common text, high avg = rare-token
+      // (specialist or noisy) text; the standard corpus-filter axis.
+      // Scale shape: one tok-keyed shuffle for the term frequencies,
+      // a broadcast of the one-row total, one doc-keyed aggregation.
+      val occ = t(s, d).documents
+        .select(col("doc_id"), col("lang"),
+          explode(TF.tokens(col("text"))).as("tok"))
+      val tf = occ.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum(col("c")).as("t"))
+      occ.join(tf, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .withColumn("surp", length(expr("bin(t)")) - length(expr("bin(c)")))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("surp")).as("sum_bits"))
+        .withColumn("avg_surprisal_cb", expr("(sum_bits * 100) DIV n_toks"))
+        .select("doc_id", "lang", "n_toks", "avg_surprisal_cb")
+    },
+    Some(
+      raw"""WITH occ AS (SELECT doc_id, lang,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tf)
+           |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+           |  (CAST(sum(length(bin(t)) - length(bin(c))) AS BIGINT) * 100)
+           |    // CAST(count(*) AS BIGINT) AS avg_surprisal_cb
+           |FROM occ JOIN tf USING (tok), tot
+           |GROUP BY doc_id, lang""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2760,5 +2938,6 @@ object Queries {
     qMinhashCluster,
     qBoilerplate, qVocabGrowth, qFertility, qUnicodeNfc,
     qKmvDistinct, qCurriculum, qSemanticDedup, qClusterBalance,
-    qZorderLayout)
+    qZorderLayout,
+    qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal)
 }

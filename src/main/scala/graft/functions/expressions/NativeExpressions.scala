@@ -94,6 +94,22 @@ object NativeExpressions {
     GraftBridge.column(
       QuantileSketch(GraftBridge.expression(c), probs, capacity)
         .toAggregateExpression())
+
+  /** Count-Min sketch aggregate over a string column: `depth × width`
+    * counter matrix as a flat array<long>, mergeable by element-wise
+    * addition; point estimates via [[CountMin.estimate]] (see
+    * [[CountMin]]).
+    */
+  def countMin(c: Column, depth: Int, width: Int): Column =
+    GraftBridge.column(
+      CountMin(GraftBridge.expression(c), depth, width).toAggregateExpression())
+
+  /** Winnowing (MOSS) fingerprints of an array<string> token column:
+    * sorted distinct selected k-gram hashes, one per w-window of the
+    * gram hash sequence, rightmost-min tie rule (see [[WinnowFp]]).
+    */
+  def winnowFp(tokens: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFp(GraftBridge.expression(tokens), k, w))
 }
 
 /** dot(a, b) = Σ a(i)·b(i), sequential order, over array<double>.

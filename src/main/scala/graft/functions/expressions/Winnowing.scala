@@ -1,0 +1,118 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+  * w-gram window over the hash sequence, and select each window's
+  * minimal hash (rightmost occurrence on ties). Guarantees: any shared
+  * token run long enough to cover a full window (≥ w+k−1 tokens) yields
+  * at least one SHARED selected fingerprint between the two documents,
+  * and expected density is 2/(w+1) — position-robust overlap evidence
+  * at a fraction of the full gram set's size.
+  *
+  * Everything is engine-independent integer arithmetic so a SQL oracle
+  * reproduces the selection bit-for-bit:
+  *
+  *   h_p  = int64(first 15 md5 hex chars of "g:" ++ gram_p) mod 2^40
+  *   window s selects  min over p ∈ [s, min(s+w, G)−1] of
+  *                     h_p·1024 + (w−1−(p−s))
+  *
+  * (the additive tie rank makes the min the RIGHTMOST minimal hash —
+  * the paper's rule — while staying one integer min; h < 2^40 keeps
+  * the packed key < 2^50). Grams are space-joined token runs, exactly
+  * [[Shingles]]' construction. Returns the selected hashes as a sorted
+  * distinct array<long>; documents with fewer than k tokens (no grams)
+  * return an empty array, and G ≤ w degrades to one whole-sequence
+  * window so any document with a gram has a fingerprint.
+  *
+  * Scale shape: one pass per row, map-side only — the 100 TB dedup
+  * pre-filter builds (doc, fp) pairs with ZERO shuffle before the
+  * fp-keyed candidate join.
+  */
+case class WinnowFp(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  require(k > 0, "gram size must be positive")
+  require(w > 0 && w <= 1024, "window size must be in [1,1024]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val Mask = 1L << 40
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    if (m < k) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val g = m - k + 1
+    val h = new Array[Long](g)
+    val md = SimHash.digest.get()
+    var p = 0
+    while (p < g) {
+      val sb = new java.lang.StringBuilder("g:")
+      sb.append(toks(p))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(p + j)); j += 1 }
+      md.reset()
+      val bytes = md.digest(sb.toString.getBytes("UTF-8"))
+      // first 15 hex chars = top 60 bits, then mod 2^40
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (bytes(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((bytes(7) & 0xff) >>> 4)
+      h(p) = v % Mask
+      p += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    val lastWindow = math.max(g - w, 0)
+    var s = 0
+    while (s <= lastWindow) {
+      val end = math.min(s + w, g)
+      var bestKey = Long.MaxValue
+      var q = s
+      while (q < end) {
+        val key = h(q) * 1024L + (w - 1 - (q - s))
+        if (key < bestKey) bestKey = key
+        q += 1
+      }
+      selected.add(bestKey / 1024L)
+      s += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("winnowFpExpr", this)
+    val arr  = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${arr.code}
+        |boolean ${ev.isNull} = ${arr.isNull};
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $expr.compute(${arr.value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_winnow_fp"
+}

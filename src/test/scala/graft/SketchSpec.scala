@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.{CountMin, MinHashFamily, NativeExpressions, WinnowFp}
+import graft.functions.{TextFunctions => TF}
+
+/** Count-Min sketch and winnowing fingerprint properties: exactness
+  * regimes, one-sided error, merge determinism under repartitioning, and
+  * the MOSS coverage guarantee.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic corpus: zipf-ish token draws
+  private def corpus(nDocs: Int, vocab: Int): Seq[(Long, String)] =
+    (0 until nDocs).map { i =>
+      val toks = (0 until 20).map { j =>
+        // quadratic skew: low token ids appear far more often
+        val r = math.abs((i * 31L + j * 17L + 7L) * 2654435761L % 1000003L)
+        s"w${(r % vocab) * (r % vocab) % vocab}"
+      }
+      (i.toLong, toks.mkString(" "))
+    }
+
+  private def toks(nDocs: Int, vocab: Int) =
+    corpus(nDocs, vocab).toDF("doc_id", "text")
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+
+  test("count-min is exact when width exceeds the distinct-key count") {
+    val t = toks(200, 50).cache()
+    val exact = t.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // width 512 >> 50 distinct keys and depth 4: a collision in EVERY
+    // row is needed for an overcount; verify est == exact for all keys
+    val sk = t.agg(NativeExpressions.countMin(col("tok"), 4, 512).as("cms"))
+    val est = t.distinct().crossJoin(broadcast(sk))
+      .withColumn("est", CountMin.estimate(col("cms"), col("tok"), 4, 512))
+      .select("tok", "est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.keySet shouldBe exact.keySet
+    est.foreach { case (k, e) => assert(e == exact(k), s"key $k") }
+    t.unpersist()
+  }
+
+  test("count-min never undercounts, even at tiny width") {
+    val t = toks(300, 400).cache()
+    val exact = t.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // width 16 << 400 distinct keys: collisions everywhere — the
+    // estimate must still be >= exact for every key (one-sided error)
+    val sk = t.agg(NativeExpressions.countMin(col("tok"), 4, 16).as("cms"))
+    val est = t.distinct().crossJoin(broadcast(sk))
+      .withColumn("est", CountMin.estimate(col("cms"), col("tok"), 4, 16))
+      .select("tok", "est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, e) =>
+      assert(e >= exact(k), s"undercount for $k: $e < ${exact(k)}")
+    }
+    // and at least one real overcount at this width, or the test is vacuous
+    assert(est.exists { case (k, e) => e > exact(k) })
+    t.unpersist()
+  }
+
+  test("count-min counter matrix is identical under any partitioning") {
+    val t = toks(200, 100)
+    def matrix(parts: Int): Seq[Long] = t.repartition(parts)
+      .agg(NativeExpressions.countMin(col("tok"), 4, 64).as("cms"))
+      .collect()(0).getSeq[Long](0)
+    val m1 = matrix(1)
+    matrix(7) shouldBe m1
+    matrix(32) shouldBe m1
+  }
+
+  test("winnowing selects at least one fingerprint per window and covers shared runs") {
+    val k = 3
+    val w = 4
+    // two documents sharing a verbatim run of w+k-1 = 6 tokens — the
+    // MOSS guarantee: they must share at least one selected fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d1 = s"one two $shared three four five six seven"
+    val d2 = s"nine ten eleven twelve $shared thirteen"
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        NativeExpressions.winnowFp(TF.tokens(col("text")), k, w).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "documents sharing a w+k-1 token run must share a fingerprint")
+  }
+
+  test("winnowing density is near 2/(w+1) and never empty for docs with grams") {
+    val k = 3
+    val w = 8
+    val docs = corpus(100, 5000).toDF("doc_id", "text")
+    val stats = docs
+      .select(col("doc_id"),
+        (TF.tokenCount(col("text")) - (k - 1)).cast("long").as("n_grams"),
+        NativeExpressions.winnowFp(TF.tokens(col("text")), k, w).as("fp"))
+      .filter(col("n_grams") > 0)
+      .select(col("n_grams"), expr("CAST(size(fp) AS BIGINT)").as("n_fp"))
+      .collect()
+    stats.foreach { r =>
+      assert(r.getLong(1) >= 1, "every doc with a gram gets a fingerprint")
+    }
+    val density =
+      stats.map(_.getLong(1)).sum.toDouble / stats.map(_.getLong(0)).sum
+    // expected 2/(w+1) = 0.22; distinct-dedup pulls it below — accept a band
+    assert(density > 0.05 && density < 0.5, s"density $density out of band")
+  }
+
+  test("winnowing matches an independent brute-force model") {
+    val k = 2
+    val w = 3
+    // tiny reference implementation, written independently of the
+    // expression's loop structure
+    def model(text: String): Set[Long] = {
+      val ts = text.trim.split("\\s+").toSeq
+      if (ts.length < k) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 to ts.length - k).map { p =>
+        val hex = md.digest(("g:" + ts.slice(p, p + k).mkString(" "))
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16) % (1L << 40)
+      }
+      val g = hs.length
+      (0 to math.max(g - w, 0)).map { s =>
+        val win = (s until math.min(s + w, g))
+          .map(p => hs(p) * 1024L + (w - 1 - (p - s)))
+        win.min / 1024L
+      }.toSet
+    }
+    val texts = corpus(50, 200).map(_._2) ++ Seq("a b", "a", "", "x y z w v")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        NativeExpressions.winnowFp(TF.tokens(col("text")), k, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == model(t), s"doc $i: '$t'")
+    }
+  }
+
+  test("winnowing fingerprints are sorted distinct ascending") {
+    val fp = Seq((1L, corpus(1, 50).head._2)).toDF("doc_id", "text")
+      .select(NativeExpressions.winnowFp(TF.tokens(col("text")), 3, 8).as("fp"))
+      .collect()(0).getSeq[Long](0)
+    fp shouldBe fp.distinct.sorted
+  }
+
+  test("count-min base hash matches the SQL chain's arithmetic") {
+    // JVM byte-twiddling vs the documented formula:
+    // CAST('0x'||substr(md5('c:'||x),1,15) AS BIGINT) % P
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("alpha", "wörld", "日本語", "", "a b c").foreach { x =>
+      val hex = md.digest(("c:" + x).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want = java.lang.Long.parseLong(hex.take(15), 16) % MinHashFamily.P
+      CountMin.baseHash(x) shouldBe want
+    }
+  }
+}
