@@ -2788,6 +2788,32 @@ object Queries {
   private val WinnowK = 3
   private val WinnowW = 8
 
+  /** CTEs `tk` … `fps` mirroring [[graft.functions.expressions.WinnowFp]]
+    * exactly: `gd` = (doc_id, tokens, gram count), `grams` = (doc_id,
+    * 0-based gram pos, 40-bit gram hash), `sel` = the per-window packed
+    * min (rightmost-min tie rule folded into the +offset term), `fps` =
+    * distinct (doc_id, selected hash). Shared by the winnow oracles.
+    */
+  private val sqlWinnowCtes: String =
+    raw"""tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |gd AS (SELECT doc_id, tk, CAST(len(tk) - ${WinnowK - 1} AS BIGINT) AS g
+         |  FROM tk WHERE len(tk) >= $WinnowK),
+         |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |    CAST('0x' || substr(md5('g:' ||
+         |      array_to_string(tk[CAST(i AS INT):CAST(i + ${WinnowK - 1} AS INT)], ' ')),
+         |      1, 15) AS BIGINT) % ${1L << 40} AS h
+         |  FROM gd CROSS JOIN LATERAL unnest(range(1, CAST(g + 1 AS BIGINT))) AS t(i)),
+         |wins AS (SELECT doc_id, CAST(s AS BIGINT) AS s
+         |  FROM gd CROSS JOIN LATERAL
+         |    unnest(range(0, greatest(g - $WinnowW, 0) + 1)) AS t(s)),
+         |sel AS (SELECT w.doc_id, w.s,
+         |    min(g.h * 1024 + (${WinnowW - 1} - (g.p - w.s))) AS key
+         |  FROM wins w JOIN grams g
+         |    ON g.doc_id = w.doc_id AND g.p >= w.s AND g.p < w.s + $WinnowW
+         |  GROUP BY 1, 2),
+         |fps AS (SELECT DISTINCT doc_id, key // 1024 AS h FROM sel)""".stripMargin
+
   private val qWinnowFp = Q(
     "q_winnow_fp",
     "winnowing (MOSS) fingerprint selection: per-window rightmost-min gram hashes",
@@ -2811,24 +2837,7 @@ object Queries {
           element_at(col("fp"), -1).as("fp_max"))
     },
     Some(
-      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-           |  FROM documents WHERE length(trim(text)) > 0),
-           |gd AS (SELECT doc_id, tk, CAST(len(tk) - ${WinnowK - 1} AS BIGINT) AS g
-           |  FROM tk WHERE len(tk) >= $WinnowK),
-           |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
-           |    CAST('0x' || substr(md5('g:' ||
-           |      array_to_string(tk[CAST(i AS INT):CAST(i + ${WinnowK - 1} AS INT)], ' ')),
-           |      1, 15) AS BIGINT) % ${1L << 40} AS h
-           |  FROM gd CROSS JOIN LATERAL unnest(range(1, CAST(g + 1 AS BIGINT))) AS t(i)),
-           |wins AS (SELECT doc_id, CAST(s AS BIGINT) AS s
-           |  FROM gd CROSS JOIN LATERAL
-           |    unnest(range(0, greatest(g - $WinnowW, 0) + 1)) AS t(s)),
-           |sel AS (SELECT w.doc_id, w.s,
-           |    min(g.h * 1024 + (${WinnowW - 1} - (g.p - w.s))) AS key
-           |  FROM wins w JOIN grams g
-           |    ON g.doc_id = w.doc_id AND g.p >= w.s AND g.p < w.s + $WinnowW
-           |  GROUP BY 1, 2),
-           |fps AS (SELECT DISTINCT doc_id, key // 1024 AS h FROM sel)
+      raw"""WITH $sqlWinnowCtes
            |SELECT f.doc_id, gd.g AS n_grams,
            |  CAST(count(*) AS BIGINT) AS n_fp,
            |  (CAST(count(*) AS BIGINT) * 10000) // gd.g AS density_bp,
@@ -2915,6 +2924,140 @@ object Queries {
            |FROM occ JOIN tf USING (tok), tot
            |GROUP BY doc_id, lang""".stripMargin))
 
+  private val WinnowMaxFreq = 50
+
+  private val qWinnowCandidates = Q(
+    "q_winnow_candidates",
+    "winnowing dedup candidates: docs sharing >=2 selected fingerprints, boilerplate-capped",
+    (s, d) => {
+      import graft.functions.expressions.NativeExpressions
+      // the end-to-end winnow scale path: fingerprints are built
+      // map-side (zero shuffle), then ONE fp-keyed equi-join makes the
+      // candidates. Fingerprints shared by > maxFreq docs are dropped
+      // first — boilerplate grams (headers, license text) are exactly
+      // the keys that would otherwise pair everything with everything,
+      // the same cap discipline as the minhash band buckets.
+      val fps = t(s, d).documents
+        .select(col("doc_id"),
+          explode(NativeExpressions
+            .winnowFp(TF.tokens(col("text")), WinnowK, WinnowW)).as("fp"))
+      val shareable = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= WinnowMaxFreq)
+        .select("fp")
+      val cand = fps.join(shareable, Seq("fp"))
+      cand.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(cand.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    },
+    Some(
+      raw"""WITH $sqlWinnowCtes,
+           |fdf AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM fps GROUP BY 1),
+           |cand AS (SELECT f.doc_id, f.h FROM fps f JOIN fdf USING (h)
+           |  WHERE df BETWEEN 2 AND $WinnowMaxFreq)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(count(*) AS BIGINT) AS n_shared
+           |FROM cand a JOIN cand b ON a.h = b.h AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2
+           |HAVING count(*) >= 2""".stripMargin))
+
+  private val PmiTopM = 30
+  private val PmiMinPair = 5
+
+  private val qPmiColloc = Q(
+    "q_pmi_colloc",
+    "PMI collocations: document-level lift among the top-m vocabulary, exact basis points",
+    (s, d) => {
+      // collocation mining with the pair space bounded by construction:
+      // only the broadcast top-m tokens can pair, so per-doc work is
+      // ≤ m²/2 regardless of corpus size. Lift = P(a,b)/(P(a)P(b)) =
+      // c_ab·N/(c_a·c_b), kept in exact integer basis points (the
+      // log of PMI is monotone in lift — same ranking, no floats).
+      // Regime note: c_ab·N·10⁴ must stay < 2⁶³ — holds through
+      // billion-doc corpora for pair counts up to ~10⁵.
+      val pres = t(s, d).documents
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .distinct()
+      val nd = pres.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val top = pres.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(PmiTopM)
+      val p = pres.join(broadcast(top), Seq("tok"))
+      p.select(col("doc_id"), col("tok").as("tok_a"), col("c").as("c_a"))
+        .join(
+          p.select(col("doc_id"), col("tok").as("tok_b"), col("c").as("c_b")),
+          Seq("doc_id"))
+        .filter(col("tok_a") < col("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b"), col("c_a"), col("c_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= PmiMinPair)
+        .crossJoin(broadcast(nd))
+        .withColumn("lift_bp", expr("(c_ab * n_docs * 10000) DIV (c_a * c_b)"))
+        .select("tok_a", "tok_b", "c_a", "c_b", "c_ab", "lift_bp")
+    },
+    Some(
+      raw"""WITH pres AS (SELECT DISTINCT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM pres),
+           |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM pres GROUP BY 1),
+           |top AS (SELECT tok, c FROM dfreq ORDER BY c DESC, tok LIMIT $PmiTopM),
+           |p AS (SELECT pres.doc_id, pres.tok, top.c FROM pres JOIN top USING (tok))
+           |SELECT a.tok AS tok_a, b.tok AS tok_b, a.c AS c_a, b.c AS c_b,
+           |  CAST(count(*) AS BIGINT) AS c_ab,
+           |  (CAST(count(*) AS BIGINT) * n_docs * 10000) // (a.c * b.c) AS lift_bp
+           |FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.tok < b.tok, nd
+           |GROUP BY 1, 2, 3, 4, n_docs
+           |HAVING count(*) >= $PmiMinPair""".stripMargin))
+
+  private val qScd2History = Q(
+    "q_scd2_history",
+    "SCD2 history build: versioned records with end-version and currency from two snapshots",
+    (s, d) => {
+      // the type-2 slowly-changing-dimension merge, declaratively: one
+      // full-outer join of (id, content-hash) projections decides every
+      // record's fate — v1 rows close (end_ver=2) when the doc changed
+      // or vanished, v2 opens a new record for added/changed docs.
+      // Same narrow-shuffle discipline as q_snapshot_cdc; the pattern
+      // is what a MERGE INTO compiles to without any table format.
+      val docs = t(s, d).documents
+      val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))).as("h2"))
+      val j = v1.join(v2, Seq("doc_id"), "full_outer")
+      val hist1 = j.filter(col("h1").isNotNull).select(
+        col("doc_id"), lit(1).as("ver"), col("h1").as("content_h"),
+        when(col("h2").isNull || col("h1") =!= col("h2"), lit(2))
+          .otherwise(lit(null).cast("int")).as("end_ver"),
+        (col("h2").isNotNull && col("h1") === col("h2")).as("is_current"))
+      val hist2 = j.filter(
+        col("h2").isNotNull && (col("h1").isNull || col("h1") =!= col("h2")))
+        .select(col("doc_id"), lit(2).as("ver"), col("h2").as("content_h"),
+          lit(null).cast("int").as("end_ver"), lit(true).as("is_current"))
+      hist1.unionByName(hist2)
+    },
+    Some(
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, 1 AS ver, h1 AS content_h,
+        |  CASE WHEN h2 IS NULL OR h1 <> h2 THEN 2 ELSE NULL END AS end_ver,
+        |  (h2 IS NOT NULL AND h1 = h2) AS is_current
+        |FROM j WHERE h1 IS NOT NULL
+        |UNION ALL
+        |SELECT doc_id, 2 AS ver, h2 AS content_h,
+        |  NULL AS end_ver, TRUE AS is_current
+        |FROM j WHERE h2 IS NOT NULL AND (h1 IS NULL OR h1 <> h2)""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -2939,5 +3082,6 @@ object Queries {
     qBoilerplate, qVocabGrowth, qFertility, qUnicodeNfc,
     qKmvDistinct, qCurriculum, qSemanticDedup, qClusterBalance,
     qZorderLayout,
-    qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal)
+    qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
+    qWinnowCandidates, qPmiColloc, qScd2History)
 }
