@@ -46,7 +46,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_tfidf_topk",     // one-row corpus doc count crossed into the tf table
     "q_length_trim",    // one-row sketch-threshold frame crossed into the filter
     "q_curriculum",     // one-row decile-threshold frame crossed into the binning
-    "q_zorder_layout")  // one-row min-max frame crossed into the bit interleave
+    "q_zorder_layout",  // one-row min-max frame crossed into the bit interleave
+    "q_cms_freq",       // one-row count-min counter matrix crossed into the probes
+    "q_lm_surprisal",   // one-row corpus token total crossed into the scoring
+    "q_pmi_colloc")     // one-row document count crossed into the lift
   private val broadcastSmallSideFanOuts = Set(
     // nested loop over a TINY broadcast side, linear in the big side:
     // brute-force kNN probes a handful of broadcast query vectors per
