@@ -81,6 +81,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_nfc(str)")
         graft.functions.expressions.NfcNormalize(args(0))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_fp"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.WinnowFp].getName, "graft_winnow_fp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_winnow_fp(tokenArray, k, w)")
+        graft.functions.expressions.WinnowFp(
+          args(0),
+          intLit(args(1), "graft_winnow_fp k"),
+          intLit(args(2), "graft_winnow_fp w"))
+      }))
   }
 
   private def intLit(e: Expression, what: String): Int = e match {

@@ -90,6 +90,22 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("graft_winnow_fp callable from SQL") {
+    withExtSession { s =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val viaSql = s.sql(
+        "SELECT graft_winnow_fp(array('a','b','c','d','e','f'), 3, 2) AS fp")
+        .collect().head.getSeq[Long](0)
+      val viaApi = Seq("a b c d e f").toDF("text")
+        .select(graft.functions.expressions.NativeExpressions
+          .winnowFp(graft.functions.TextFunctions.tokens(col("text")), 3, 2))
+        .collect().head.getSeq[Long](0)
+      viaSql shouldBe viaApi
+      viaSql should not be empty
+    }
+  }
+
   test("RangeJoinRule: naive interval join plans as bucketed equi-join, same rows") {
     withExtSession { s =>
       import s.implicits._

@@ -146,6 +146,40 @@ class SketchSpec extends SparkSpec {
     fp shouldBe fp.distinct.sorted
   }
 
+  test("count-min maintains incrementally over a stream: merged batches == one shot") {
+    // the mergeability property IS incremental maintenance: per-batch
+    // sketches element-wise-added into a running matrix equal the
+    // one-shot sketch over everything — no reprocessing of history,
+    // O(depth·width) state per trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val data = corpus(120, 80)
+    val running = new Array[Long](4 * 64)
+    val mem = MemoryStream[(Long, String)](spark)
+    val query = mem.toDF().toDF("doc_id", "text")
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("cms-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val m = batch
+          .agg(NativeExpressions.countMin(col("tok"), 4, 64).as("cms"))
+          .collect()(0).getSeq[Long](0)
+        var i = 0
+        while (i < running.length) { running(i) += m(i); i += 1 }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    data.grouped(40).foreach(g => mem.addData(g))
+    query.awaitTermination(60000)
+    val oneShot = data.toDF("doc_id", "text")
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .agg(NativeExpressions.countMin(col("tok"), 4, 64).as("cms"))
+      .collect()(0).getSeq[Long](0)
+    running.toSeq shouldBe oneShot
+  }
+
   test("count-min base hash matches the SQL chain's arithmetic") {
     // JVM byte-twiddling vs the documented formula:
     // CAST('0x'||substr(md5('c:'||x),1,15) AS BIGINT) % P
