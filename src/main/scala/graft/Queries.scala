@@ -1740,7 +1740,9 @@ object Queries {
     * window generation exactly: offsets 1, 1+stride, … ≤ len−win+1.
     */
   private def sqlWindows: String =
-    s"""SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), $SubstrWin)) AS wh
+    s"""SELECT DISTINCT doc_id,
+       |  CAST('0x' || substr(md5(substr(text, CAST(i AS INT), $SubstrWin)), 1, 15)
+       |    AS BIGINT) AS wh
        |FROM documents CROSS JOIN LATERAL
        |  unnest(range(1, len(text) - ${SubstrWin - 1} + 1, $SubstrStride)) AS g(i)
        |WHERE len(text) >= $SubstrWin""".stripMargin

@@ -39,7 +39,10 @@ object Clustering {
     * that snapshot. Releasing before consumption makes `labels`
     * unrecomputable (local checkpoints truncate lineage).
     */
-  final case class CcLabels(labels: DataFrame, release: () => Unit)
+  final case class CcLabels(
+      labels: DataFrame,
+      release: () => Unit,
+      rounds: Int = 0)
 
   /** Connected components by iterative min-label propagation over an
     * undirected edge list `(a, b)`. Returns `(node, cluster_id)` where
@@ -132,7 +135,8 @@ object Clustering {
     val finalRdd = labelsRdd
     CcLabels(
       labels.select(col("node"), col("lab").as("cluster_id")),
-      () => { finalRdd.unpersist(blocking = false); () })
+      () => { finalRdd.unpersist(blocking = false); () },
+      rounds)
   }
 
   /** Cluster assignment for a full document population: every row of
@@ -159,7 +163,7 @@ object Clustering {
       .join(cc.labels.withColumnRenamed("node", id), Seq(id), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
     val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    CcLabels(assigned.join(sizes, Seq("cluster_id")), cc.release)
+    CcLabels(assigned.join(sizes, Seq("cluster_id")), cc.release, cc.rounds)
   }
 
   /** One canonical document per cluster: highest `prefCol` wins, ties
@@ -202,16 +206,22 @@ object Clustering {
       win: Int = 40,
       stride: Int = 8,
       maxWindowFreq: Int = 0): DataFrame = {
-    // substring+md5 are evaluated before the shuffle, so only
-    // (id, 32-char hash) rows move — never the document text. Per-doc
+    // substring+hash are evaluated before the shuffle, so only
+    // (id, 60-bit int64 hash) rows move — never the document text, and
+    // never a 32-char hex string: the key is the first 15 md5 hex chars
+    // as int64 (`conv`), which quarters the shuffled bytes per row at a
+    // collision probability of ~|windows|²/2⁶¹ (and the same truncation
+    // on the oracle side keeps parity exact either way). Per-doc
     // window dedup happens map-side (`array_distinct` over the window
     // array) instead of a corpus-wide `.distinct()` — that saved shuffle
     // carried every (id, hash) row just to drop in-document repeats.
-    // Giant documents are the exception: materializing len/stride md5
-    // strings in ONE array row would blow a task on a 100 MB outlier, so
+    // Giant documents are the exception: materializing len/stride hash
+    // values in ONE array row would blow a task on a 100 MB outlier, so
     // docs past the threshold stream through the old explode + per-doc
     // distinct shuffle — only the rare outliers' hashes pay it.
     val bigDocChars = 65536
+    def wh64(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     def windows(rows: DataFrame) = rows.select(
       col(id),
       explode(sequence(lit(1), length(col(text)) - (win - 1), lit(stride))).as("off"),
@@ -223,9 +233,9 @@ object Clustering {
         col(id),
         explode(array_distinct(transform(
           sequence(lit(1), length(col(text)) - (win - 1), lit(stride)),
-          off => md5(col(text).substr(off, lit(win)))))).as("wh"))
+          off => wh64(col(text).substr(off, lit(win)))))).as("wh"))
     val big = windows(eligible.filter(length(col(text)) > bigDocChars))
-      .select(col(id), md5(col(text).substr(col("off"), lit(win))).as("wh"))
+      .select(col(id), wh64(col(text).substr(col("off"), lit(win))).as("wh"))
       .distinct()
     val hashed = small.unionAll(big)
     val capped =

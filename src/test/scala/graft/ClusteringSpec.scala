@@ -27,6 +27,24 @@ class ClusteringSpec extends SparkSpec {
     cc(11L) shouldBe 10L
   }
 
+  test("clique components converge in one propagation round (unrolled init)") {
+    // the common duplicate-component shape is a clique (every replica
+    // pairs with every other); the unrolled init lab₀ = min(node,
+    // min(neighbors)) must settle it in the single verification round —
+    // a regression here multiplies every CC-backed catalog query's
+    // round count
+    val clique = for {
+      a <- 0L to 4L; b <- (a + 1) to 4L
+    } yield (a + 100L, b + 100L)
+    val two = clique ++ Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val cc = Clustering.connectedComponentsManaged(edges(two: _*))
+    val labs = cc.labels.as[(Long, Long)].collect().toMap
+    labs(104L) shouldBe 100L
+    labs(502L) shouldBe 500L
+    cc.rounds shouldBe 1
+    cc.release()
+  }
+
   test("connectedComponents merges components connected through a bridge") {
     // two stars joined by one bridge edge → a single component
     val star1  = (2L to 5L).map(1L -> _)
