@@ -3060,6 +3060,65 @@ object Queries {
         |  NULL AS end_ver, TRUE AS is_current
         |FROM j WHERE h2 IS NOT NULL AND (h1 IS NULL OR h1 <> h2)""".stripMargin))
 
+  private val ScrubChunk = 20
+
+  private val qSpanScrub = Q(
+    "q_span_scrub",
+    "C4-style span scrub: first occurrence of each duplicated chunk wins, docs rebuilt",
+    (s, d) => {
+      // the dedup TRANSFORMATION (the substring family only diagnoses):
+      // docs split into fixed 20-token chunks, a chunk content survives
+      // only at its globally-first occurrence (min packed (doc,pos) —
+      // one integer both engines agree on), and every doc is rebuilt
+      // from its kept chunks in order. Scale shape: chunking is
+      // map-side, the first-occurrence rule is ONE groupBy on the chunk
+      // hash, the rebuild is one groupBy on doc_id — no joins wider
+      // than (hash, packed-position), text never shuffles twice.
+      val chunks = t(s, d).documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .withColumn("nch", expr(s"(size(tk) + ${ScrubChunk - 1}) DIV $ScrubChunk"))
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, nch - 1), " +
+            s"i -> concat_ws(' ', slice(tk, i * $ScrubChunk + 1, $ScrubChunk)))")))
+        .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+      chunks
+        .withColumn("h", md5(col("chunk")))
+        // packed (doc, pos) as ONE integer so "globally first occurrence"
+        // is a plain min both engines compute identically (pos < 10⁶,
+        // i.e. docs up to 20M tokens)
+        .withColumn("packed", col("doc_id") * 1000000L + col("pos"))
+        .withColumn("first_packed",
+          min(col("packed")).over(Window.partitionBy(col("h"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("packed") === col("first_packed"), 1L).otherwise(0L))
+            .as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(
+              col("packed") === col("first_packed"),
+              struct(col("pos"), col("chunk"))))),
+            x => x.getField("chunk")), " ")).as("new_md5"))
+        .select("doc_id", "n_chunks", "n_kept", "new_md5")
+    },
+    Some(
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |    array_to_string(tk[CAST(i * $ScrubChunk + 1 AS INT):CAST((i + 1) * $ScrubChunk AS INT)], ' ') AS chunk
+           |  FROM tk CROSS JOIN LATERAL
+           |    unnest(range(0, (len(tk) + ${ScrubChunk - 1}) // $ScrubChunk)) AS g(i)),
+           |hp AS (SELECT doc_id, pos, chunk, md5(chunk) AS h,
+           |    doc_id * 1000000 + pos AS packed FROM ch),
+           |fo AS (SELECT h, min(packed) AS first_packed FROM hp GROUP BY 1)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(sum(CASE WHEN packed = first_packed THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  md5(COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+           |    FILTER (WHERE packed = first_packed), '')) AS new_md5
+           |FROM hp JOIN fo USING (h)
+           |GROUP BY doc_id""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -3085,5 +3144,5 @@ object Queries {
     qKmvDistinct, qCurriculum, qSemanticDedup, qClusterBalance,
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
-    qWinnowCandidates, qPmiColloc, qScd2History)
+    qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub)
 }
