@@ -180,6 +180,35 @@ class SketchSpec extends SparkSpec {
     running.toSeq shouldBe oneShot
   }
 
+  test("span scrub keeps the first occurrence and rebuilds docs in order") {
+    // doc 1 owns chunks A B; doc 2 repeats A then has C; doc 3 is A B
+    // again entirely. 2-token chunks for readability.
+    val a = "alpha one"; val b = "beta two"; val c = "gamma three"
+    val docs = Seq(
+      (1L, s"$a $b"),
+      (2L, s"$a $c"),
+      (3L, s"$a $b")).toDF("doc_id", "text")
+    import org.apache.spark.sql.expressions.Window
+    val chunks = docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .withColumn("nch", expr("(size(tk) + 1) DIV 2"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, nch - 1), i -> concat_ws(' ', slice(tk, i * 2 + 1, 2)))")))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("packed", col("doc_id") * 1000000L + col("pos"))
+      .withColumn("first_packed", min(col("packed")).over(Window.partitionBy(col("h"))))
+    val kept = chunks.filter(col("packed") === col("first_packed"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("chunk")))).as("ks"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ks, x -> x.chunk), ' ')").as("rebuilt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    kept(1L) shouldBe s"$a $b"          // owns both first occurrences
+    kept(2L) shouldBe c                 // A scrubbed, C kept
+    kept.get(3L) shouldBe None          // fully scrubbed: no kept chunks
+  }
+
   test("count-min base hash matches the SQL chain's arithmetic") {
     // JVM byte-twiddling vs the documented formula:
     // CAST('0x'||substr(md5('c:'||x),1,15) AS BIGINT) % P
