@@ -2660,8 +2660,9 @@ object Queries {
       val local = s.createDataFrame(
         java.util.Arrays.asList(cents.collect(): _*), cents.schema)
       val total = e.count() // tiny action; at scale read from table stats
-      // empty input: Spark's integer DIV by 0 yields NULL where the
-      // DuckDB oracle's `// 0` raises — fail fast instead of diverging
+      // fail fast on an empty table: the k-means seed selection and the
+      // share_bp denominator below are meaningless with zero vectors
+      // (both engines would otherwise just return zero rows)
       require(total > 0, "q_cluster_balance needs a non-empty embeddings table")
       Similarity.ivfAssign(e, "vec_id", "embedding", local)
         .groupBy(col("cell"))
@@ -2847,23 +2848,42 @@ object Queries {
            |FROM fps f JOIN gd ON gd.doc_id = f.doc_id
            |GROUP BY 1, 2""".stripMargin))
 
+  /** The simulated snapshot pair shared by the CDC and SCD2 queries
+    * (ONE definition so the two queries cannot drift): v1 drops
+    * id%7==0, v2 drops id%11==3 and revises id%5==0. Each side projects
+    * to (id, content-hash) BEFORE any join, so only two narrow columns
+    * ever shuffle — never the text.
+    */
+  private def snapshotPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d).documents
+    val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("h2"))
+    (v1, v2)
+  }
+
+  /** SQL mirror of [[snapshotPair]] plus the full-outer join: CTEs
+    * `v1`, `v2`, `j` = (doc_id, h1, h2).
+    */
+  private val sqlSnapshotCtes: String =
+    """v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 7 <> 0),
+      |v2 AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)""".stripMargin
+
   private val qSnapshotCdc = Q(
     "q_snapshot_cdc",
     "snapshot diff / CDC: added-removed-changed-unchanged between two corpus versions",
     (s, d) => {
-      // lakehouse change-data-capture between two corpus snapshots
-      // (simulated deterministically from the one kit table: v1 drops
-      // id%7==0, v2 drops id%11==3 and revises id%5==0). Scale shape:
-      // each side projects to (id, content-hash) BEFORE the full-outer
-      // join, so only two narrow columns shuffle — never the text.
-      val docs = t(s, d).documents
-      val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-        .select(col("doc_id"), md5(col("text")).as("h1"))
-      val v2 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
-        .select(col("doc_id"),
-          md5(when(pmod(col("doc_id"), lit(5)) === 0,
-            concat(col("text"), lit(" [rev2]")))
-            .otherwise(col("text"))).as("h2"))
+      // lakehouse change-data-capture between the shared simulated
+      // snapshot pair; one narrow full-outer join decides every doc's fate
+      val (v1, v2) = snapshotPair(s, d)
       v1.join(v2, Seq("doc_id"), "full_outer")
         .withColumn("status",
           when(col("h1").isNull, "added")
@@ -2875,19 +2895,14 @@ object Queries {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
     },
     Some(
-      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 7 <> 0),
-        |v2 AS (SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h2
-        |  FROM documents WHERE doc_id % 11 <> 3),
-        |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
-        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
-        |SELECT CASE WHEN h1 IS NULL THEN 'added'
-        |            WHEN h2 IS NULL THEN 'removed'
-        |            WHEN h1 <> h2 THEN 'changed'
-        |            ELSE 'unchanged' END AS status,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM j GROUP BY 1""".stripMargin))
+      s"""WITH $sqlSnapshotCtes
+         |SELECT CASE WHEN h1 IS NULL THEN 'added'
+         |            WHEN h2 IS NULL THEN 'removed'
+         |            WHEN h1 <> h2 THEN 'changed'
+         |            ELSE 'unchanged' END AS status,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM j GROUP BY 1""".stripMargin))
 
   private val qLmSurprisal = Q(
     "q_lm_surprisal",
@@ -3019,19 +3034,12 @@ object Queries {
     "SCD2 history build: versioned records with end-version and currency from two snapshots",
     (s, d) => {
       // the type-2 slowly-changing-dimension merge, declaratively: one
-      // full-outer join of (id, content-hash) projections decides every
+      // full-outer join of the shared snapshot pair decides every
       // record's fate — v1 rows close (end_ver=2) when the doc changed
       // or vanished, v2 opens a new record for added/changed docs.
-      // Same narrow-shuffle discipline as q_snapshot_cdc; the pattern
-      // is what a MERGE INTO compiles to without any table format.
-      val docs = t(s, d).documents
-      val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-        .select(col("doc_id"), md5(col("text")).as("h1"))
-      val v2 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
-        .select(col("doc_id"),
-          md5(when(pmod(col("doc_id"), lit(5)) === 0,
-            concat(col("text"), lit(" [rev2]")))
-            .otherwise(col("text"))).as("h2"))
+      // The pattern is what a MERGE INTO compiles to without any table
+      // format.
+      val (v1, v2) = snapshotPair(s, d)
       val j = v1.join(v2, Seq("doc_id"), "full_outer")
       val hist1 = j.filter(col("h1").isNotNull).select(
         col("doc_id"), lit(1).as("ver"), col("h1").as("content_h"),
@@ -3045,20 +3053,15 @@ object Queries {
       hist1.unionByName(hist2)
     },
     Some(
-      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 7 <> 0),
-        |v2 AS (SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h2
-        |  FROM documents WHERE doc_id % 11 <> 3),
-        |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
-        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
-        |SELECT doc_id, 1 AS ver, h1 AS content_h,
-        |  CASE WHEN h2 IS NULL OR h1 <> h2 THEN 2 ELSE NULL END AS end_ver,
-        |  (h2 IS NOT NULL AND h1 = h2) AS is_current
-        |FROM j WHERE h1 IS NOT NULL
-        |UNION ALL
-        |SELECT doc_id, 2 AS ver, h2 AS content_h,
-        |  NULL AS end_ver, TRUE AS is_current
-        |FROM j WHERE h2 IS NOT NULL AND (h1 IS NULL OR h1 <> h2)""".stripMargin))
+      s"""WITH $sqlSnapshotCtes
+         |SELECT doc_id, 1 AS ver, h1 AS content_h,
+         |  CASE WHEN h2 IS NULL OR h1 <> h2 THEN 2 ELSE NULL END AS end_ver,
+         |  (h2 IS NOT NULL AND h1 = h2) AS is_current
+         |FROM j WHERE h1 IS NOT NULL
+         |UNION ALL
+         |SELECT doc_id, 2 AS ver, h2 AS content_h,
+         |  NULL AS end_ver, TRUE AS is_current
+         |FROM j WHERE h2 IS NOT NULL AND (h1 IS NULL OR h1 <> h2)""".stripMargin))
 
   private val ScrubChunk = 20
 

@@ -107,20 +107,13 @@ object CountMin {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 
+  private val Prefix: Array[Byte] = "c:".getBytes("UTF-8")
+
   /** JVM side of the shared base hash — identical to the SQL
     * `CAST('0x' || substr(md5('c:' || x), 1, 15) AS BIGINT) % P`.
     */
-  def baseHash(item: String): Long = {
-    val md = SimHash.digest.get()
-    md.reset()
-    val bytes = md.digest(("c:" + item).getBytes("UTF-8"))
-    // first 15 hex chars = the top 60 bits = 7.5 bytes
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
-    h = (h << 4) | ((bytes(7) & 0xff) >>> 4)
-    h % MinHashFamily.P
-  }
+  def baseHash(item: String): Long =
+    MinHashFamily.hash60(SimHash.digest.get(), Prefix, item) % MinHashFamily.P
 
   /** Point estimate from the eval'd counter array: min over rows of the
     * key's bucket — pure column algebra (codegen'd), usable after a

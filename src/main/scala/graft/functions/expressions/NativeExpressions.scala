@@ -500,6 +500,25 @@ object MinHashFamily {
 
   /** Offset for component i (murmur3's C2 scaled, reduced mod P). */
   def b(i: Int): Long = ((i + 1L) * 2246822507L) % P
+
+  /** The engine-independent 60-bit base hash every md5-anchored family in
+    * this package uses: int64 of the first 15 hex chars of
+    * md5(prefix ++ body) — in SQL,
+    * `CAST('0x' || substr(md5(prefix || body), 1, 15) AS BIGINT)`.
+    * The ONE place the byte extraction lives; `md` is the caller's
+    * thread-local digest, `prefix` a precomputed byte array (no per-row
+    * string concatenation).
+    */
+  def hash60(md: java.security.MessageDigest,
+      prefix: Array[Byte], body: String): Long = {
+    md.reset()
+    md.update(prefix)
+    val bytes = md.digest(body.getBytes("UTF-8"))
+    var h = 0L
+    var k = 0
+    while (k < 7) { h = (h << 8) | (bytes(k) & 0xffL); k += 1 }
+    (h << 4) | ((bytes(7) & 0xffL) >>> 4)
+  }
 }
 
 /** All `numHashes` MinHash components of an array<string> token column in
@@ -546,16 +565,8 @@ case class MinHashSig(child: Expression, numHashes: Int)
         // min is duplicate-insensitive; the set only saves repeat md5s
         if (seen.add(tok)) {
           any = true
-          md.reset()
-          md.update(MinHashSig.Prefix)
-          val bytes = md.digest(tok.getBytes("UTF-8"))
-          // first 15 hex nibbles of the digest, as in the SQL oracle's
-          // CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)
-          var h = 0L
-          var k = 0
-          while (k < 7) { h = (h << 8) | (bytes(k) & 0xffL); k += 1 }
-          h = (h << 4) | ((bytes(7) & 0xffL) >>> 4)
-          val hp = h % MinHashFamily.P
+          val hp = MinHashFamily.hash60(md, MinHashSig.Prefix, tok) %
+            MinHashFamily.P
           var i = 0
           while (i < numHashes) {
             val s = (as(i) * hp + bs(i)) % MinHashFamily.P

@@ -61,35 +61,35 @@ case class WinnowFp(child: Expression, k: Int, w: Int) extends UnaryExpression {
     val md = SimHash.digest.get()
     var p = 0
     while (p < g) {
-      val sb = new java.lang.StringBuilder("g:")
-      sb.append(toks(p))
+      val sb = new java.lang.StringBuilder(toks(p))
       var j = 1
       while (j < k) { sb.append(' ').append(toks(p + j)); j += 1 }
-      md.reset()
-      val bytes = md.digest(sb.toString.getBytes("UTF-8"))
-      // first 15 hex chars = top 60 bits, then mod 2^40
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (bytes(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((bytes(7) & 0xff) >>> 4)
-      h(p) = v % Mask
+      h(p) = MinHashFamily.hash60(md, WinnowFp.Prefix, sb.toString) % Mask
       p += 1
     }
+    // sliding-window minimum via monotone deque — O(g) total instead of
+    // O(g·w): the deque holds gram indices with strictly increasing hash
+    // front→back; popping `>=` from the back on insert makes the front
+    // the RIGHTMOST minimal hash of its window, the same selection as
+    // min over h·1024 + (w−1−offset) packed keys (the SQL oracle's form)
     val selected = new java.util.TreeSet[java.lang.Long]()
-    val lastWindow = math.max(g - w, 0)
-    var s = 0
-    while (s <= lastWindow) {
-      val end = math.min(s + w, g)
-      var bestKey = Long.MaxValue
-      var q = s
-      while (q < end) {
-        val key = h(q) * 1024L + (w - 1 - (q - s))
-        if (key < bestKey) bestKey = key
-        q += 1
+    val dq = new Array[Int](g)
+    var head = 0
+    var tail = 0 // exclusive
+    var q = 0
+    while (q < g) {
+      while (tail > head && h(dq(tail - 1)) >= h(q)) tail -= 1
+      dq(tail) = q
+      tail += 1
+      val s = q - w + 1
+      if (s >= 0) {
+        while (dq(head) < s) head += 1
+        selected.add(h(dq(head)))
       }
-      selected.add(bestKey / 1024L)
-      s += 1
+      q += 1
     }
+    // fewer grams than a window: one clamped window over all of them
+    if (g < w) selected.add(h(dq(head)))
     val out = new Array[Any](selected.size)
     val it = selected.iterator()
     i = 0
@@ -115,4 +115,8 @@ case class WinnowFp(child: Expression, k: Int, w: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_winnow_fp"
+}
+
+object WinnowFp {
+  private[expressions] val Prefix: Array[Byte] = "g:".getBytes("UTF-8")
 }

@@ -156,6 +156,10 @@ class SketchSpec extends SparkSpec {
     val data = corpus(120, 80)
     val running = new Array[Long](4 * 64)
     val mem = MemoryStream[(Long, String)](spark)
+    // enqueue BEFORE start: AvailableNow snapshots the offset boundary
+    // when the stream thread initializes — data added after that races
+    // the snapshot and would be silently skipped
+    data.grouped(40).foreach(g => mem.addData(g))
     val query = mem.toDF().toDF("doc_id", "text")
       .select(explode(TF.tokens(col("text"))).as("tok"))
       .writeStream
@@ -171,8 +175,7 @@ class SketchSpec extends SparkSpec {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    data.grouped(40).foreach(g => mem.addData(g))
-    query.awaitTermination(60000)
+    assert(query.awaitTermination(60000), "streaming count-min query timed out")
     val oneShot = data.toDF("doc_id", "text")
       .select(explode(TF.tokens(col("text"))).as("tok"))
       .agg(NativeExpressions.countMin(col("tok"), 4, 64).as("cms"))
