@@ -3122,6 +3122,106 @@ object Queries {
            |FROM hp JOIN fo USING (h)
            |GROUP BY doc_id""".stripMargin))
 
+  private val qKmvOverlap = Q(
+    "q_kmv_overlap",
+    "KMV sketch set ops: per-language-pair vocabulary intersection estimate vs exact",
+    (s, d) => {
+      // sketch SET OPERATIONS — the constant-memory way to estimate
+      // cross-corpus vocabulary overlap at 100 TB: each language keeps
+      // only its K smallest token hashes; for a pair, the bottom-K of
+      // the sketch union gives the threshold, the members present in
+      // BOTH sketches give the Jaccard numerator, and
+      // |A∩B| ≈ (m · (K−1) · (M DIV h_K)) DIV K in exact int64
+      // (Beyer et al., SIGMOD'07). The exact-join count rides along as
+      // the error report; when the union fits under K the sketch IS the
+      // union and m is exact. Per-pair state is 2K longs regardless of
+      // corpus size; the exact join is the bounded-use verifier.
+      // BIGRAM vocabulary (~10³ per language on the kit, well past K=64)
+      // so the threshold-estimation branch does real sketch work — the
+      // unigram vocab fits inside one sketch and would degenerate to
+      // the exact path
+      val toks = t(s, d).documents
+        .select(col("lang"), explode(graft.functions.expressions
+          .NativeExpressions.shingles(TF.tokens(col("text")), 2, distinct = false))
+          .as("tok"))
+        .select(col("lang"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
+      // the 10 lang pairs as a tiny local frame — langs come from a
+      // plain column scan (NOT the exploded bigram table: this collect
+      // must never cost a corpus pass), 5 strings
+      val langs = t(s, d).documents.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted
+      val pairs = (for {
+        i <- langs.indices; j <- (i + 1) until langs.length
+      } yield (langs(i), langs(j))).toSeq
+      import s.implicits._
+      // ONE pipeline computes sketch AND exact verifier: tag every
+      // distinct hash with its pair memberships (equi-join against the
+      // pairs exploded to (pair, member-lang, side) — 2·|pairs| rows,
+      // broadcast), dedup per (pair, h), rank per pair, then a single
+      // aggregation reads the sketch stats off rn ≤ K and the exact
+      // intersection off the full rows. The corpus is scanned ONCE — a
+      // union-sketch + self-join formulation scans it six times.
+      val plx = pairs.flatMap { case (a, b) =>
+        Seq((a, b, a, 1, 0), (a, b, b, 0, 1))
+      }.toDF("la", "lb", "member", "a_side", "b_side")
+      val tagged = toks.join(broadcast(plx), col("lang") === col("member"))
+        .groupBy(col("la"), col("lb"), col("h"))
+        .agg(max(col("a_side")).as("in_a"), max(col("b_side")).as("in_b"))
+      val wu = Window.partitionBy(col("la"), col("lb")).orderBy(col("h"))
+      tagged.withColumn("rn", row_number().over(wu))
+        .groupBy(col("la"), col("lb"))
+        .agg(
+          sum(col("in_a") * col("in_b")).as("n_inter_exact"),
+          sum(when(col("rn") <= KmvK, 1L).otherwise(0L)).as("cnt"),
+          max(when(col("rn") <= KmvK, col("h"))).as("hk"),
+          sum(when(col("rn") <= KmvK, col("in_a") * col("in_b"))
+            .otherwise(0L)).as("m"))
+        .withColumn("n_inter_est",
+          expr(s"CASE WHEN cnt < $KmvK THEN m" +
+            s" ELSE (m * (($KmvK - 1) * (1152921504606846976 DIV hk))) DIV $KmvK END"))
+        .withColumn("err_bp",
+          expr("(abs(n_inter_est - n_inter_exact) * 10000)" +
+            " DIV greatest(n_inter_exact, 1)"))
+        .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+          col("n_inter_exact"), col("n_inter_est"), col("err_bp"))
+    },
+    Some(
+      raw"""WITH tkn AS (SELECT lang, string_split_regex(trim(text), '\s+') AS tk
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |tok AS (SELECT lang,
+           |    array_to_string(tk[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS tok
+           |  FROM tkn CROSS JOIN LATERAL unnest(range(1, len(tk))) AS g(i)),
+           |tk AS (SELECT DISTINCT lang,
+           |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+           |pl AS (SELECT a.lang AS la, b.lang AS lb
+           |  FROM (SELECT DISTINCT lang FROM documents) a
+           |  JOIN (SELECT DISTINCT lang FROM documents) b ON a.lang < b.lang),
+           |tg AS (SELECT la, lb, h, max(a_side) AS in_a, max(b_side) AS in_b FROM (
+           |    SELECT pl.la, pl.lb, tk.h, 1 AS a_side, 0 AS b_side
+           |    FROM tk JOIN pl ON tk.lang = pl.la
+           |    UNION ALL
+           |    SELECT pl.la, pl.lb, tk.h, 0 AS a_side, 1 AS b_side
+           |    FROM tk JOIN pl ON tk.lang = pl.lb)
+           |  GROUP BY 1, 2, 3),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY la, lb ORDER BY h) AS rn
+           |  FROM tg),
+           |agg AS (SELECT la, lb,
+           |    CAST(sum(in_a * in_b) AS BIGINT) AS n_inter_exact,
+           |    CAST(sum(CASE WHEN rn <= $KmvK THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+           |    max(CASE WHEN rn <= $KmvK THEN h END) AS hk,
+           |    CAST(sum(CASE WHEN rn <= $KmvK THEN in_a * in_b ELSE 0 END) AS BIGINT) AS m
+           |  FROM r GROUP BY 1, 2)
+           |SELECT la AS lang_a, lb AS lang_b, n_inter_exact,
+           |  CASE WHEN cnt < $KmvK THEN m
+           |       ELSE (m * (($KmvK - 1) * (1152921504606846976 // hk))) // $KmvK END
+           |    AS n_inter_est,
+           |  (abs((CASE WHEN cnt < $KmvK THEN m
+           |        ELSE (m * (($KmvK - 1) * (1152921504606846976 // hk))) // $KmvK END)
+           |      - n_inter_exact) * 10000) // greatest(n_inter_exact, 1) AS err_bp
+           |FROM agg""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -3147,5 +3247,5 @@ object Queries {
     qKmvDistinct, qCurriculum, qSemanticDedup, qClusterBalance,
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
-    qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub)
+    qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap)
 }
