@@ -742,8 +742,12 @@ object Queries {
       val aug = base.unionByName(base.select(
         (col("vec_id") + 100000L).as("vec_id"),
         transform(col("v"), x => x + lit(0.01)).as("v")))
+      // bitsPerBand = 0 → auto-sized from the corpus count
+      // (Similarity.autoBitsPerBand: ⌈log₂ n⌉ + slack), so the random-
+      // candidate floor stays linear in n instead of quadratic at a
+      // fixed 16-bit width.
       Similarity.nearDupBanded(aug, "vec_id", "v", dims = 64, threshold = 0.95,
-        bitsPerBand = 16, numBands = 16)
+        bitsPerBand = 0, numBands = 16)
     },
     Some("""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
            |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -434,18 +434,23 @@ object Similarity {
     * single native [[graft.functions.expressions.SrpBank]] pass —
     * `numBands*bitsPerBand` separate dot-product expressions would cost
     * more in codegen size than arithmetic), `posexplode` to (band, code)
-    * keys, equi-join per key — shuffle volume is `numBands × |corpus|`
-    * skinny rows, no theta join anywhere; the final dedup shuffles only
-    * verified pairs (≈ |true near-dups|).
+    * keys, equi-join per key on SKINNY (id, band, code) rows — the full
+    * vectors never ride the band shuffle. Colliding id pairs are
+    * `distinct`'d FIRST (a pair sharing all 16 bands costs 16 skinny
+    * rows, not 16 vector copies), then the vectors are joined back once
+    * per side and the exact cosine is evaluated exactly once per
+    * distinct candidate pair.
     *
     * Size `bitsPerBand` to the corpus: random pairs collide in a band
     * with p = 2^-bitsPerBand, so the verify stage carries an
     * n²·numBands/2^bitsPerBand random-candidate floor on top of the true
     * near-dups (measured in the 10× scaling study: ~49k random
-    * candidates at 20k vectors with 16-bit bands). 16 bits is
-    * comfortable to ~1M vectors; at ≥1M move to 24–32-bit bands (same
-    * pigeonhole guarantee per band count, quadratically fewer random
-    * collisions).
+    * candidates at 20k vectors with 16-bit bands). Pass
+    * `bitsPerBand = 0` to auto-size via [[autoBitsPerBand]]
+    * (⌈log₂ n⌉ + slack, one narrow count of the input) — the floor then
+    * stays LINEAR in n at every scale. Recall at true near-dup
+    * thresholds is unaffected: per-plane agreement ≈ 0.994 at cos 0.997
+    * makes P(no band collides) < 1e-12 for any bits ≤ 48.
     */
   def nearDupBanded(
       df: DataFrame,
@@ -456,20 +461,44 @@ object Similarity {
       bitsPerBand: Int = 16,
       numBands: Int = 16,
       roundTo: Int = 4): DataFrame = {
-    val coded = df
-      .select(col(id), toDouble(col(vec)).as("v"))
+    val base = df.select(col(id), toDouble(col(vec)).as("v"))
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand
+      else autoBitsPerBand(base.select(col(id)).count(), numBands)
+    val coded = base
       .withColumn("codes",
         graft.functions.expressions.NativeExpressions
-          .srpBank(col("v"), dims, bitsPerBand, numBands))
-      .select(col(id), col("v"), posexplode(col("codes")).as(Seq("band", "bcode")))
-    val a = coded.select(col(id).as("vec_a"), col("v").as("va"), col("band"), col("bcode"))
-    val b = coded.select(col(id).as("vec_b"), col("v").as("vb"), col("band"), col("bcode"))
-    a.join(b, Seq("band", "bcode"))
+          .srpBank(col("v"), dims, bits, numBands))
+      .select(col(id), posexplode(col("codes")).as(Seq("band", "bcode")))
+    val a = coded.select(col(id).as("vec_a"), col("band"), col("bcode"))
+    val b = coded.select(col(id).as("vec_b"), col("band"), col("bcode"))
+    val pairs = a.join(b, Seq("band", "bcode"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), roundTo))
-      .filter(col("cos_sim") >= threshold)
-      .select("vec_a", "vec_b", "cos_sim")
+      .select("vec_a", "vec_b")
       .distinct()
+    val vecs = base.select(col(id), col("v"), norm2(col("v")).as("n2"))
+    pairs
+      .join(vecs.select(col(id).as("vec_a"), col("v").as("va"), col("n2").as("na")),
+        Seq("vec_a"))
+      .join(vecs.select(col(id).as("vec_b"), col("v").as("vb"), col("n2").as("nb")),
+        Seq("vec_b"))
+      .withColumn("cos_sim",
+        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), roundTo))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  /** Band width for [[nearDupBanded]] sized to the corpus count: with
+    * `bits = ⌈log₂ n⌉ + slack`, expected random band collisions are
+    * n²·numBands/2^(bits+1) ≈ n·numBands/2^(slack+1) — linear in n at
+    * every scale (≈ n/8 at the defaults) instead of the quadratic floor
+    * a fixed width hits. Clamped to [16, 48]: 16 matches the historical
+    * default at small corpora (the planted-pair oracle regime), 48 keeps
+    * the packed code well inside an int64.
+    */
+  def autoBitsPerBand(n: Long, numBands: Int = 16, slack: Int = 6): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(48, math.max(16, ceilLog2 + slack))
   }
 
   /** The two persistable index tables of a continuously-ingesting

@@ -561,6 +561,49 @@ class FunctionsSpec extends SparkSpec {
     val plan = banded.queryExecution.executedPlan.toString
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
+
+    // verify-once shape: candidate pairs are distinct'd BEFORE the cosine
+    // verify, on skinny (vec_a, vec_b) rows. The optimized plan must
+    // contain the pair-dedup Aggregate, and the band join below it must
+    // not carry any array (vector) column — a pair colliding in all 16
+    // bands is verified once, and no vector rides the band shuffle.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val opt = banded.queryExecution.optimizedPlan
+    val pairAgg = opt.collect {
+      case agg: Aggregate
+          if agg.output.map(_.name).toSet == Set("vec_a", "vec_b") => agg
+    }
+    pairAgg should have size 1
+    val joinsBelow = pairAgg.head.collect { case j: Join => j }
+    joinsBelow should not be empty
+    joinsBelow.flatMap(_.output)
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) shouldBe empty
+  }
+
+  test("autoBitsPerBand: ceil(log2 n) + slack, clamped to [16, 48]") {
+    Similarity.autoBitsPerBand(0) shouldBe 16
+    Similarity.autoBitsPerBand(1000) shouldBe 16     // 10 + 6
+    Similarity.autoBitsPerBand(1024) shouldBe 16     // exact power: ceil(log2)=10
+    Similarity.autoBitsPerBand(1025) shouldBe 17     // 11 + 6
+    Similarity.autoBitsPerBand(40000) shouldBe 22    // 16 + 6
+    Similarity.autoBitsPerBand(1000000) shouldBe 26  // 20 + 6 — the scaladoc's 24-32 regime
+    Similarity.autoBitsPerBand(1L << 60) shouldBe 48 // upper clamp: code stays in int64
+  }
+
+  test("nearDupBanded auto-sizing (bitsPerBand=0) finds the same pairs") {
+    def vec(i: Int): Array[Double] = Array.tabulate(64) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v$i:$d".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 0xffffffffL.toDouble - 0.5
+    }
+    val base = (0 until 100).map(i => (i.toLong, vec(i)))
+    val planted = base.map { case (i, v) => (i + 100000L, v.map(_ + 0.01)) }
+    val df = (base ++ planted).toDF("vec_id", "v")
+    val auto = Similarity
+      .nearDupBanded(df, "vec_id", "v", dims = 64, threshold = 0.95, bitsPerBand = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    auto shouldBe (0 until 100).map(i => (i.toLong, i + 100000L)).toSet
   }
 
   test("native ShingleSimHash equals the column-algebra shingle formulation bit-for-bit") {
