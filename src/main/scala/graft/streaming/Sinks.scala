@@ -55,10 +55,15 @@ object Sinks {
     * alone it is the classic streaming small-file problem — at one batch
     * per trigger a day is thousands of directories of kilobyte files, and
     * both scan planning and the NameNode pay per file. Compaction runs as
-    * a periodic batch job: one shuffle keyed by event date, one file per
-    * (date, shuffle lane), partition-pruned reads afterward. Write lands
-    * in `dstDir` (swap-then-delete is the caller's atomic-publish step,
-    * same pointer idiom as [[ParquetUpsertSink]]).
+    * a periodic batch job: one shuffle keyed by (event date, salt lane),
+    * one file per (date, lane), partition-pruned reads afterward. The
+    * lanes are salted INSIDE each date (same idiom as
+    * [[writeCorpusRelease]]) — `repartition(lanesPerDate, $"event_date")`
+    * would produce `lanesPerDate` writer tasks in TOTAL and a hot date
+    * would always bottleneck one task. The row count is observed during
+    * the write, not a separate scan. Write lands in `dstDir`
+    * (swap-then-delete is the caller's atomic-publish step, same pointer
+    * idiom as [[ParquetUpsertSink]]).
     *
     * Returns (rows, filesBefore, filesAfter) for the job log.
     */
@@ -82,14 +87,25 @@ object Sinks {
     val before = dataFiles(srcDir)
     val src = spark.read.parquet(srcDir).drop("batch")
     val dated = src.withColumn("event_date", to_date(col(tsCol)))
-    val rows = dated.count()
+    // count DURING the write via observe — a separate dated.count() is a
+    // second full read of the archive (the writeCorpusRelease pattern)
+    val obs = org.apache.spark.sql.Observation()
+    val lane = pmod(hash(src.columns.map(col): _*), lit(lanesPerDate))
+    // explicit partition count: column-only repartition is an AQE
+    // coalesce target, which would merge the salt lanes straight back
+    // into one task per (small) date — the exact bottleneck the lanes
+    // exist to break
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
     dated
-      .repartition(lanesPerDate, col("event_date"))
+      .withColumn("_lane", lane)
+      .repartition(shufflePartitions, col("event_date"), col("_lane"))
+      .drop("_lane")
+      .observe(obs, count(lit(1)).as("rows"))
       .write
       .mode("overwrite")
       .partitionBy("event_date")
       .parquet(dstDir)
-    (rows, before, dataFiles(dstDir))
+    (obs.get("rows").asInstanceOf[Long], before, dataFiles(dstDir))
   }
 
   /** Dataset-release writer: the final step of a training-data pipeline.

@@ -547,6 +547,57 @@ class StreamingSpec extends SparkSpec {
     out.filter(col("event_date") === "2024-01-02").count() shouldBe 2L
   }
 
+  test("compactArchive: salt lanes spread each date over >1 writer task; no separate count job") {
+    val src = tmpDir("arch_src_lanes"); val dst = tmpDir("arch_dst_lanes")
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-02-$day%02d ${i % 24}%02d:00:00")
+    // 2 dates x 40 rows — enough that 4 hash lanes per date all populate
+    val rows = (0 until 80).map(i => (s"app$i", ts(1 + i % 2, i / 2)))
+    rows.toDF("app_id", "timestamp").repartition(4)
+      .write.mode("overwrite").parquet(s"$src/batch=0")
+
+    // watch Spark jobs during the call: the row count must come from an
+    // .observe() on the write job, not a separate full-scan count action
+    val jobSites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobSites.add(Option(js.properties.getProperty("callSite.short")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (n, _, _) =
+      try {
+        val r = Sinks.compactArchive(spark, src, dst, "timestamp", lanesPerDate = 4)
+        // listener delivery is async; wait until the job-start count settles
+        var last = -1
+        var spins = 0
+        while (jobSites.size() != last && spins < 50) {
+          last = jobSites.size(); Thread.sleep(100); spins += 1
+        }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    n shouldBe 80L
+
+    // lanesPerDate=4 must yield one file per populated (date, lane) — i.e.
+    // >1 writer task touched EACH date. The old repartition(lanes, date)
+    // plan produced `lanes` tasks in total and one task per hot date.
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("2024-02-01", "2024-02-02").foreach { d =>
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dst/event_date=$d"))
+        .map(_.getPath.getName).filterNot(nm => nm.startsWith("_") || nm.startsWith("."))
+      withClue(s"files for $d: ") { files.length should be > 1 }
+    }
+    // no job may be a count action — the old implementation ran
+    // `dated.count()` as an independent full read before the write
+    import scala.jdk.CollectionConverters._
+    val sites = jobSites.asScala.toList
+    withClue(s"job callsites $sites: ") {
+      sites.filter(_.startsWith("count")) shouldBe empty
+    }
+    spark.read.parquet(dst).count() shouldBe 80L
+  }
+
   test("writeCorpusRelease: partitioned layout, per-file row cap, prunable, row parity") {
     val dst = tmpDir("release")
     val docs = (0 until 400).map { i =>
