@@ -1628,14 +1628,27 @@ object Queries {
 
   private val qMedian = Q(
     "q_median",
-    "exact per-group median via ordered selection (no approx percentile)",
+    "exact per-group median via two-pass histogram selection (no approx percentile)",
     (s, d) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
-      t(s, d).documents
-        .select(col("lang"), col("n_chars"), col("doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
-        .filter(col("rn") === ((col("n") + 1) / 2).cast("int")) // lower median
+      // Two-pass exact selection, not row_number over the raw corpus: a
+      // per-lang row_number window sorts the ENTIRE corpus in one task
+      // per language (5 tasks at 100 TB). Pass 1 aggregates a
+      // (lang, n_chars) histogram — an ordinary map-side-combinable
+      // shuffle agg; pass 2 runs the ordered selection over the
+      // histogram, whose per-group size is |distinct n_chars| (bounded
+      // by the value domain), not the corpus. The GK-sketch path
+      // (q_quantile_sketch / q_length_trim) remains the
+      // arbitrary-quantile scale configuration.
+      val hist = t(s, d).documents
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+        .withColumn("target", ((col("n") + 1) / 2).cast("long")) // lower median
+        .filter(col("cum") - col("c") < col("target") && col("target") <= col("cum"))
         .select(col("lang"), col("n_chars").as("median_chars"))
     },
     Some("""SELECT lang, n_chars AS median_chars FROM (
@@ -3085,6 +3098,16 @@ object Queries {
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
         .withColumn("nch", expr(s"(size(tk) + ${ScrubChunk - 1}) DIV $ScrubChunk"))
+        // the packed (doc, pos) key below reserves 10⁶ positions per doc;
+        // a doc with more chunks (>20M tokens) would silently collide
+        // packed keys across docs and corrupt the first-occurrence
+        // ordering — fail LOUDLY instead
+        .withColumn("nch",
+          when(col("nch") < lit(1000000L), col("nch"))
+            .otherwise(raise_error(concat(
+              lit("q_span_scrub: doc "), col("doc_id"),
+              lit(" has "), col("nch"),
+              lit(" chunks >= 1e6 — packed (doc_id, pos) key would collide")))))
         .select(col("doc_id"),
           posexplode(expr(s"transform(sequence(0, nch - 1), " +
             s"i -> concat_ws(' ', slice(tk, i * $ScrubChunk + 1, $ScrubChunk)))")))
@@ -3126,6 +3149,76 @@ object Queries {
            |FROM hp JOIN fo USING (h)
            |GROUP BY doc_id""".stripMargin))
 
+  /** Per-(language-pair, distinct-bigram-hash) membership table shared by
+    * the two KMV set-operation queries: every distinct hash tagged with
+    * its pair memberships (equi-join against the pairs exploded to
+    * (pair, member-lang, side) — 2·|pairs| rows, broadcast), deduped per
+    * (pair, h). The corpus is scanned ONCE — a union-sketch + self-join
+    * formulation scans it six times. BIGRAM vocabulary (~10³ per
+    * language on the kit, well past K=64) so the threshold-estimation
+    * branch does real sketch work — the unigram vocab fits inside one
+    * sketch and would degenerate to the exact path.
+    */
+  private def kmvPairTagged(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d).documents
+      .select(col("lang"), explode(graft.functions.expressions
+        .NativeExpressions.shingles(TF.tokens(col("text")), 2, distinct = false))
+        .as("tok"))
+      .select(col("lang"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    // the 10 lang pairs as a tiny local frame — langs come from a
+    // plain column scan (NOT the exploded bigram table: this collect
+    // must never cost a corpus pass), 5 strings
+    val langs = t(s, d).documents.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    val pairs = (for {
+      i <- langs.indices; j <- (i + 1) until langs.length
+    } yield (langs(i), langs(j))).toSeq
+    import s.implicits._
+    val plx = pairs.flatMap { case (a, b) =>
+      Seq((a, b, a, 1, 0), (a, b, b, 0, 1))
+    }.toDF("la", "lb", "member", "a_side", "b_side")
+    toks.join(broadcast(plx), col("lang") === col("member"))
+      .groupBy(col("la"), col("lb"), col("h"))
+      .agg(max(col("a_side")).as("in_a"), max(col("b_side")).as("in_b"))
+  }
+
+  /** DuckDB mirror of [[kmvPairTagged]]: CTEs ending in
+    * `tg(la, lb, h, in_a, in_b)`.
+    */
+  private val sqlKmvTaggedCtes: String =
+    raw"""tkn AS (SELECT lang, string_split_regex(trim(text), '\s+') AS tk
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |tok AS (SELECT lang,
+         |    array_to_string(tk[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS tok
+         |  FROM tkn CROSS JOIN LATERAL unnest(range(1, len(tk))) AS g(i)),
+         |tk AS (SELECT DISTINCT lang,
+         |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+         |pl AS (SELECT a.lang AS la, b.lang AS lb
+         |  FROM (SELECT DISTINCT lang FROM documents) a
+         |  JOIN (SELECT DISTINCT lang FROM documents) b ON a.lang < b.lang),
+         |tg AS (SELECT la, lb, h, max(a_side) AS in_a, max(b_side) AS in_b FROM (
+         |    SELECT pl.la, pl.lb, tk.h, 1 AS a_side, 0 AS b_side
+         |    FROM tk JOIN pl ON tk.lang = pl.la
+         |    UNION ALL
+         |    SELECT pl.la, pl.lb, tk.h, 0 AS a_side, 1 AS b_side
+         |    FROM tk JOIN pl ON tk.lang = pl.lb)
+         |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Beyer et al. (SIGMOD'07) KMV intersection estimate in exact int64:
+    * |A∩B| ≈ m · ((K−1)·⌊M/h_K⌋) ÷ K, evaluated as
+    * `(((K−1)·(M DIV h_K)) DIV K) · m` — division BEFORE the `· m` so no
+    * intermediate can overflow: the K distinct non-negative hashes force
+    * h_K ≥ K−1, hence (K−1)·(M DIV h_K) ≤ M = 2⁶⁰ < 2⁶³, and m ≤ K keeps
+    * the product under 2⁶⁰·… — the pre-reorder form `(m·…) DIV K` hit
+    * int64 wrap-around (silent in Spark, an error in DuckDB) for
+    * h_K < ~2⁹.
+    */
+  private def sqlKmvInterEst(div: String): String =
+    s"CASE WHEN cnt < $KmvK THEN m" +
+      s" ELSE ((($KmvK - 1) * (1152921504606846976 $div hk)) $div $KmvK) * m END"
+
   private val qKmvOverlap = Q(
     "q_kmv_overlap",
     "KMV sketch set ops: per-language-pair vocabulary intersection estimate vs exact",
@@ -3134,45 +3227,14 @@ object Queries {
       // cross-corpus vocabulary overlap at 100 TB: each language keeps
       // only its K smallest token hashes; for a pair, the bottom-K of
       // the sketch union gives the threshold, the members present in
-      // BOTH sketches give the Jaccard numerator, and
-      // |A∩B| ≈ (m · (K−1) · (M DIV h_K)) DIV K in exact int64
-      // (Beyer et al., SIGMOD'07). The exact-join count rides along as
-      // the error report; when the union fits under K the sketch IS the
-      // union and m is exact. Per-pair state is 2K longs regardless of
-      // corpus size; the exact join is the bounded-use verifier.
-      // BIGRAM vocabulary (~10³ per language on the kit, well past K=64)
-      // so the threshold-estimation branch does real sketch work — the
-      // unigram vocab fits inside one sketch and would degenerate to
-      // the exact path
-      val toks = t(s, d).documents
-        .select(col("lang"), explode(graft.functions.expressions
-          .NativeExpressions.shingles(TF.tokens(col("text")), 2, distinct = false))
-          .as("tok"))
-        .select(col("lang"),
-          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-        .distinct()
-      // the 10 lang pairs as a tiny local frame — langs come from a
-      // plain column scan (NOT the exploded bigram table: this collect
-      // must never cost a corpus pass), 5 strings
-      val langs = t(s, d).documents.select("lang").distinct()
-        .collect().map(_.getString(0)).sorted
-      val pairs = (for {
-        i <- langs.indices; j <- (i + 1) until langs.length
-      } yield (langs(i), langs(j))).toSeq
-      import s.implicits._
-      // ONE pipeline computes sketch AND exact verifier: tag every
-      // distinct hash with its pair memberships (equi-join against the
-      // pairs exploded to (pair, member-lang, side) — 2·|pairs| rows,
-      // broadcast), dedup per (pair, h), rank per pair, then a single
-      // aggregation reads the sketch stats off rn ≤ K and the exact
-      // intersection off the full rows. The corpus is scanned ONCE — a
-      // union-sketch + self-join formulation scans it six times.
-      val plx = pairs.flatMap { case (a, b) =>
-        Seq((a, b, a, 1, 0), (a, b, b, 0, 1))
-      }.toDF("la", "lb", "member", "a_side", "b_side")
-      val tagged = toks.join(broadcast(plx), col("lang") === col("member"))
-        .groupBy(col("la"), col("lb"), col("h"))
-        .agg(max(col("a_side")).as("in_a"), max(col("b_side")).as("in_b"))
+      // BOTH sketches give the Jaccard numerator, and the [[sqlKmvInterEst]]
+      // estimator gives |A∩B| in exact int64. The exact-join count rides
+      // along as the error report; when the union fits under K the
+      // sketch IS the union and m is exact. NOTE: the exact rider makes
+      // every per-pair rank read every row — this query is the
+      // demo-with-error-report; q_kmv_overlap_sketch is the scale
+      // configuration (partial top-K plan, 2K longs per pair).
+      val tagged = kmvPairTagged(s, d)
       val wu = Window.partitionBy(col("la"), col("lb")).orderBy(col("h"))
       tagged.withColumn("rn", row_number().over(wu))
         .groupBy(col("la"), col("lb"))
@@ -3182,9 +3244,7 @@ object Queries {
           max(when(col("rn") <= KmvK, col("h"))).as("hk"),
           sum(when(col("rn") <= KmvK, col("in_a") * col("in_b"))
             .otherwise(0L)).as("m"))
-        .withColumn("n_inter_est",
-          expr(s"CASE WHEN cnt < $KmvK THEN m" +
-            s" ELSE (m * (($KmvK - 1) * (1152921504606846976 DIV hk))) DIV $KmvK END"))
+        .withColumn("n_inter_est", expr(sqlKmvInterEst("DIV")))
         .withColumn("err_bp",
           expr("(abs(n_inter_est - n_inter_exact) * 10000)" +
             " DIV greatest(n_inter_exact, 1)"))
@@ -3192,23 +3252,7 @@ object Queries {
           col("n_inter_exact"), col("n_inter_est"), col("err_bp"))
     },
     Some(
-      raw"""WITH tkn AS (SELECT lang, string_split_regex(trim(text), '\s+') AS tk
-           |  FROM documents WHERE length(trim(text)) > 0),
-           |tok AS (SELECT lang,
-           |    array_to_string(tk[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS tok
-           |  FROM tkn CROSS JOIN LATERAL unnest(range(1, len(tk))) AS g(i)),
-           |tk AS (SELECT DISTINCT lang,
-           |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
-           |pl AS (SELECT a.lang AS la, b.lang AS lb
-           |  FROM (SELECT DISTINCT lang FROM documents) a
-           |  JOIN (SELECT DISTINCT lang FROM documents) b ON a.lang < b.lang),
-           |tg AS (SELECT la, lb, h, max(a_side) AS in_a, max(b_side) AS in_b FROM (
-           |    SELECT pl.la, pl.lb, tk.h, 1 AS a_side, 0 AS b_side
-           |    FROM tk JOIN pl ON tk.lang = pl.la
-           |    UNION ALL
-           |    SELECT pl.la, pl.lb, tk.h, 0 AS a_side, 1 AS b_side
-           |    FROM tk JOIN pl ON tk.lang = pl.lb)
-           |  GROUP BY 1, 2, 3),
+      raw"""WITH $sqlKmvTaggedCtes,
            |r AS (SELECT *, row_number() OVER (PARTITION BY la, lb ORDER BY h) AS rn
            |  FROM tg),
            |agg AS (SELECT la, lb,
@@ -3218,12 +3262,41 @@ object Queries {
            |    CAST(sum(CASE WHEN rn <= $KmvK THEN in_a * in_b ELSE 0 END) AS BIGINT) AS m
            |  FROM r GROUP BY 1, 2)
            |SELECT la AS lang_a, lb AS lang_b, n_inter_exact,
-           |  CASE WHEN cnt < $KmvK THEN m
-           |       ELSE (m * (($KmvK - 1) * (1152921504606846976 // hk))) // $KmvK END
-           |    AS n_inter_est,
-           |  (abs((CASE WHEN cnt < $KmvK THEN m
-           |        ELSE (m * (($KmvK - 1) * (1152921504606846976 // hk))) // $KmvK END)
+           |  ${sqlKmvInterEst("//")} AS n_inter_est,
+           |  (abs((${sqlKmvInterEst("//")})
            |      - n_inter_exact) * 10000) // greatest(n_inter_exact, 1) AS err_bp
+           |FROM agg""".stripMargin))
+
+  private val qKmvOverlapSketch = Q(
+    "q_kmv_overlap_sketch",
+    "KMV set-intersection estimate, sketch-only scale configuration (partial top-K plan)",
+    (s, d) => {
+      // q_kmv_overlap WITHOUT the exact-intersection rider: no aggregate
+      // reads past rank K, so the rn ≤ K filter plans as a map-side
+      // partial WindowGroupLimit (pinned in PlanAuditSpec, same shape as
+      // q_kmv_distinct) — per-pair state is 2K longs at any corpus size.
+      // This is the 100 TB configuration; q_kmv_overlap is the bounded
+      // demo that also reports estimator error.
+      val tagged = kmvPairTagged(s, d)
+      val wu = Window.partitionBy(col("la"), col("lb")).orderBy(col("h"))
+      tagged.withColumn("rn", row_number().over(wu))
+        .filter(col("rn") <= KmvK)
+        .groupBy(col("la"), col("lb"))
+        .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"),
+          sum(col("in_a") * col("in_b")).as("m"))
+        .withColumn("n_inter_est", expr(sqlKmvInterEst("DIV")))
+        .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+          col("n_inter_est"))
+    },
+    Some(
+      raw"""WITH $sqlKmvTaggedCtes,
+           |r AS (SELECT *, row_number() OVER (PARTITION BY la, lb ORDER BY h) AS rn
+           |  FROM tg),
+           |agg AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS cnt, max(h) AS hk,
+           |    CAST(sum(in_a * in_b) AS BIGINT) AS m
+           |  FROM r WHERE rn <= $KmvK GROUP BY 1, 2)
+           |SELECT la AS lang_a, lb AS lang_b,
+           |  ${sqlKmvInterEst("//")} AS n_inter_est
            |FROM agg""".stripMargin))
 
   /** Full catalog. */
@@ -3251,5 +3324,6 @@ object Queries {
     qKmvDistinct, qCurriculum, qSemanticDedup, qClusterBalance,
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
-    qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap)
+    qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
+    qKmvOverlapSketch)
 }

@@ -3,6 +3,7 @@ package graft.functions.expressions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -46,6 +47,15 @@ case class CountMin(
   require(width > 1, "count-min width must be > 1")
 
   override def children: Seq[Expression] = Seq(child)
+  // update() casts the child to UTF8String: reject a non-string column at
+  // analysis time with a type error, not ClassCastException at execution
+  // (ExpectsInputTypes would be idiomatic but AbstractDataType is
+  // private[sql]; this hook is the public equivalent)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_count_min requires a string-typed key column, got ${other.catalogString}")
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -1,10 +1,11 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
   * SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
@@ -39,9 +40,20 @@ case class WinnowFp(child: Expression, k: Int, w: Int) extends UnaryExpression {
   require(k > 0, "gram size must be positive")
   require(w > 0 && w <= 1024, "window size must be in [1,1024]")
 
+  // compute() reads the child as array<string> tokens: reject a mistyped
+  // column at analysis time, not ClassCastException at execution
+  // (ExpectsInputTypes would be idiomatic but AbstractDataType is
+  // private[sql]; this hook is the public equivalent)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow_fp requires an array<string> token column, got ${other.catalogString}")
+  }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val Mask = 1L << 40
+  // MODULUS, not a bitmask: hashes reduce into [0, 2^40) via `% HashMod`
+  private val HashMod = 1L << 40
 
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
@@ -64,7 +76,7 @@ case class WinnowFp(child: Expression, k: Int, w: Int) extends UnaryExpression {
       val sb = new java.lang.StringBuilder(toks(p))
       var j = 1
       while (j < k) { sb.append(' ').append(toks(p + j)); j += 1 }
-      h(p) = MinHashFamily.hash60(md, WinnowFp.Prefix, sb.toString) % Mask
+      h(p) = MinHashFamily.hash60(md, WinnowFp.Prefix, sb.toString) % HashMod
       p += 1
     }
     // sliding-window minimum via monotone deque — O(g) total instead of

@@ -94,6 +94,39 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_kmv_overlap_sketch plans as a partial WindowGroupLimit") {
+    // the sketch-only set-ops configuration: without the exact rider,
+    // the per-pair bottom-K selection must be a map-side partial top-K —
+    // q_kmv_overlap (with the rider) necessarily reads every row and is
+    // the bounded demo
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_kmv_overlap_sketch").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should include("WindowGroupLimit")
+      plan should include regex "(?i)partial"
+    }
+  }
+
+  test("q_median's selection windows run over the histogram, not the corpus") {
+    // the exact-median scale claim: the only per-group single-task work
+    // may be the window over the aggregated (lang, n_chars) histogram —
+    // every Window in the plan must sit ABOVE the histogram Aggregate,
+    // so no task ever sorts raw corpus rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_median").get
+      val opt = q.spark(s, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+      val windows = opt.collect { case w: LWindow => w }
+      windows should not be empty
+      windows.foreach { w =>
+        withClue(s"window ${w.windowExpressions.map(_.name)}: ") {
+          w.child.collectFirst { case a: Aggregate => a } should not be empty
+        }
+      }
+    }
+  }
+
   test("every catalog query plans without an unbounded nested-loop join") {
     withGraftSession { s =>
       Queries.all.foreach { q =>

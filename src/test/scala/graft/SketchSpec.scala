@@ -71,6 +71,20 @@ class SketchSpec extends SparkSpec {
     matrix(32) shouldBe m1
   }
 
+  test("count-min and winnowing reject mistyped inputs at analysis time") {
+    // ExpectsInputTypes: a wrong-typed column must fail analysis with a
+    // type error, not ClassCastException deep inside execution
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(NativeExpressions.countMin(col("id"), 2, 8)).collect()
+    }
+    e1.getMessage should include regex "(?i)type"
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(NativeExpressions.winnowFp(col("text"), 2, 4)).collect()
+    }
+    e2.getMessage should include regex "(?i)type"
+  }
+
   test("winnowing selects at least one fingerprint per window and covers shared runs") {
     val k = 3
     val w = 4
