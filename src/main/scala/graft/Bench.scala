@@ -7,8 +7,17 @@ package graft
   * each query is then timed twice and the MINIMUM reported — steady-state
   * per-query latency, insulated from one-off JIT/GC/IO noise on the
   * shared local machine.
+  *
+  * The JSON line carries the 1-min system load average sampled before and
+  * after the run (`"load"`) plus `"runs_per_query"` so per-round numbers
+  * are interpretable on a shared box: external load 2-6 has been observed
+  * to inflate wall times 3-80× with zero plan change (PERF.md round 6).
   */
 object Bench {
+  private def loadAvg1m(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     // validate pure arguments before paying session bootstrap + warm-up
     val unknownNames = args.filterNot(a => Queries.all.exists(_.name == a))
@@ -33,15 +42,18 @@ object Bench {
     val selected =
       if (args.isEmpty) Queries.all
       else Queries.all.filter(q => args.contains(q.name))
+    val loadBefore = loadAvg1m()
     val results = selected.map { q =>
       q.name -> math.min(once(q), once(q))
     }
+    val loadAfter = loadAvg1m()
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val load = s"""{"before":$loadBefore,"after":$loadAfter}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":$load,"runs_per_query":2}""")
     spark.stop()
   }
 }

@@ -760,6 +760,71 @@ object Queries {
            |FROM n a JOIN n b ON a.vec_id < b.vec_id)
            |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.95""".stripMargin))
 
+  // Band-width sensitivity sweep (VERDICT r6 #6): make the
+  // Similarity.autoBitsPerBand sizing rule ORACLE-OBSERVABLE. Same
+  // planted-near-dup augmented corpus as q_neardup_banded; for each
+  // swept bitsPerBand the output row is (bits, n_candidates,
+  // n_true_found) — candidates collapse ~2^4 per +4 bits (the
+  // n²·numBands/2^bits random floor) while true dups found stays flat,
+  // so the knee of the candidates curve demonstrates the rule. The
+  // oracle rebuilds the SRP band codes in SQL from the same md5-derived
+  // planes (planeComponent is engine-independent by construction).
+  private val SweepWidths = Seq(12, 16, 20, 24)
+  private val SweepBands  = 8
+  private val qBandSweep = Q(
+    "q_band_sweep",
+    "SRP band-width sweep: candidate pairs vs true near-dups found per bitsPerBand",
+    (s, d) => {
+      val base = t(s, d).embeddings
+        .select(col("vec_id").cast("long").as("vec_id"),
+          Similarity.toDouble(col("embedding")).as("v"))
+      val aug = base.unionByName(base.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("v"), x => x + lit(0.01)).as("v")))
+      Similarity.bandWidthSweep(aug, "vec_id", "v", dims = 64, threshold = 0.95,
+        widths = SweepWidths, numBands = SweepBands)
+    },
+    Some {
+      val nPlanes = SweepBands * SweepWidths.max
+      // per-width grid of (band, global plane index, bit value) literals —
+      // plane p = band*bits + i, bit value 2^i, exactly SrpBank's layout
+      val grids = SweepWidths.map { bits =>
+        val rows = (for { band <- 0 until SweepBands; i <- 0 until bits }
+          yield s"($band, ${band * bits + i}, ${1L << i})").mkString(", ")
+        s"g$bits(band, p, bv) AS (VALUES $rows)"
+      }
+      val codes = SweepWidths.map { bits =>
+        s"""c$bits AS (SELECT g.band, a.vec_id,
+           |  CAST(sum(CASE WHEN list_dot_product(a.v, pl.plane) > 0
+           |           THEN g.bv ELSE 0 END) AS BIGINT) AS code
+           |FROM g$bits g JOIN pl USING (p) CROSS JOIN aug a GROUP BY 1, 2)""".stripMargin
+      }
+      val cands = SweepWidths.map { bits =>
+        s"""k$bits AS (SELECT DISTINCT c1.vec_id AS a, c2.vec_id AS b
+           |FROM c$bits c1 JOIN c$bits c2 ON c1.band = c2.band
+           |  AND c1.code = c2.code AND c1.vec_id < c2.vec_id)""".stripMargin
+      }
+      val selects = SweepWidths.map { bits =>
+        s"""SELECT $bits AS bits, CAST(count(*) AS BIGINT) AS n_candidates,
+           |  CAST(coalesce(sum(CASE WHEN
+           |    round(list_dot_product(x.v, y.v) / sqrt(x.n2 * y.n2), 4) >= 0.95
+           |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_found
+           |FROM k$bits k JOIN n x ON x.vec_id = k.a JOIN n y ON y.vec_id = k.b""".stripMargin
+      }
+      s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |aug AS (SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM base),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM aug),
+         |pl AS (SELECT p, list_transform(range(0, 64), d ->
+         |    CAST('0x' || substr(md5('p' || p || ':d' || d), 1, 8) AS BIGINT)
+         |      / 4294967295.0 - 0.5) AS plane
+         |  FROM range(0, $nPlanes) t(p)),
+         |${(grids ++ codes ++ cands).mkString(",\n")}
+         |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+    })
+
   private val sqlToks = """string_split_regex(trim(text), '\s+')"""
 
   private val qTextQuality = Q(
@@ -3325,5 +3390,5 @@ object Queries {
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
-    qKmvOverlapSketch)
+    qKmvOverlapSketch, qBandSweep)
 }

@@ -501,6 +501,61 @@ object Similarity {
     math.min(48, math.max(16, ceilLog2 + slack))
   }
 
+  /** Band-width sensitivity sweep for [[nearDupBanded]]: for each
+    * `bitsPerBand` in `widths`, one row
+    * `(bits, n_candidates, n_true_found)` — the number of DISTINCT
+    * band-collision candidate pairs and how many of them exact-verify at
+    * `threshold`. This makes the sizing rule [[autoBitsPerBand]] encodes
+    * oracle-OBSERVABLE instead of scaladoc folklore: as bits grow, the
+    * random-candidate floor n²·numBands/2^bits collapses while
+    * n_true_found stays flat (per-plane agreement at true near-dup
+    * cosines keeps P(no clean band) negligible at every swept width), so
+    * the knee of the candidates curve is the economical width.
+    *
+    * Plan shape: the per-width pipelines are independent branches of one
+    * union — each is the same skinny (id, band, code) equi-join →
+    * distinct-pairs → verify-once shape as [[nearDupBanded]], collapsed
+    * to a single global aggregate row, so the union carries `|widths|`
+    * rows total and nothing wide crosses stage boundaries.
+    */
+  def bandWidthSweep(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int,
+      threshold: Double,
+      widths: Seq[Int],
+      numBands: Int = 8,
+      roundTo: Int = 4): DataFrame = {
+    val base = df.select(col(id), toDouble(col(vec)).as("v"))
+    val vecs = base.select(col(id), col("v"), norm2(col("v")).as("n2"))
+    widths.map { bits =>
+      val coded = base
+        .withColumn("codes",
+          graft.functions.expressions.NativeExpressions
+            .srpBank(col("v"), dims, bits, numBands))
+        .select(col(id), posexplode(col("codes")).as(Seq("band", "bcode")))
+      val a = coded.select(col(id).as("vec_a"), col("band"), col("bcode"))
+      val b = coded.select(col(id).as("vec_b"), col("band"), col("bcode"))
+      val pairs = a.join(b, Seq("band", "bcode"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+      pairs
+        .join(vecs.select(col(id).as("vec_a"), col("v").as("va"), col("n2").as("na")),
+          Seq("vec_a"))
+        .join(vecs.select(col(id).as("vec_b"), col("v").as("vb"), col("n2").as("nb")),
+          Seq("vec_b"))
+        .withColumn("cos_sim",
+          round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), roundTo))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("cos_sim") >= threshold, 1L).otherwise(0L)), lit(0L))
+            .as("n_true_found"))
+        .select(lit(bits).as("bits"), col("n_candidates"), col("n_true_found"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** The two persistable index tables of a continuously-ingesting
     * embedding-dedup pipeline, computed from a vector table:
     * `vecs` = (cid, v, vn2) full-precision vectors with norms, and

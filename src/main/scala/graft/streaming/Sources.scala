@@ -11,24 +11,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sources {
 
-  /** A1 — Kafka streaming source (reference:
+  /** A1 — the exact reader option map for the Kafka source (reference:
     * k8s/spark-apps/kafka-spark-configmap.yaml:42-54, 156-167, 237-247).
-    * `startingOffsets=earliest` mirrors the reference; extra options carry
-    * security config (the reference passes SSL truststore settings).
+    * Pure (no broker, no session) so the config surface is contract-
+    * testable in the sandbox even though no broker exists: the one
+    * component a production user wires up first is pinned by spec, not
+    * folklore. Later pairs override earlier ones (extraOptions wins),
+    * mirroring `DataStreamReader.option` overwrite semantics.
+    */
+  def kafkaOptions(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      extraOptions: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets) ++ extraOptions
+
+  /** The reference's SSL client config (kafka-spark-configmap.yaml:46-52):
+    * SASL-less SSL with hostname verification disabled, plus the PKCS12
+    * truststore triple when a truststore path is supplied.
+    */
+  def kafkaSslOptions(truststoreLocation: Option[String]): Map[String, String] =
+    Map(
+      "kafka.security.protocol" -> "SSL",
+      "kafka.ssl.endpoint.identification.algorithm" -> "") ++
+      truststoreLocation.map(loc => Map(
+        "kafka.ssl.truststore.location" -> loc,
+        "kafka.ssl.truststore.type" -> "PKCS12",
+        "kafka.ssl.truststore.password" -> "changeit")).getOrElse(Map.empty)
+
+  /** A1 — Kafka streaming source: [[kafkaOptions]] applied to a
+    * `readStream.format("kafka")` builder. Untestable without a broker;
+    * all option logic lives in the pure [[kafkaOptions]]/[[kafkaSslOptions]]
+    * so this method is a trivial fold.
     */
   def kafka(
       spark: SparkSession,
       bootstrapServers: String,
       topic: String,
       startingOffsets: String = "earliest",
-      extraOptions: Map[String, String] = Map.empty): DataFrame = {
-    val b = spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-    extraOptions.foldLeft(b) { case (bb, (k, v)) => bb.option(k, v) }.load()
-  }
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
+    kafkaOptions(bootstrapServers, topic, startingOffsets, extraOptions)
+      .foldLeft(spark.readStream.format("kafka")) {
+        case (b, (k, v)) => b.option(k, v)
+      }.load()
 
   /** File-based replay source: streams JSON-lines files as a Kafka-shaped
     * frame (`value: string`). Used for cold-path reprocessing (Kappa

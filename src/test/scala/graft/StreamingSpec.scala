@@ -25,6 +25,39 @@ class StreamingSpec extends SparkSpec {
        |"timestamp_created":$epoch,"review_text":"x","scraped_at":"2024"}"""
       .stripMargin.replace("\n", "")
 
+  test("kafka source contract: exact reader option map (A1, configmap.yaml:42-54)") {
+    // No broker exists in the sandbox, so the config SURFACE is the spec:
+    // the exact option map the reference's reader builds, including the
+    // SSL truststore triple, pinned key-for-key.
+    import graft.streaming.Sources
+    Sources.kafkaOptions("kafka:9093", "steam-reviews") shouldBe Map(
+      "kafka.bootstrap.servers" -> "kafka:9093",
+      "subscribe" -> "steam-reviews",
+      "startingOffsets" -> "earliest")
+
+    Sources.kafkaSslOptions(None) shouldBe Map(
+      "kafka.security.protocol" -> "SSL",
+      "kafka.ssl.endpoint.identification.algorithm" -> "")
+
+    Sources.kafkaSslOptions(Some("/mnt/ssl/truststore.p12")) shouldBe Map(
+      "kafka.security.protocol" -> "SSL",
+      "kafka.ssl.endpoint.identification.algorithm" -> "",
+      "kafka.ssl.truststore.location" -> "/mnt/ssl/truststore.p12",
+      "kafka.ssl.truststore.type" -> "PKCS12",
+      "kafka.ssl.truststore.password" -> "changeit")
+
+    // the full production map: base + SSL, extraOptions overriding base
+    val full = Sources.kafkaOptions(
+      "kafka:9093", "steam-reviews",
+      startingOffsets = "earliest",
+      extraOptions =
+        Sources.kafkaSslOptions(Some("/mnt/ssl/truststore.p12")) +
+          ("startingOffsets" -> "latest"))
+    full("startingOffsets") shouldBe "latest" // extraOptions wins, like .option()
+    full("kafka.ssl.truststore.type") shouldBe "PKCS12"
+    full.keySet should have size 8
+  }
+
   test("charts pipeline: MemoryStream → explode → complete-mode memory sink") {
     val in = memStream[String]
     val (_, hot) = Pipelines.chartBranches(in.toDF().select(col("value")))
