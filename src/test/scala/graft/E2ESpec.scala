@@ -98,7 +98,7 @@ class E2ESpec extends SparkSpec {
       val sentiment = spark.table("e2e_reviews_hot")
       sentiment.count() should be > 0L
       // one 1-h window, recommended=true → 3 reviews, false → 3
-      sentiment.select(col("recommended"), col("review_count")).collect()
+      sentiment.select(col("recommended"), col("total_reviews")).collect()
         .map(r => r.getBoolean(0) -> r.getLong(1)).toMap shouldBe
         Map(true -> 3L, false -> 3L)
 
@@ -120,10 +120,10 @@ class E2ESpec extends SparkSpec {
       // sentiment aggregate bit-for-bit
       val (replayed, _) = Pipelines.replayReviews(spark.read.parquet(arcReviews))
       val hotRows = sentiment
-        .select(col("window.start"), col("recommended"), col("review_count"), col("avg_quality"))
+        .select(col("window.start"), col("recommended"), col("total_reviews"), col("avg_quality"))
         .collect().map(_.toSeq).toSet
       val replayRows = replayed
-        .select(col("window.start"), col("recommended"), col("review_count"), col("avg_quality"))
+        .select(col("window.start"), col("recommended"), col("total_reviews"), col("avg_quality"))
         .collect().map(_.toSeq).toSet
       replayRows shouldBe hotRows
     } finally queries.foreach(_.stop())
