@@ -911,6 +911,41 @@ object Queries {
             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
             |FROM c GROUP BY 1, 2""".stripMargin))
 
+  // Data-loader shard assignment: the layout step between a curated
+  // corpus and distributed training. Every doc gets (shard, pos) — an
+  // epoch-salted md5 order, so each epoch is a fresh global shuffle
+  // with zero RNG state and any engine reproduces it. Shards are
+  // hash-balanced; positions are a per-shard row_number. Scale shape:
+  // the shard key is map-side; the only shuffle is the per-shard
+  // window, whose parallelism IS the shard count — at 100 TB the shard
+  // count is the loader-worker count (thousands), so each task sorts
+  // |corpus|/shards rows, the same work a loader shard build costs by
+  // definition. Emitting per-doc rows is the point: this query IS the
+  // loader manifest.
+  private val ShardCount = 8
+  private val qShardAssign = Q(
+    "q_shard_assign",
+    "deterministic epoch-salted shard + position assignment for training data loaders",
+    (s, d) => {
+      val h = md5(concat(lit("ep0:"), col("doc_id").cast("string")))
+      t(s, d).documents
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard",
+          pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"), lit(ShardCount)))
+        .withColumn("pos",
+          row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+    Some(s"""WITH h AS (SELECT doc_id, md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h
+            |  FROM documents),
+            |s AS (SELECT doc_id, h,
+            |  CAST('0x' || substr(h, 1, 15) AS BIGINT) % $ShardCount AS shard FROM h)
+            |SELECT doc_id, shard,
+            |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+            |FROM s""".stripMargin))
+
   private val qSampleWeighted = Q(
     "q_sample_weighted",
     "quality-weighted deterministic sampling (keep-probability = quality score)",
@@ -3390,5 +3425,5 @@ object Queries {
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
-    qKmvOverlapSketch, qBandSweep)
+    qKmvOverlapSketch, qBandSweep, qShardAssign)
 }
