@@ -458,8 +458,16 @@ object Queries {
         .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
         .select(col("o_orderkey"), col("o_custkey"))
       val c = tt.customer.select(col("c_custkey"), col("c_mktsegment"))
+      // no broadcast() hint on customer: unlike nation/region (fixed 25
+      // rows — hinted elsewhere), customer GROWS with the scale factor,
+      // and a forced broadcast ships the whole dim to every executor at
+      // any size (measured: 9.8 s at sf10's 1.5M customers vs 2-3 s
+      // shuffled). The planner broadcasts it while its file size is
+      // under the threshold and falls back to shuffle when it outgrows
+      // it — the adaptive behavior a 100 TB run needs. Plan-audit spec
+      // pins that the small-SF plan still broadcasts.
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           sum(col("rev")).as("r"),
@@ -1885,6 +1893,13 @@ object Queries {
     Clustering.sharedWindowPairs(
       t(s, d).documents, "doc_id", "text", SubstrWin, SubstrStride)
 
+  // connectivity-only edges for the component queries: identical
+  // components, k−1 star edges per window bucket instead of k(k−1)/2
+  // pairs (linear vs quadratic on replica/boilerplate-heavy corpora)
+  private def windowStarEdges(s: SparkSession, d: String) =
+    Clustering.sharedWindowStarEdges(
+      t(s, d).documents, "doc_id", "text", SubstrWin, SubstrStride)
+
   private val qSubstrDedup = Q(
     "q_substr_dedup",
     "repeated-substring dedup evidence: doc pairs sharing verbatim windows (Lee et al. ACL'22)",
@@ -1898,7 +1913,7 @@ object Queries {
     "q_dup_clusters",
     "connected-component duplicate clusters over shared-window edges (min-label propagation)",
     (s, d) =>
-      Clustering.clustersOf(t(s, d).documents, windowPairs(s, d), "doc_id")
+      Clustering.clustersOf(t(s, d).documents, windowStarEdges(s, d), "doc_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size")),
     Some(s"""WITH RECURSIVE
             |$sqlWindowEdges
@@ -1910,7 +1925,7 @@ object Queries {
     "canonical doc per duplicate cluster: longest wins, min-id tie-break",
     (s, d) =>
       Clustering.canonicalPerCluster(
-        Clustering.clustersOf(t(s, d).documents, windowPairs(s, d), "doc_id"),
+        Clustering.clustersOf(t(s, d).documents, windowStarEdges(s, d), "doc_id"),
         "doc_id", "n_chars"),
     Some(s"""WITH RECURSIVE
             |$sqlWindowEdges
@@ -2400,7 +2415,7 @@ object Queries {
       val docs = t(s, d).documents
       val canon = Clustering
         .canonicalPerCluster(
-          Clustering.clustersOf(docs, windowPairs(s, d), "doc_id"),
+          Clustering.clustersOf(docs, windowStarEdges(s, d), "doc_id"),
           "doc_id", "n_chars")
         .select(col("canon_doc_id").as("doc_id"))
       val kept = docs.join(canon, Seq("doc_id"), "left_semi")

@@ -206,6 +206,53 @@ object Clustering {
       win: Int = 40,
       stride: Int = 8,
       maxWindowFreq: Int = 0): DataFrame = {
+    val capped = windowHashes(df, id, text, win, stride, maxWindowFreq)
+    val a = capped.select(col(id).as("doc_a"), col("wh"))
+    val b = capped.select(col(id).as("doc_b"), col("wh"))
+    a.join(b, Seq("wh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Connectivity-only flavor of [[sharedWindowPairs]] for component
+    * building: per window hash, every doc connects to the bucket's MIN
+    * doc id (a star), instead of to every other doc in the bucket. The
+    * connected components are IDENTICAL — a star spans its bucket — but
+    * a k-doc bucket emits k−1 edges instead of k(k−1)/2 pairs, which is
+    * the difference between linear and quadratic edge volume on
+    * boilerplate- or replica-heavy corpora (measured: the 100-doc
+    * near-identical cliques of the 100× scaling study put
+    * `q_dup_clusters` at 55.8 s on all-pairs edges; stars cut the edge
+    * build to the bucket row count). Use [[sharedWindowPairs]] when the
+    * PAIR evidence is the product (`q_substr_dedup`'s n_shared report);
+    * use this when the pairs only feed [[connectedComponents]].
+    */
+  def sharedWindowStarEdges(
+      df: DataFrame,
+      id: String,
+      text: String,
+      win: Int = 40,
+      stride: Int = 8,
+      maxWindowFreq: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    windowHashes(df, id, text, win, stride, maxWindowFreq)
+      .withColumn("hub", min(col(id)).over(Window.partitionBy(col("wh"))))
+      .filter(col(id) =!= col("hub"))
+      .select(col("hub").as("doc_a"), col(id).as("doc_b"))
+      .distinct()
+  }
+
+  /** The capped `(id, wh)` window-hash rows shared by
+    * [[sharedWindowPairs]] and [[sharedWindowStarEdges]].
+    */
+  private def windowHashes(
+      df: DataFrame,
+      id: String,
+      text: String,
+      win: Int,
+      stride: Int,
+      maxWindowFreq: Int): DataFrame = {
     // substring+hash are evaluated before the shuffle, so only
     // (id, 60-bit int64 hash) rows move — never the document text, and
     // never a 32-char hex string: the key is the first 15 md5 hex chars
@@ -238,19 +285,12 @@ object Clustering {
       .select(col(id), wh64(col(text).substr(col("off"), lit(win))).as("wh"))
       .distinct()
     val hashed = small.unionAll(big)
-    val capped =
-      if (maxWindowFreq > 0) {
-        val common = hashed
-          .groupBy("wh").agg(count(lit(1)).as("freq"))
-          .filter(col("freq") > maxWindowFreq)
-          .select("wh")
-        hashed.join(broadcast(common), Seq("wh"), "left_anti")
-      } else hashed
-    val a = capped.select(col(id).as("doc_a"), col("wh"))
-    val b = capped.select(col(id).as("doc_b"), col("wh"))
-    a.join(b, Seq("wh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared"))
+    if (maxWindowFreq > 0) {
+      val common = hashed
+        .groupBy("wh").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") > maxWindowFreq)
+        .select("wh")
+      hashed.join(broadcast(common), Seq("wh"), "left_anti")
+    } else hashed
   }
 }

@@ -105,4 +105,28 @@ class ClusteringSpec extends SparkSpec {
     uncapped shouldBe 15L // C(6,2)
     capped shouldBe 0L
   }
+
+  test("sharedWindowStarEdges: linear edge count, identical components") {
+    // 6-doc window-clique + a disjoint 2-doc pair: the star generator
+    // must emit k−1 edges per bucket (not C(k,2) pairs) and feed
+    // connectedComponents to the exact same labels as all-pairs edges
+    val header = "L" * 40
+    val docs = ((1L to 6L).map(i => (i, header + s" body $i")) ++
+      Seq((10L, "Z" * 40 + " ten"), (11L, "Z" * 40 + " eleven")))
+      .toDF("doc_id", "text")
+    val stars = Clustering
+      .sharedWindowStarEdges(docs, "doc_id", "text", win = 40, stride = 8)
+    stars.count() shouldBe 6L // 5 edges to hub 1, plus 10→11
+    stars.filter(col("doc_a") === 1L).count() shouldBe 5L
+    val viaStars = Clustering.clustersOf(docs, stars, "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaPairs = Clustering.clustersOf(docs,
+        Clustering.sharedWindowPairs(docs, "doc_id", "text", win = 40, stride = 8),
+        "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    viaStars shouldBe viaPairs
+    viaStars.filter(_._2 == 1L).map(_._3) shouldBe Set(6L)
+  }
 }

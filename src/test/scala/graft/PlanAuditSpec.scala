@@ -108,6 +108,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_join_broadcast: the planner (not a hint) broadcasts the small-SF dim") {
+    // customer grows with the scale factor, so the query carries NO
+    // broadcast() hint — a forced broadcast ships 1.5M rows per executor
+    // at sf10 (measured 9.8 s vs shuffled). The planner must still
+    // CHOOSE a broadcast at small SF, where the dim is under the
+    // threshold — the operator demonstration plus the adaptive behavior.
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_join_broadcast").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should include("BroadcastHashJoin")
+    }
+  }
+
   test("q_median's selection windows run over the histogram, not the corpus") {
     // the exact-median scale claim: the only per-group single-task work
     // may be the window over the aggregated (lang, n_chars) histogram —
