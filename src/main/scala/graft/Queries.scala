@@ -1652,8 +1652,11 @@ object Queries {
         .join(texts.select(col("doc_id").as("doc_a"), col("t80").as("ta")), Seq("doc_a"))
         .join(texts.select(col("doc_id").as("doc_b"), col("t80").as("tb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb")).as("lev"))
-        .filter(col("lev") <= 20)
+          // thresholded form: banded DP fills O(k·len) cells instead of
+          // the O(len²) full matrix and returns −1 past the bound —
+          // same kept rows and distances as levenshtein(ta,tb) ≤ 20
+          levenshtein(col("ta"), col("tb"), 20).as("lev"))
+        .filter(col("lev") >= 0)
     },
     Some {
       val sums = (0 until 64).map { j =>

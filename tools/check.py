@@ -36,7 +36,9 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written layout (ScaleUp): a directory of parts
+            p = os.path.join(p, "*.parquet")
+        if glob.glob(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     results = {}
     for d in sorted(glob.glob(os.path.join(out_dir, "*/"))):
