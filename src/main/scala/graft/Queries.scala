@@ -3417,6 +3417,121 @@ object Queries {
            |  ${sqlKmvInterEst("//")} AS n_inter_est
            |FROM agg""".stripMargin))
 
+  private val DsirBuckets = 1024
+  private val DsirTarget  = "src0"
+
+  private val qDsirWeight = Q(
+    "q_dsir_weight",
+    "DSIR data selection: hashed-ngram importance weights of raw docs vs a target domain",
+    (s, d) => {
+      // Data Selection via Importance Resampling (Xie et al.,
+      // NeurIPS'23): score every raw-pool document by
+      // sum_f log p_target(f)/p_raw(f) under hashed unigram+bigram
+      // bag-of-ngrams models with add-1 smoothing — the standard
+      // "make web data look like the target domain" curation signal.
+      // log2 is the exact integer bit length (the q_lm_surprisal
+      // trick), so both engines agree bit-for-bit with no float logs.
+      // Scale shape: gram→bucket hashing is map-side, the model is ONE
+      // groupBy over B=1024 buckets with conditional sums (a single
+      // shuffle whose output is 1024 rows), totals are one broadcast
+      // row, and scoring is a broadcast join of the tiny λ table back
+      // onto the feature stream + one doc-keyed aggregation. Nothing
+      // grows with corpus size except the two linear scans.
+      val base = t(s, d).documents
+        .withColumn("tk", TF.tokens(col("text")))
+        .withColumn("gs", expr(
+          "concat(tk, CASE WHEN size(tk) < 2 THEN CAST(array() AS array<string>)" +
+            " ELSE transform(sequence(1, size(tk) - 1)," +
+            " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) END)"))
+      val feats = base
+        .select(col("doc_id"), (col("source") === DsirTarget).as("tgt"),
+          explode(col("gs")).as("g"))
+        .withColumn("bkt",
+          pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+            lit(DsirBuckets.toLong)))
+      val model = feats.groupBy(col("bkt")).agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+      val tot = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      val lam = model.crossJoin(broadcast(tot))
+        .select(col("bkt"),
+          ((length(expr("bin(ct + 1)")) - length(expr(s"bin(nt + $DsirBuckets)"))) -
+            (length(expr("bin(cr + 1)")) - length(expr(s"bin(nr + $DsirBuckets)"))))
+            .cast("long").as("lam_bits"))
+      feats.filter(!col("tgt"))
+        .join(broadcast(lam), Seq("bkt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lam_bits")).as("dsir_bits"))
+        .select(col("doc_id"), col("n_feats"), col("dsir_bits"))
+    },
+    Some(
+      raw"""WITH base AS (SELECT doc_id, source,
+           |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+           |  FROM documents),
+           |f AS (SELECT doc_id, source = '$DsirTarget' AS tgt,
+           |    unnest(list_concat(tk,
+           |      CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+           |           ELSE list_transform(range(1, len(tk)),
+           |             i -> tk[i] || ' ' || tk[i + 1]) END)) AS g
+           |  FROM base),
+           |b AS (SELECT doc_id, tgt,
+           |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $DsirBuckets AS bkt
+           |  FROM f),
+           |model AS (SELECT bkt,
+           |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+           |  FROM b GROUP BY 1),
+           |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+           |    CAST(sum(cr) AS BIGINT) AS nr FROM model),
+           |lam AS (SELECT bkt,
+           |    CAST((length(bin(ct + 1)) - length(bin(nt + $DsirBuckets)))
+           |      - (length(bin(cr + 1)) - length(bin(nr + $DsirBuckets))) AS BIGINT)
+           |      AS lam_bits
+           |  FROM model, tot)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           |  CAST(sum(lam_bits) AS BIGINT) AS dsir_bits
+           |FROM b JOIN lam USING (bkt) WHERE NOT tgt
+           |GROUP BY 1""".stripMargin))
+
+  private val qBpePairs = Q(
+    "q_bpe_pairs",
+    "distributed BPE trainer step: adjacent char-pair frequencies over the word-frequency table",
+    (s, d) => {
+      // the corpus-scale piece of BPE tokenizer training (Sennrich et
+      // al., ACL'16 §3): candidate merges are the most frequent
+      // adjacent symbol pairs. Pair statistics are computed over the
+      // DISTINCT word-frequency table, not the raw token stream — the
+      // vocabulary is orders of magnitude smaller than the corpus, so
+      // the per-word character expansion touches vocab rows only (the
+      // same two-level shape distributed BPE trainers use). Shape: one
+      // tok-keyed shuffle builds word frequencies, the pair explode is
+      // map-side over vocab rows weighted by word frequency, one
+      // pair-keyed aggregation, then sort+limit plans as
+      // TakeOrderedAndProject. The top row is the first BPE merge.
+      val words = t(s, d).documents
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      words.filter(length(col("w")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(50)
+    },
+    Some(
+      raw"""WITH w AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS f
+           |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |        FROM documents WHERE length(trim(text)) > 0) GROUP BY 1),
+           |p AS (SELECT f,
+           |    unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+           |  FROM w WHERE length(w) >= 2)
+           |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+           |FROM p GROUP BY 1
+           |ORDER BY n DESC, pair LIMIT 50""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -3443,5 +3558,5 @@ object Queries {
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
-    qKmvOverlapSketch, qBandSweep, qShardAssign)
+    qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qBpePairs)
 }
