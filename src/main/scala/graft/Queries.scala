@@ -3437,23 +3437,30 @@ object Queries {
       // row, and scoring is a broadcast join of the tiny λ table back
       // onto the feature stream + one doc-keyed aggregation. Nothing
       // grows with corpus size except the two linear scans.
+      // bigrams via zip_with over two slices (no per-element lambda
+      // re-derivation of the token array), grams materialized through
+      // ONE explode; the model pass and the scoring pass each scan the
+      // gram stream once — the canonical two-pass DSIR shape (train the
+      // bucket model, then score the pool). Totals ride a window over
+      // the 1024-row model instead of a third corpus scan.
       val base = t(s, d).documents
-        .withColumn("tk", TF.tokens(col("text")))
-        .withColumn("gs", expr(
-          "concat(tk, CASE WHEN size(tk) < 2 THEN CAST(array() AS array<string>)" +
-            " ELSE transform(sequence(1, size(tk) - 1)," +
-            " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) END)"))
-      val feats = base
         .select(col("doc_id"), (col("source") === DsirTarget).as("tgt"),
-          explode(col("gs")).as("g"))
-        .withColumn("bkt",
-          pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-            lit(DsirBuckets.toLong)))
+          TF.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tgt"), explode(expr(
+          "concat(tk, CASE WHEN size(tk) < 2 THEN CAST(array() AS array<string>)" +
+            " ELSE zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
+            " (a, b) -> concat(a, ' ', b)) END)")).as("g"))
+      val feats = base.select(col("doc_id"), col("tgt"),
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+          lit(DsirBuckets.toLong)).as("bkt"))
       val model = feats.groupBy(col("bkt")).agg(
         sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
-      val tot = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-      val lam = model.crossJoin(broadcast(tot))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val lam = model
+        .withColumn("nt", sum(col("ct")).over(wAll))
+        .withColumn("nr", sum(col("cr")).over(wAll))
         .select(col("bkt"),
           ((length(expr("bin(ct + 1)")) - length(expr(s"bin(nt + $DsirBuckets)"))) -
             (length(expr("bin(cr + 1)")) - length(expr(s"bin(nr + $DsirBuckets)"))))
