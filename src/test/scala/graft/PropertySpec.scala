@@ -153,4 +153,59 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Write a planted documents table as a scale-factor dir the catalog
+    * queries can read (they take `(spark, sfDir)` and scan
+    * `documents.parquet` lazily).
+    */
+  private def plantedDocsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = tmpDir("planted_sf")
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", expr("length(text)").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_dsir_weight ranks target-like pool docs above off-domain ones") {
+    // target domain (source=src0) speaks vocabulary T; pool doc 10
+    // reuses T verbatim, pool doc 11 is disjoint vocabulary. The DSIR
+    // importance weight (sum of hashed-ngram log-likelihood ratios)
+    // must separate them, and n_feats must be unigrams + bigrams.
+    val target = "alpha beta gamma delta alpha beta"
+    val dir = plantedDocsDir(Seq(
+      (1L, target, "src0"),
+      (2L, target, "src0"),
+      (3L, "alpha beta gamma delta", "src0"),
+      (10L, "alpha beta gamma delta", "poolA"),
+      (11L, "zeta eta theta iota", "poolB"),
+      (12L, "zeta eta theta iota", "poolB")))
+    val q = Queries.all.find(_.name == "q_dsir_weight").get
+    val out = q.spark(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("dsir_bits"))).toMap
+    out.keySet shouldBe Set(10L, 11L, 12L) // target docs are not scored
+    out(10L)._1 shouldBe 7L // 4 unigrams + 3 bigrams
+    out(11L)._1 shouldBe 7L
+    // same feature count, so the bit-sums are directly comparable
+    out(10L)._2 should be > out(11L)._2
+    out(11L) shouldBe out(12L) // deterministic: identical text, same score
+  }
+
+  test("q_bpe_pairs counts freq-weighted adjacent char pairs over the vocab") {
+    // words: "abab"x3 -> per word 2x'ab', 1x'ba'; "abc"x2 -> 'ab','bc';
+    // "xy"x1. Totals: ab=8, ba=3, bc=2, xy=1 -> 'ab' is the first merge.
+    val dir = plantedDocsDir(Seq(
+      (1L, "abab abab abc xy", "s"),
+      (2L, "abab abc", "s")))
+    val q = Queries.all.find(_.name == "q_bpe_pairs").get
+    val rows = q.spark(spark, dir).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
+    rows.head shouldBe ("ab", 8L)
+    rows.toMap shouldBe Map("ab" -> 8L, "ba" -> 3L, "bc" -> 2L, "xy" -> 1L)
+    // deterministic total order: count desc, then pair asc
+    rows shouldBe rows.sortBy { case (p, n) => (-n, p) }
+  }
 }
