@@ -3420,86 +3420,174 @@ object Queries {
   private val DsirBuckets = 1024
   private val DsirTarget  = "src0"
 
+  /** Per-pool-doc DSIR scores `(doc_id, n_feats, n_toks, dsir_bits)` —
+    * the shared core of q_dsir_weight and q_dsir_select.
+    *
+    * Data Selection via Importance Resampling (Xie et al., NeurIPS'23):
+    * score every raw-pool document by sum_f log p_target(f)/p_raw(f)
+    * under hashed unigram+bigram bag-of-ngrams models with add-1
+    * smoothing — the standard "make web data look like the target
+    * domain" curation signal. log2 is the exact integer bit length (the
+    * q_lm_surprisal trick), so both engines agree bit-for-bit with no
+    * float logs. Scale shape: gram→bucket hashing is map-side (bigrams
+    * via zip_with over two slices — no per-element lambda re-derivation
+    * of the token array — and ONE explode per pass), the model is ONE
+    * groupBy over B=1024 buckets with conditional sums, totals ride a
+    * window over the 1024-row model, and scoring is a broadcast join of
+    * the tiny λ table back onto the feature stream + one doc-keyed
+    * aggregation — the canonical two-pass DSIR (train the bucket model,
+    * then score the pool). Nothing grows with corpus size except the
+    * two linear scans.
+    */
+  private def dsirScored(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d).documents
+      .select(col("doc_id"), (col("source") === DsirTarget).as("tgt"),
+        TF.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tgt"), explode(expr(
+        "concat(tk, CASE WHEN size(tk) < 2 THEN CAST(array() AS array<string>)" +
+          " ELSE zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
+          " (a, b) -> concat(a, ' ', b)) END)")).as("g"))
+    val feats = base.select(col("doc_id"), col("tgt"),
+      (!col("g").like("% %")).as("uni"), // tokens carry no whitespace
+      pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+        lit(DsirBuckets.toLong)).as("bkt"))
+    val model = feats.groupBy(col("bkt")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lam = model
+      .withColumn("nt", sum(col("ct")).over(wAll))
+      .withColumn("nr", sum(col("cr")).over(wAll))
+      .select(col("bkt"),
+        ((length(expr("bin(ct + 1)")) - length(expr(s"bin(nt + $DsirBuckets)"))) -
+          (length(expr("bin(cr + 1)")) - length(expr(s"bin(nr + $DsirBuckets)"))))
+          .cast("long").as("lam_bits"))
+    feats.filter(!col("tgt"))
+      .join(broadcast(lam), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(when(col("uni"), 1L).otherwise(0L)).as("n_toks"),
+        sum(col("lam_bits")).as("dsir_bits"))
+  }
+
+  /** Shared DuckDB CTEs ending in `scored(doc_id, n_feats, n_toks,
+    * dsir_bits)` — the oracle mirror of [[dsirScored]].
+    */
+  private val sqlDsirCtes =
+    raw"""base AS (SELECT doc_id, source,
+         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+         |  FROM documents),
+         |f AS (SELECT doc_id, source = '$DsirTarget' AS tgt,
+         |    unnest(list_concat(tk,
+         |      CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+         |           ELSE list_transform(range(1, len(tk)),
+         |             i -> tk[i] || ' ' || tk[i + 1]) END)) AS g
+         |  FROM base),
+         |b AS (SELECT doc_id, tgt, g NOT LIKE '% %' AS uni,
+         |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $DsirBuckets AS bkt
+         |  FROM f),
+         |model AS (SELECT bkt,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+         |  FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |    CAST(sum(cr) AS BIGINT) AS nr FROM model),
+         |lam AS (SELECT bkt,
+         |    CAST((length(bin(ct + 1)) - length(bin(nt + $DsirBuckets)))
+         |      - (length(bin(cr + 1)) - length(bin(nr + $DsirBuckets))) AS BIGINT)
+         |      AS lam_bits
+         |  FROM model, tot),
+         |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(CASE WHEN uni THEN 1 ELSE 0 END) AS BIGINT) AS n_toks,
+         |    CAST(sum(lam_bits) AS BIGINT) AS dsir_bits
+         |  FROM b JOIN lam USING (bkt) WHERE NOT tgt
+         |  GROUP BY 1)""".stripMargin
+
   private val qDsirWeight = Q(
     "q_dsir_weight",
     "DSIR data selection: hashed-ngram importance weights of raw docs vs a target domain",
-    (s, d) => {
-      // Data Selection via Importance Resampling (Xie et al.,
-      // NeurIPS'23): score every raw-pool document by
-      // sum_f log p_target(f)/p_raw(f) under hashed unigram+bigram
-      // bag-of-ngrams models with add-1 smoothing — the standard
-      // "make web data look like the target domain" curation signal.
-      // log2 is the exact integer bit length (the q_lm_surprisal
-      // trick), so both engines agree bit-for-bit with no float logs.
-      // Scale shape: gram→bucket hashing is map-side, the model is ONE
-      // groupBy over B=1024 buckets with conditional sums (a single
-      // shuffle whose output is 1024 rows), totals are one broadcast
-      // row, and scoring is a broadcast join of the tiny λ table back
-      // onto the feature stream + one doc-keyed aggregation. Nothing
-      // grows with corpus size except the two linear scans.
-      // bigrams via zip_with over two slices (no per-element lambda
-      // re-derivation of the token array), grams materialized through
-      // ONE explode; the model pass and the scoring pass each scan the
-      // gram stream once — the canonical two-pass DSIR shape (train the
-      // bucket model, then score the pool). Totals ride a window over
-      // the 1024-row model instead of a third corpus scan.
-      val base = t(s, d).documents
-        .select(col("doc_id"), (col("source") === DsirTarget).as("tgt"),
-          TF.tokens(col("text")).as("tk"))
-        .select(col("doc_id"), col("tgt"), explode(expr(
-          "concat(tk, CASE WHEN size(tk) < 2 THEN CAST(array() AS array<string>)" +
-            " ELSE zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
-            " (a, b) -> concat(a, ' ', b)) END)")).as("g"))
-      val feats = base.select(col("doc_id"), col("tgt"),
-        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-          lit(DsirBuckets.toLong)).as("bkt"))
-      val model = feats.groupBy(col("bkt")).agg(
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-        sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
-      val wAll = Window.partitionBy(lit(1))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val lam = model
-        .withColumn("nt", sum(col("ct")).over(wAll))
-        .withColumn("nr", sum(col("cr")).over(wAll))
-        .select(col("bkt"),
-          ((length(expr("bin(ct + 1)")) - length(expr(s"bin(nt + $DsirBuckets)"))) -
-            (length(expr("bin(cr + 1)")) - length(expr(s"bin(nr + $DsirBuckets)"))))
-            .cast("long").as("lam_bits"))
-      feats.filter(!col("tgt"))
-        .join(broadcast(lam), Seq("bkt"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_feats"), sum(col("lam_bits")).as("dsir_bits"))
-        .select(col("doc_id"), col("n_feats"), col("dsir_bits"))
-    },
-    Some(
-      raw"""WITH base AS (SELECT doc_id, source,
-           |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-           |         ELSE string_split_regex(trim(text), '\s+') END AS tk
-           |  FROM documents),
-           |f AS (SELECT doc_id, source = '$DsirTarget' AS tgt,
-           |    unnest(list_concat(tk,
-           |      CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
-           |           ELSE list_transform(range(1, len(tk)),
-           |             i -> tk[i] || ' ' || tk[i + 1]) END)) AS g
-           |  FROM base),
-           |b AS (SELECT doc_id, tgt,
-           |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $DsirBuckets AS bkt
-           |  FROM f),
-           |model AS (SELECT bkt,
-           |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-           |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
-           |  FROM b GROUP BY 1),
-           |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
-           |    CAST(sum(cr) AS BIGINT) AS nr FROM model),
-           |lam AS (SELECT bkt,
-           |    CAST((length(bin(ct + 1)) - length(bin(nt + $DsirBuckets)))
-           |      - (length(bin(cr + 1)) - length(bin(nr + $DsirBuckets))) AS BIGINT)
-           |      AS lam_bits
-           |  FROM model, tot)
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-           |  CAST(sum(lam_bits) AS BIGINT) AS dsir_bits
-           |FROM b JOIN lam USING (bkt) WHERE NOT tgt
-           |GROUP BY 1""".stripMargin))
+    (s, d) => dsirScored(s, d).select(col("doc_id"), col("n_feats"), col("dsir_bits")),
+    Some(s"""WITH $sqlDsirCtes
+            |SELECT doc_id, n_feats, dsir_bits FROM scored""".stripMargin))
+
+  private val DsirBudget = 10000L
+
+  /** Budgeted DSIR selection at an arbitrary token budget — the catalog
+    * query fixes budget = [[DsirBudget]]; the boundary-semantics spec
+    * drives small budgets through the same plan.
+    */
+  private[graft] def dsirSelect(s: SparkSession, d: String, budget: Long): DataFrame = {
+      // the step the pipeline actually consumes: keep the
+      // highest-weight pool docs until the training token budget is
+      // hit. Scale discipline (same as q_median): NO global sort of
+      // the pool — per-doc weights aggregate into a (dsir_bits →
+      // n_docs, toks) histogram, the cumulative-budget window runs
+      // over that histogram only, and every score strictly inside the
+      // budget keeps all its docs via a broadcast semi-join. Exactly
+      // one score can straddle the budget line; only ITS docs (one
+      // histogram bucket) see a row-level window (greedy by doc_id —
+      // the deterministic stand-in for the paper's random resample).
+      // The weight table is materialized ONCE (it is consumed by the
+      // histogram and both kept-branches; without the cut the plan
+      // re-runs the two-pass scoring three times). It is 4 longs per
+      // pool doc — on a real cluster this is the persisted output of
+      // q_dsir_weight that selection reads back.
+      val scored = dsirScored(s, d).localCheckpoint()
+      val hist = scored.groupBy(col("dsir_bits")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+      val wOrd = Window.partitionBy(lit(1)).orderBy(col("dsir_bits").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("cum_before",
+        coalesce(sum(col("toks")).over(wOrd), lit(0L)))
+      val full = cum.filter(col("cum_before") + col("toks") <= budget)
+        .select(col("dsir_bits"))
+      val boundary = cum
+        .filter(col("cum_before") < budget &&
+          col("cum_before") + col("toks") > budget)
+        .select(col("dsir_bits"), col("cum_before"))
+      val keptFull = scored.join(broadcast(full), Seq("dsir_bits"))
+        .select(col("doc_id"), col("dsir_bits"), col("n_toks"),
+          lit(false).as("at_boundary"))
+      val wBoundary = Window.partitionBy(col("dsir_bits")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val keptBoundary = scored.join(broadcast(boundary), Seq("dsir_bits"))
+        .withColumn("rcum", sum(col("n_toks")).over(wBoundary))
+        .filter(col("cum_before") + col("rcum") <= budget)
+        .select(col("doc_id"), col("dsir_bits"), col("n_toks"),
+          lit(true).as("at_boundary"))
+      keptFull.unionByName(keptBoundary)
+  }
+
+  private val qDsirSelect = Q(
+    "q_dsir_select",
+    "DSIR budget selection: top pool docs by importance weight within a token budget, no global sort",
+    (s, d) => dsirSelect(s, d, DsirBudget),
+    Some(s"""WITH $sqlDsirCtes,
+            |hist AS (SELECT dsir_bits, CAST(count(*) AS BIGINT) AS n_docs,
+            |    CAST(sum(n_toks) AS BIGINT) AS toks
+            |  FROM scored GROUP BY 1),
+            |cum AS (SELECT dsir_bits, toks,
+            |    CAST(coalesce(sum(toks) OVER (ORDER BY dsir_bits DESC
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            |      AS cum_before
+            |  FROM hist),
+            |filled AS (SELECT dsir_bits FROM cum
+            |  WHERE cum_before + toks <= $DsirBudget),
+            |boundary AS (SELECT dsir_bits, cum_before FROM cum
+            |  WHERE cum_before < $DsirBudget AND cum_before + toks > $DsirBudget)
+            |SELECT s.doc_id, s.dsir_bits, s.n_toks, FALSE AS at_boundary
+            |FROM scored s JOIN filled USING (dsir_bits)
+            |UNION ALL
+            |SELECT doc_id, dsir_bits, n_toks, TRUE AS at_boundary
+            |FROM (SELECT s.doc_id, s.dsir_bits, s.n_toks, bd.cum_before,
+            |    CAST(sum(s.n_toks) OVER (PARTITION BY s.dsir_bits
+            |      ORDER BY s.doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            |      AS rcum
+            |  FROM scored s JOIN boundary bd USING (dsir_bits))
+            |WHERE cum_before + rcum <= $DsirBudget""".stripMargin))
 
   private val qBpePairs = Q(
     "q_bpe_pairs",
@@ -3565,5 +3653,6 @@ object Queries {
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
-    qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qBpePairs)
+    qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qDsirSelect,
+    qBpePairs)
 }

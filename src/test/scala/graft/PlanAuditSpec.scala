@@ -49,8 +49,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_zorder_layout",  // one-row min-max frame crossed into the bit interleave
     "q_cms_freq",       // one-row count-min counter matrix crossed into the probes
     "q_lm_surprisal",   // one-row corpus token total crossed into the scoring
-    "q_pmi_colloc",     // one-row document count crossed into the lift
-    "q_dsir_weight")    // one-row model totals crossed into the 1024-bucket λ table
+    "q_pmi_colloc")     // one-row document count crossed into the lift
   private val broadcastSmallSideFanOuts = Set(
     // nested loop over a TINY broadcast side, linear in the big side:
     // brute-force kNN probes a handful of broadcast query vectors per

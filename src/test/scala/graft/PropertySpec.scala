@@ -194,6 +194,30 @@ class PropertySpec extends SparkSpec {
     out(11L) shouldBe out(12L) // deterministic: identical text, same score
   }
 
+  test("dsirSelect: histogram budget selection — full buckets, greedy boundary bucket") {
+    // 3 target docs (src0) + 3 identical target-vocab pool docs (one
+    // score bucket, 4 tokens each) + 2 identical off-domain pool docs
+    // (a lower score bucket). Budgets chosen to exercise every branch.
+    val hi = "alpha beta gamma delta"
+    val lo = "zeta eta theta iota"
+    val dir = plantedDocsDir(Seq(
+      (1L, hi, "src0"), (2L, hi, "src0"), (3L, hi, "src0"),
+      (10L, hi, "poolA"), (11L, hi, "poolA"), (12L, hi, "poolA"),
+      (20L, lo, "poolB"), (21L, lo, "poolB")))
+    def sel(budget: Long): Map[Long, Boolean] =
+      Queries.dsirSelect(spark, dir, budget).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("at_boundary")).toMap
+    // budget 10 < the 12 tokens of the high bucket: it straddles, greedy
+    // by doc_id keeps 10 (cum 4) and 11 (cum 8); 12 would overflow
+    sel(10L) shouldBe Map(10L -> true, 11L -> true)
+    // budget 17: high bucket (12) fully inside; low bucket straddles —
+    // doc 20 fits (12+4=16), doc 21 would overflow (20)
+    sel(17L) shouldBe Map(10L -> false, 11L -> false, 12L -> false, 20L -> true)
+    // budget large: everything selected, no boundary
+    sel(1000L) shouldBe Map(10L -> false, 11L -> false, 12L -> false,
+      20L -> false, 21L -> false)
+  }
+
   test("q_bpe_pairs counts freq-weighted adjacent char pairs over the vocab") {
     // words: "abab"x3 -> per word 2x'ab', 1x'ba'; "abc"x2 -> 'ab','bc';
     // "xy"x1. Totals: ab=8, ba=3, bc=2, xy=1 -> 'ab' is the first merge.
