@@ -3430,8 +3430,8 @@ object Queries {
     * domain" curation signal. log2 is the exact integer bit length (the
     * q_lm_surprisal trick), so both engines agree bit-for-bit with no
     * float logs. Scale shape: gram→bucket hashing is map-side (bigrams
-    * via zip_with over two slices — no per-element lambda re-derivation
-    * of the token array — and ONE explode per pass), the model is ONE
+    * via the native [[NativeExpressions.shingles]] expression — shared
+    * with kmvPairTagged — and ONE explode per pass), the model is ONE
     * groupBy over B=1024 buckets with conditional sums, totals ride a
     * window over the 1024-row model, and scoring is a broadcast join of
     * the tiny λ table back onto the feature stream + one doc-keyed
@@ -3443,10 +3443,9 @@ object Queries {
     val base = t(s, d).documents
       .select(col("doc_id"), (col("source") === DsirTarget).as("tgt"),
         TF.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("tgt"), explode(expr(
-        "concat(tk, CASE WHEN size(tk) < 2 THEN CAST(array() AS array<string>)" +
-          " ELSE zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
-          " (a, b) -> concat(a, ' ', b)) END)")).as("g"))
+      .select(col("doc_id"), col("tgt"), explode(concat(col("tk"),
+        graft.functions.expressions.NativeExpressions
+          .shingles(col("tk"), 2, distinct = false))).as("g"))
     val feats = base.select(col("doc_id"), col("tgt"),
       (!col("g").like("% %")).as("uni"), // tokens carry no whitespace
       pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
@@ -3534,7 +3533,7 @@ object Queries {
       // re-runs the two-pass scoring three times). It is 4 longs per
       // pool doc — on a real cluster this is the persisted output of
       // q_dsir_weight that selection reads back.
-      val scored = dsirScored(s, d).localCheckpoint()
+      val scored = dsirScored(s, d).localCheckpoint(eager = false)
       val hist = scored.groupBy(col("dsir_bits")).agg(
         count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
       val wOrd = Window.partitionBy(lit(1)).orderBy(col("dsir_bits").desc)
