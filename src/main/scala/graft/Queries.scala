@@ -3626,6 +3626,95 @@ object Queries {
            |FROM p GROUP BY 1
            |ORDER BY n DESC, pair LIMIT 50""".stripMargin))
 
+  /** Merge rounds of the iterative BPE trainer (Spark loop AND the
+    * DuckDB oracle's unrolled CTE chain — one constant so the two sides
+    * cannot drift).
+    */
+  val BpeMerges: Int = 8
+
+  /** DuckDB mirror of one BPE round: pair counts over `w$i`'s symbol
+    * representation, the arg-max pair `b$i`, and the merged vocab
+    * `w${i+1}`. See [[qBpeTrain]] for the representation invariant.
+    */
+  private def sqlBpeRound(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""p$i AS (SELECT pr, CAST(sum(f) AS BIGINT) AS n FROM (
+       |    SELECT f, unnest(list_transform(range(1, len(s)), j -> s[j] || ' ' || s[j+1])) AS pr
+       |    FROM (SELECT f, string_split(trim(r), '  ') AS s FROM $prev)) GROUP BY 1),
+       |b$i AS (SELECT pr, n FROM p$i ORDER BY n DESC, pr LIMIT 1),
+       |w$i AS (SELECT f, replace(r, ' ' || replace((SELECT pr FROM b$i), ' ', '  ') || ' ',
+       |    ' ' || replace((SELECT pr FROM b$i), ' ', '') || ' ') AS r FROM $prev)""".stripMargin
+  }
+
+  private val qBpeTrain = Q(
+    "q_bpe_train",
+    s"iterative BPE trainer: $BpeMerges greedy merge rounds over the word-frequency table",
+    (s, d) => {
+      // the full BPE training LOOP (Sennrich et al., ACL'16 §3), not
+      // just one pair-count round (q_bpe_pairs): repeat { count
+      // adjacent symbol pairs; merge the most frequent everywhere }.
+      // Representation invariant that makes the merge a plain string
+      // replace with EXACT greedy left-to-right semantics in both
+      // engines: a word's symbol sequence is two-space-joined and
+      // one-space-padded (" l o w " -> after merging "l o" -> " lo  w ").
+      // Every symbol is flanked by a space on BOTH sides of the match
+      // pattern " x  y " so a pattern can never start mid-symbol, and
+      // consecutive overlapping occurrences ("a a a a") consume
+      // disjoint spans exactly like the reference greedy merge
+      // ([aa][aa]). Scale shape: the corpus is tokenized ONCE into the
+      // distinct word-frequency table (vocab rows ~ log of corpus
+      // size) and localCheckpoint'ed so the per-round work never
+      // re-reads documents; each round is one map-side pair explode
+      // over vocab rows + one pair-keyed agg + a 1-row
+      // TakeOrderedAndProject collect (the only driver traffic), and
+      // the merge itself is a map-side replace. This is the two-level
+      // map-reduce BPE loop production tokenizer trainers use.
+      import s.implicits._
+      import graft.functions.expressions.NativeExpressions
+      val words0 = t(s, d).documents
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .select(col("f"), concat(lit(" "),
+          rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")).as("r"))
+        .localCheckpoint(eager = false)
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      var cur    = words0
+      var step   = 1
+      var done   = false
+      while (step <= BpeMerges && !done) {
+        val best = cur
+          .select(col("f"), explode(NativeExpressions.shingles(
+            split(trim(col("r")), "  "), 2, distinct = false)).as("pr"))
+          .groupBy(col("pr")).agg(sum(col("f")).as("n"))
+          .orderBy(col("n").desc, col("pr").asc)
+          .limit(1)
+          .collect()
+        if (best.isEmpty) done = true // vocabulary fully merged
+        else {
+          val pair = best(0).getString(0)
+          merges += ((step, pair, best(0).getLong(1)))
+          cur = cur.withColumn("r", call_function("replace", col("r"),
+            lit(" " + pair.replace(" ", "  ") + " "),
+            lit(" " + pair.replace(" ", "") + " ")))
+          step += 1
+        }
+      }
+      merges.result().toDF("step", "pair", "n")
+    },
+    Some {
+      val rounds = (1 to BpeMerges).map(sqlBpeRound).mkString(",\n")
+      val tail = (1 to BpeMerges)
+        .map(i => s"SELECT CAST($i AS INT) AS step, pr AS pair, n FROM b$i")
+        .mkString("\nUNION ALL ")
+      raw"""WITH w0 AS (SELECT CAST(count(*) AS BIGINT) AS f,
+           |    ' ' || rtrim(regexp_replace(tok, '(.)', '\1  ', 'g')) || ' ' AS r
+           |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |        FROM documents WHERE length(trim(text)) > 0) GROUP BY tok),
+           |$rounds
+           |$tail
+           |ORDER BY step""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -3653,5 +3742,5 @@ object Queries {
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qDsirSelect,
-    qBpePairs)
+    qBpePairs, qBpeTrain)
 }

@@ -232,4 +232,34 @@ class PropertySpec extends SparkSpec {
     // deterministic total order: count desc, then pair asc
     rows shouldBe rows.sortBy { case (p, n) => (-n, p) }
   }
+
+  test("q_bpe_train reproduces the textbook merge sequence (Sennrich vocab)") {
+    // the classic {low:5, lower:2, newest:6, widest:3} example; expected
+    // merges computed by hand with the (count desc, pair asc) tie-break:
+    //  1 e+s (9)  2 es+t (9)  3 l+o (7)  4 lo+w (7)
+    //  5 e+w (6)  6 ew+est (6)  7 n+ewest (6)  8 d+est (3)
+    val txt = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val dir = plantedDocsDir(Seq((1L, txt, "s")))
+    val q = Queries.all.find(_.name == "q_bpe_train").get
+    val rows = q.spark(spark, dir).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("pair"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    rows shouldBe Seq(
+      (1, "e s", 9L), (2, "es t", 9L), (3, "l o", 7L), (4, "lo w", 7L),
+      (5, "e w", 6L), (6, "ew est", 6L), (7, "n ewest", 6L), (8, "d est", 3L))
+  }
+
+  test("q_bpe_train: greedy overlap semantics and early termination") {
+    // "aaaa": round 1 merges a+a greedily left-to-right into [aa][aa]
+    // (3 overlapping occurrences -> 2 disjoint merges applied, count
+    // still reports 3); round 2 merges aa+aa; then the vocabulary is a
+    // single symbol and the loop stops before BpeMerges rounds.
+    val dir = plantedDocsDir(Seq((1L, "aaaa", "s")))
+    val q = Queries.all.find(_.name == "q_bpe_train").get
+    val rows = q.spark(spark, dir).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("pair"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    rows shouldBe Seq((1, "a a", 3L), (2, "aa aa", 1L))
+  }
 }
