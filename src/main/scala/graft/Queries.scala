@@ -3632,6 +3632,77 @@ object Queries {
     */
   val BpeMerges: Int = 8
 
+  /** Product-quantization geometry shared by [[Similarity.pqEncode]] and
+    * the DuckDB oracle mirror [[sqlPqCtes]]: 64-dim vectors split into
+    * `PqM` subspaces of `PqSubDim` dims, `PqK` codes per codebook,
+    * `PqIters` Lloyd rounds.
+    */
+  val PqM: Int       = 4
+  val PqSubDim: Int  = 16
+  val PqK: Int       = 16
+  val PqIters: Int   = 2
+
+  /** DuckDB mirror of [[Similarity.pqEncode]]'s training + encode: CTEs
+    * `qb`…`f{m}` where `f{m}` = (cid, code, d) is every vector's final
+    * code and exact int64 squared-L2 error in subspace m. Same seeds as
+    * the IVF oracle (smallest md5(id)), argmin ties to the lowest code,
+    * centroid update = integer rounded mean (the `(2s+n) DIV 2n` form —
+    * floor and truncating division agree on the non-negative operands).
+    */
+  private val sqlPqCtes: String = {
+    def dist(sv: String, cv: String) =
+      (1 to PqSubDim).map(i => s"($sv[$i]-$cv[$i])*($sv[$i]-$cv[$i])")
+        .mkString(" + ")
+    val subCols = (0 until PqM)
+      .map(mm => s"qv[${mm * PqSubDim + 1}:${(mm + 1) * PqSubDim}] AS sv$mm")
+      .mkString(", ")
+    val c0 = (0 until PqM)
+      .map(mm => s"c0m$mm AS (SELECT cid AS code, sv$mm AS cv FROM seeds)")
+      .mkString(",\n")
+    def round(it: Int) = (0 until PqM).map { mm =>
+      val sCols = (1 to PqSubDim)
+        .map(i => s"CAST(sum(sv[$i]) AS BIGINT) AS s$i").mkString(", ")
+      val rm = (1 to PqSubDim)
+        .map(i => s"CASE WHEN s$i >= 0 THEN (2*s$i + n) // (2*n)" +
+          s" ELSE -((-2*s$i + n) // (2*n)) END")
+        .mkString(", ")
+      s"""a${it}m$mm AS (SELECT cid, code, sv FROM (
+         |  SELECT s.cid, c.code, s.sv$mm AS sv,
+         |    row_number() OVER (PARTITION BY s.cid ORDER BY ${dist(s"s.sv$mm", "c.cv")}, c.code) AS rn
+         |  FROM sub s, c${it - 1}m$mm c) WHERE rn = 1),
+         |c${it}m$mm AS (SELECT code, list_value($rm) AS cv FROM (
+         |  SELECT code, CAST(count(*) AS BIGINT) AS n, $sCols
+         |  FROM a${it}m$mm GROUP BY code))""".stripMargin
+    }.mkString(",\n")
+    val fin = (0 until PqM).map { mm =>
+      s"""f$mm AS (SELECT cid, code, d FROM (
+         |  SELECT s.cid, c.code, ${dist(s"s.sv$mm", "c.cv")} AS d,
+         |    row_number() OVER (PARTITION BY s.cid ORDER BY ${dist(s"s.sv$mm", "c.cv")}, c.code) AS rn
+         |  FROM sub s, c${PqIters}m$mm c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""qb AS (SELECT vec_id AS cid,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sub AS (SELECT cid, $subCols FROM qb),
+       |seeds AS (SELECT * FROM sub ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT $PqK),
+       |$c0,
+       |${(1 to PqIters).map(round).mkString(",\n")},
+       |$fin""".stripMargin
+  }
+
+  private val qPqEncode = Q(
+    "q_pq_encode",
+    "product quantization: per-subspace k-means codebooks, shuffle-free encode to code ids + exact error",
+    (s, d) => Similarity.pqEncode(t(s, d).embeddings, "vec_id", "embedding",
+      dims = 64, numSub = PqM, codesPerSub = PqK, iters = PqIters),
+    Some(
+      s"""WITH $sqlPqCtes
+         |SELECT f0.cid AS vec_id, f0.code AS code0, f1.code AS code1,
+         |  f2.code AS code2, f3.code AS code3,
+         |  CAST(f0.d + f1.d + f2.d + f3.d AS BIGINT) AS qerr
+         |FROM f0 JOIN f1 ON f0.cid = f1.cid JOIN f2 ON f0.cid = f2.cid
+         |  JOIN f3 ON f0.cid = f3.cid""".stripMargin))
+
   /** DuckDB mirror of one BPE round: pair counts over `w$i`'s symbol
     * representation, the arg-max pair `b$i`, and the merged vocab
     * `w${i+1}`. See [[qBpeTrain]] for the representation invariant.
@@ -3742,5 +3813,5 @@ object Queries {
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qDsirSelect,
-    qBpePairs, qBpeTrain)
+    qBpePairs, qBpeTrain, qPqEncode)
 }

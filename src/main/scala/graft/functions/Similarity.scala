@@ -644,4 +644,109 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos_sim"))
   }
+
+  /** Integer round-half-away-from-zero of s/n without touching floats —
+    * the centroid-mean rule of [[pqEncode]], written so Spark, DuckDB and
+    * driver-side Scala compute the identical value (`DIV`/`//`/`/` all
+    * truncate on the non-negative operands used here).
+    */
+  private def roundedMean(s: Long, n: Long): Long =
+    if (s >= 0) (2 * s + n) / (2 * n) else -((-2 * s + n) / (2 * n))
+
+  /** Argmin-squared-L2 code assignment against a LITERAL codebook: an
+    * `array_min` over one struct (dist, code) per code, ties to the
+    * lowest code label. Pure int64 arithmetic (quantized space), pure
+    * map-side expression — at 100 TB the encode stage runs with zero
+    * joins and zero shuffles because the codebook is folded into the
+    * projection as literals.
+    */
+  private def pqAssign(sv: Column, codebook: Seq[(Long, Array[Long])]): Column =
+    array_min(array(codebook.map { case (code, cv) =>
+      val d = cv.indices.map { i =>
+        val df = sv(i) - lit(cv(i)); df * df
+      }.reduce(_ + _)
+      struct(d.as("d"), lit(code).as("c"))
+    }: _*))
+
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI'11): split each `dims`-dim vector
+    * into `numSub` subvectors, train an independent `codesPerSub`-entry
+    * k-means codebook per subspace, encode every vector as `numSub`
+    * small code ids — the memory-compression layer an IVF index
+    * ([[ivfKnnCosine]]) pairs with at billion-vector scale (IVF-PQ).
+    *
+    * Engine-independent by construction, like [[kmeansCentroids]]:
+    *  - quantized int64 space; squared-L2 assignment is EXACT integer
+    *    arithmetic (no rounding step at all), ties to the lowest code;
+    *  - seeds: the `codesPerSub` vectors with the smallest
+    *    `md5(cast(id as string))` (ties by id) seed every subspace —
+    *    TakeOrderedAndProject, the [[kmeansCentroids]] rule;
+    *  - update: per-dimension integer rounded mean ([[roundedMean]] —
+    *    PQ distance is not scale-invariant, so unlike the cosine
+    *    k-means the division cannot be skipped); codes that lose all
+    *    members drop out in both engines alike.
+    *
+    * Scale shape (100 TB): codebook state is ≤ `numSub × codesPerSub`
+    * rows and lives on the driver between rounds (the same bounded
+    * collect the IVF index build does); each training round is ONE
+    * narrow corpus pass — per-subspace assignment is a literal-folded
+    * argmin projection, and the update aggregates `numSub` rows per
+    * vector down to ≤ numSub·codesPerSub rows with map-side partials.
+    * The final encode is a single shuffle-free projection. Total:
+    * `iters` + 1 corpus scans, no corpus shuffle anywhere.
+    *
+    * Returns (vec_id, code0…code{numSub−1}, qerr) with `qerr` the exact
+    * int64 squared quantization error of the encoded vector.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int = 64,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(dims % numSub == 0, s"dims=$dims not divisible by numSub=$numSub")
+    val sub = dims / numSub
+    val base = corpus.select(
+      col(id).as("cid"),
+      transform(toDouble(col(vec)),
+        x => round(x * lit(1000000.0)).cast("long")).as("qv"))
+    val seeds = base
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
+      .limit(codesPerSub)
+      .collect()
+    var books: Array[Seq[(Long, Array[Long])]] = Array.tabulate(numSub) { mm =>
+      seeds.toSeq.map(r => (r.getLong(0),
+        r.getSeq[Long](1).slice(mm * sub, (mm + 1) * sub).toArray))
+    }
+    for (_ <- 1 to iters) {
+      val sums = (0 until sub).map(i => sum(col("sv")(i)).as(s"s$i"))
+      val upd = base
+        .select(col("cid"), explode(array((0 until numSub).map { mm =>
+          val sv = slice(col("qv"), mm * sub + 1, sub)
+          struct(lit(mm).as("m"),
+            pqAssign(sv, books(mm)).getField("c").as("code"), sv.as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.m").as("m"), col("e.code").as("code"), col("e.sv").as("sv"))
+        .groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      books = Array.tabulate(numSub) { mm =>
+        upd.toSeq.filter(_.getInt(0) == mm).map { r =>
+          val n = r.getLong(2)
+          (r.getLong(1),
+            Array.tabulate(sub)(i => roundedMean(r.getLong(3 + i), n)))
+        }.sortBy(_._1)
+      }
+    }
+    val withA = (0 until numSub).foldLeft(base) { (df, mm) =>
+      df.withColumn(s"a$mm",
+        pqAssign(slice(col("qv"), mm * sub + 1, sub), books(mm)))
+    }
+    withA.select(
+      (col("cid").as("vec_id") +:
+        (0 until numSub).map(mm => col(s"a$mm.c").as(s"code$mm"))) :+
+        (0 until numSub).map(mm => col(s"a$mm.d")).reduce(_ + _).as("qerr"): _*)
+  }
 }

@@ -156,6 +156,38 @@ class FunctionsSpec extends SparkSpec {
     out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(1L, 2L)
   }
 
+  test("pqEncode: exact clusters collapse to per-cluster codes with zero error") {
+    // two point-clusters of identical vectors: after one Lloyd round each
+    // surviving code's centroid is the rounded mean of IDENTICAL members
+    // (= the member itself, exactly — integer arithmetic), so every
+    // vector encodes with qerr == 0, one shared code tuple per cluster
+    val va = (0 until 64).map(i => (i % 4) * 0.25f).toArray
+    val vb = (0 until 64).map(i => 1.0f - (i % 4) * 0.25f).toArray
+    val vecs = ((1L to 10L).map((_, va)) ++ (11L to 20L).map((_, vb)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(vecs, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        ((1 to 4).map(r.getLong).toVector, r.getLong(5))).toMap
+    out.keySet shouldBe (1L to 20L).toSet
+    out.values.foreach { case (_, qerr) => qerr shouldBe 0L }
+    val aCodes = (1L to 10L).map(out(_)._1).distinct
+    val bCodes = (11L to 20L).map(out(_)._1).distinct
+    aCodes should have size 1 // ties to the lowest code: one tuple per cluster
+    bCodes should have size 1
+    aCodes.head should not be bCodes.head
+  }
+
+  test("pqEncode is partitioning-invariant (order-independent arithmetic)") {
+    val vecs = (1L to 40L).map { id =>
+      (id, (0 until 64).map(i => (((id * 31 + i * 7) % 13) * 0.125f - 0.5f)).toArray)
+    }.toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(df, "vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), (1 to 4).map(r.getLong).toVector, r.getLong(5)))
+        .sortBy(_._1).toVector
+    run(vecs) shouldBe run(vecs.repartition(7))
+  }
+
   test("heavyHitters: exact when k >= distinct; dominant key survives small k") {
     import graft.functions.expressions.NativeExpressions.heavyHitters
     // 90% of 20k rows are "hot", rest spread over 200 cold keys

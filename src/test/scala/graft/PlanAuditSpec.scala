@@ -141,6 +141,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_pq_encode's encode stage is a shuffle-free literal-codebook projection") {
+    // the PQ scale claim: after training (bounded driver-side codebook
+    // state), encoding 100 TB of vectors is ONE narrow map — the argmin
+    // over codes is folded into the projection as literals, so the final
+    // plan must contain no join and no exchange of any kind
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_pq_encode").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+      plan should not include "Join"
+    }
+  }
+
   test("every catalog query plans without an unbounded nested-loop join") {
     withGraftSession { s =>
       Queries.all.foreach { q =>
