@@ -3690,6 +3690,47 @@ object Queries {
        |$fin""".stripMargin
   }
 
+  private val qPqAnn = Q(
+    "q_pq_ann",
+    "IVF-PQ style ANN: asymmetric-distance top-k over PQ codes, literal per-query distance tables",
+    (s, d) => {
+      // the search half of IVF-PQ (Jégou et al. TPAMI'11 §IV): corpus
+      // vectors exist ONLY as 4 code bytes; each query's distance table
+      // to every codebook centroid is computed driver-side and folded
+      // into the plan as a literal map, so scoring is 4 lookups + adds
+      // per corpus row. Shape: shuffle-free encode projection, map-side
+      // per-query explode, one skinny (qid, neighbor, adc) top-k window
+      // (partial WindowGroupLimit). Exact int64 ADC, ties by neighbor.
+      val e = t(s, d).embeddings
+      Similarity.pqAnn(e.filter(col("vec_id") < 3), e, "vec_id", "embedding",
+        k = 10, dims = 64, numSub = PqM, codesPerSub = PqK, iters = PqIters)
+    },
+    Some {
+      val dts = (0 until PqM).map { mm =>
+        val dist = (1 to PqSubDim)
+          .map(i => s"(q.sv$mm[$i]-c.cv[$i])*(q.sv$mm[$i]-c.cv[$i])")
+          .mkString(" + ")
+        s"""dt$mm AS (SELECT q.cid AS qid, c.code, $dist AS d
+           |  FROM (SELECT * FROM sub WHERE cid < 3) q, c${PqIters}m$mm c)""".stripMargin
+      }.mkString(",\n")
+      val dtJoins = (1 until PqM)
+        .map(mm => s"JOIN dt$mm ON dt$mm.qid = dt0.qid AND dt$mm.code = f$mm.code")
+        .mkString("\n  ")
+      val fJoins = (1 until PqM)
+        .map(mm => s"JOIN f$mm ON f$mm.cid = f0.cid").mkString(" ")
+      s"""WITH $sqlPqCtes,
+         |$dts,
+         |adc AS (SELECT dt0.qid, f0.cid AS neighbor_id,
+         |    CAST(${(0 until PqM).map(mm => s"dt$mm.d").mkString(" + ")} AS BIGINT) AS adc
+         |  FROM f0 $fJoins
+         |  JOIN dt0 ON dt0.code = f0.code
+         |  $dtJoins)
+         |SELECT qid, neighbor_id, adc, rank FROM (
+         |  SELECT qid, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank
+         |  FROM adc) WHERE rank <= 10""".stripMargin
+    })
+
   private val qPqEncode = Q(
     "q_pq_encode",
     "product quantization: per-subspace k-means codebooks, shuffle-free encode to code ids + exact error",
@@ -3813,5 +3854,5 @@ object Queries {
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qDsirSelect,
-    qBpePairs, qBpeTrain, qPqEncode)
+    qBpePairs, qBpeTrain, qPqEncode, qPqAnn)
 }

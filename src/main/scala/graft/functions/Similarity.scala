@@ -668,6 +668,79 @@ object Similarity {
       struct(d.as("d"), lit(code).as("c"))
     }: _*))
 
+  /** (cid, qv) projection into quantized int64 space — the shared front
+    * of [[pqTrain]] / [[pqEncode]] / [[pqAnn]].
+    */
+  private def pqBase(corpus: DataFrame, id: String, vec: String): DataFrame =
+    corpus.select(
+      col(id).as("cid"),
+      transform(toDouble(col(vec)),
+        x => round(x * lit(1000000.0)).cast("long")).as("qv"))
+
+  /** Trains the per-subspace PQ codebooks (see [[pqEncode]] for the
+    * rules) and returns them as driver-side state: one `(code,
+    * centroid)` list per subspace, ≤ `codesPerSub` entries each.
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int = 64,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      iters: Int = 2): Array[Seq[(Long, Array[Long])]] = {
+    require(dims % numSub == 0, s"dims=$dims not divisible by numSub=$numSub")
+    val sub = dims / numSub
+    val base = pqBase(corpus, id, vec)
+    val seeds = base
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
+      .limit(codesPerSub)
+      .collect()
+    var books: Array[Seq[(Long, Array[Long])]] = Array.tabulate(numSub) { mm =>
+      seeds.toSeq.map(r => (r.getLong(0),
+        r.getSeq[Long](1).slice(mm * sub, (mm + 1) * sub).toArray))
+    }
+    for (_ <- 1 to iters) {
+      val sums = (0 until sub).map(i => sum(col("sv")(i)).as(s"s$i"))
+      val upd = base
+        .select(col("cid"), explode(array((0 until numSub).map { mm =>
+          val sv = slice(col("qv"), mm * sub + 1, sub)
+          struct(lit(mm).as("m"),
+            pqAssign(sv, books(mm)).getField("c").as("code"), sv.as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.m").as("m"), col("e.code").as("code"), col("e.sv").as("sv"))
+        .groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      books = Array.tabulate(numSub) { mm =>
+        upd.toSeq.filter(_.getInt(0) == mm).map { r =>
+          val n = r.getLong(2)
+          (r.getLong(1),
+            Array.tabulate(sub)(i => roundedMean(r.getLong(3 + i), n)))
+        }.sortBy(_._1)
+      }
+    }
+    books
+  }
+
+  /** Shuffle-free PQ encode of `base` (= [[pqBase]] output) against
+    * trained driver-side codebooks: (vec_id, code0…, qerr).
+    */
+  private def pqEncodeWith(
+      base: DataFrame,
+      books: Array[Seq[(Long, Array[Long])]],
+      sub: Int): DataFrame = {
+    val numSub = books.length
+    val withA = (0 until numSub).foldLeft(base) { (df, mm) =>
+      df.withColumn(s"a$mm",
+        pqAssign(slice(col("qv"), mm * sub + 1, sub), books(mm)))
+    }
+    withA.select(
+      (col("cid").as("vec_id") +:
+        (0 until numSub).map(mm => col(s"a$mm.c").as(s"code$mm"))) :+
+        (0 until numSub).map(mm => col(s"a$mm.d")).reduce(_ + _).as("qerr"): _*)
+  }
+
   /** Product quantization (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI'11): split each `dims`-dim vector
     * into `numSub` subvectors, train an independent `codesPerSub`-entry
@@ -706,47 +779,61 @@ object Similarity {
       numSub: Int = 4,
       codesPerSub: Int = 16,
       iters: Int = 2): DataFrame = {
-    require(dims % numSub == 0, s"dims=$dims not divisible by numSub=$numSub")
+    val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, iters)
+    pqEncodeWith(pqBase(corpus, id, vec), books, dims / numSub)
+  }
+
+  /** IVF-PQ-style ANN search by asymmetric distance computation (ADC —
+    * Jégou et al. TPAMI'11 §IV): the corpus is represented ONLY by its
+    * PQ codes; for each query the `numSub × codesPerSub` table of exact
+    * int64 squared-L2 distances from the query's subvectors to every
+    * codebook centroid is computed driver-side and folded into the plan
+    * as a literal map, so scoring a corpus vector is `numSub` map
+    * lookups + adds.
+    *
+    * Scale shape (100 TB): encode is the [[pqEncodeWith]] shuffle-free
+    * projection; scoring explodes each corpus row into |queries| skinny
+    * (qid, neighbor, adc) rows map-side; the only shuffle is the
+    * per-query top-k, which the rank-filter plans as a partial
+    * WindowGroupLimit (bounded state per task). Query count is bounded
+    * (they are literals in the plan), exactly like the broadcast query
+    * side of [[knnCosine]].
+    *
+    * Returns (qid, neighbor_id, adc, rank ≤ k); ties broken by
+    * neighbor_id — fully deterministic, exact integer ADC.
+    */
+  def pqAnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      k: Int = 10,
+      dims: Int = 64,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      iters: Int = 2): DataFrame = {
     val sub = dims / numSub
-    val base = corpus.select(
-      col(id).as("cid"),
-      transform(toDouble(col(vec)),
-        x => round(x * lit(1000000.0)).cast("long")).as("qv"))
-    val seeds = base
-      .orderBy(md5(col("cid").cast("string")), col("cid"))
-      .limit(codesPerSub)
-      .collect()
-    var books: Array[Seq[(Long, Array[Long])]] = Array.tabulate(numSub) { mm =>
-      seeds.toSeq.map(r => (r.getLong(0),
-        r.getSeq[Long](1).slice(mm * sub, (mm + 1) * sub).toArray))
+    val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, iters)
+    val codes = pqEncodeWith(pqBase(corpus, id, vec), books, sub)
+    val qStructs = pqBase(queries, id, vec).collect().map { r =>
+      val qid = r.getLong(0)
+      val qv  = r.getSeq[Long](1)
+      val adc = (0 until numSub).map { mm =>
+        val qsv = qv.slice(mm * sub, (mm + 1) * sub)
+        val tbl = books(mm).map { case (code, cv) =>
+          (code, cv.indices.map { i => val d = qsv(i) - cv(i); d * d }.sum)
+        }
+        element_at(
+          map_from_arrays(lit(tbl.map(_._1).toArray), lit(tbl.map(_._2).toArray)),
+          col(s"code$mm"))
+      }.reduce(_ + _)
+      struct(lit(qid).as("qid"), adc.as("adc"))
     }
-    for (_ <- 1 to iters) {
-      val sums = (0 until sub).map(i => sum(col("sv")(i)).as(s"s$i"))
-      val upd = base
-        .select(col("cid"), explode(array((0 until numSub).map { mm =>
-          val sv = slice(col("qv"), mm * sub + 1, sub)
-          struct(lit(mm).as("m"),
-            pqAssign(sv, books(mm)).getField("c").as("code"), sv.as("sv"))
-        }: _*)).as("e"))
-        .select(col("e.m").as("m"), col("e.code").as("code"), col("e.sv").as("sv"))
-        .groupBy(col("m"), col("code"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
-      books = Array.tabulate(numSub) { mm =>
-        upd.toSeq.filter(_.getInt(0) == mm).map { r =>
-          val n = r.getLong(2)
-          (r.getLong(1),
-            Array.tabulate(sub)(i => roundedMean(r.getLong(3 + i), n)))
-        }.sortBy(_._1)
-      }
-    }
-    val withA = (0 until numSub).foldLeft(base) { (df, mm) =>
-      df.withColumn(s"a$mm",
-        pqAssign(slice(col("qv"), mm * sub + 1, sub), books(mm)))
-    }
-    withA.select(
-      (col("cid").as("vec_id") +:
-        (0 until numSub).map(mm => col(s"a$mm.c").as(s"code$mm"))) :+
-        (0 until numSub).map(mm => col(s"a$mm.d")).reduce(_ + _).as("qerr"): _*)
+    codes
+      .select(col("vec_id").as("neighbor_id"), explode(array(qStructs.toIndexedSeq: _*)).as("e"))
+      .select(col("e.qid").as("qid"), col("neighbor_id"), col("e.adc").as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
   }
 }

@@ -177,6 +177,26 @@ class FunctionsSpec extends SparkSpec {
     aCodes.head should not be bCodes.head
   }
 
+  test("pqAnn: a cluster member's ADC top-k is its own cluster, in id order") {
+    // same two point-clusters as the encode spec: every same-cluster
+    // corpus vector shares the query's exact code tuple, so its ADC is 0
+    // and the top-10 must be precisely the 10 cluster members with ties
+    // broken by neighbor_id
+    val va = (0 until 64).map(i => (i % 4) * 0.25f).toArray
+    val vb = (0 until 64).map(i => 1.0f - (i % 4) * 0.25f).toArray
+    val vecs = ((1L to 10L).map((_, va)) ++ (11L to 20L).map((_, vb)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqAnn(
+      vecs.filter(col("vec_id") === 1 || col("vec_id") === 11),
+      vecs, "vec_id", "embedding", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank"), r.getLong(1), r.getLong(2)))
+    val byQ = out.groupBy(_._1)
+    byQ(1L).sortBy(_._2).map(_._3) shouldBe (1L to 10L)
+    byQ(11L).sortBy(_._2).map(_._3) shouldBe (11L to 20L)
+    out.foreach { case (_, _, _, adc) => adc shouldBe 0L }
+  }
+
   test("pqEncode is partitioning-invariant (order-independent arithmetic)") {
     val vecs = (1L to 40L).map { id =>
       (id, (0 until 64).map(i => (((id * 31 + i * 7) % 13) * 0.125f - 0.5f)).toArray)
