@@ -653,20 +653,20 @@ object Similarity {
   private def roundedMean(s: Long, n: Long): Long =
     if (s >= 0) (2 * s + n) / (2 * n) else -((-2 * s + n) / (2 * n))
 
-  /** Argmin-squared-L2 code assignment against a LITERAL codebook: an
-    * `array_min` over one struct (dist, code) per code, ties to the
-    * lowest code label. Pure int64 arithmetic (quantized space), pure
-    * map-side expression — at 100 TB the encode stage runs with zero
-    * joins and zero shuffles because the codebook is folded into the
-    * projection as literals.
+  /** All-subspace argmin-squared-L2 code assignment with the codebooks
+    * embedded in the expression (not joined): (d, c) per subspace, ties
+    * to the lowest code label. Pure int64 arithmetic, pure map-side —
+    * at 100 TB the encode stage runs with zero joins and zero shuffles.
+    * Implemented by the native
+    * [[graft.functions.expressions.PqAssignAll]] loop: the equivalent
+    * literal expression tree (numSub × codesPerSub × subDims
+    * subtract-square terms) overflows the codegen method-size budget
+    * and drops to interpreted eval, ~40× slower end-to-end.
     */
-  private def pqAssign(sv: Column, codebook: Seq[(Long, Array[Long])]): Column =
-    array_min(array(codebook.map { case (code, cv) =>
-      val d = cv.indices.map { i =>
-        val df = sv(i) - lit(cv(i)); df * df
-      }.reduce(_ + _)
-      struct(d.as("d"), lit(code).as("c"))
-    }: _*))
+  private def pqAssign(qv: Column,
+      books: Array[Seq[(Long, Array[Long])]], sub: Int): Column =
+    graft.functions.expressions.NativeExpressions.pqAssignAll(
+      qv, books.toIndexedSeq.map(_.map { case (c, cv) => (c, cv.toSeq) }), sub)
 
   /** (cid, qv) projection into quantized int64 space — the shared front
     * of [[pqTrain]] / [[pqEncode]] / [[pqAnn]].
@@ -703,10 +703,11 @@ object Similarity {
     for (_ <- 1 to iters) {
       val sums = (0 until sub).map(i => sum(col("sv")(i)).as(s"s$i"))
       val upd = base
+        .withColumn("a", pqAssign(col("qv"), books, sub))
         .select(col("cid"), explode(array((0 until numSub).map { mm =>
-          val sv = slice(col("qv"), mm * sub + 1, sub)
           struct(lit(mm).as("m"),
-            pqAssign(sv, books(mm)).getField("c").as("code"), sv.as("sv"))
+            col("a")(mm).getField("c").as("code"),
+            slice(col("qv"), mm * sub + 1, sub).as("sv"))
         }: _*)).as("e"))
         .select(col("e.m").as("m"), col("e.code").as("code"), col("e.sv").as("sv"))
         .groupBy(col("m"), col("code"))
@@ -731,14 +732,11 @@ object Similarity {
       books: Array[Seq[(Long, Array[Long])]],
       sub: Int): DataFrame = {
     val numSub = books.length
-    val withA = (0 until numSub).foldLeft(base) { (df, mm) =>
-      df.withColumn(s"a$mm",
-        pqAssign(slice(col("qv"), mm * sub + 1, sub), books(mm)))
-    }
-    withA.select(
-      (col("cid").as("vec_id") +:
-        (0 until numSub).map(mm => col(s"a$mm.c").as(s"code$mm"))) :+
-        (0 until numSub).map(mm => col(s"a$mm.d")).reduce(_ + _).as("qerr"): _*)
+    base.withColumn("a", pqAssign(col("qv"), books, sub))
+      .select(
+        (col("cid").as("vec_id") +:
+          (0 until numSub).map(mm => col("a")(mm).getField("c").as(s"code$mm"))) :+
+          (0 until numSub).map(mm => col("a")(mm).getField("d")).reduce(_ + _).as("qerr"): _*)
   }
 
   /** Product quantization (Jégou et al., "Product Quantization for

@@ -54,6 +54,17 @@ object NativeExpressions {
   def shingles(tokens: Column, n: Int, distinct: Boolean): Column =
     GraftBridge.column(Shingles(GraftBridge.expression(tokens), n, distinct))
 
+  /** Every subspace's PQ code assignment in one pass: array of
+    * (d = exact int64 squared-L2 to the nearest codebook centroid,
+    * c = that centroid's code, ties to the lowest code) per subspace,
+    * over an array<long> quantized vector. The native form of
+    * `numSub × codesPerSub × subDims` literal subtract-square terms,
+    * whose expression tree blows past the codegen method-size limit and
+    * falls back to interpreted eval (~40× slower than the arithmetic).
+    */
+  def pqAssignAll(qv: Column, books: Seq[Seq[(Long, Seq[Long])]], sub: Int): Column =
+    GraftBridge.column(PqAssignAll(GraftBridge.expression(qv), books, sub))
+
   /** Whole SRP plane bank in one pass: `numBands` sign-random-projection
     * codes of `bitsPerBand` bits each, over an array<double> vector —
     * replaces numBands×bitsPerBand separate dot-product expressions
@@ -461,6 +472,90 @@ case class SrpBank(child: Expression, dims: Int, bitsPerBand: Int, numBands: Int
     copy(child = newChild)
 
   override def prettyName: String = "graft_srp_bank"
+}
+
+/** Per-subspace PQ code assignment of a quantized int64 vector against
+  * driver-trained codebooks ([[graft.functions.Similarity.pqTrain]]):
+  * element m of the result is the struct (d, c) where c is the code of
+  * the subspace-m centroid minimizing the EXACT int64 squared-L2
+  * distance to the vector's m-th `sub`-dim slice, ties to the lowest
+  * code, and d is that distance. One tight loop instead of a
+  * codes×dims-term literal expression tree (which exceeds the codegen
+  * method-size budget and drops the whole projection to interpreted
+  * eval).
+  */
+case class PqAssignAll(
+    child: Expression,
+    books: Seq[Seq[(Long, Seq[Long])]],
+    sub: Int)
+    extends UnaryExpression {
+
+  // input is an array<long> quantized vector column
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c", LongType, nullable = false))),
+      containsNull = false)
+
+  @transient private lazy val codeArr: Array[Array[Long]] =
+    books.map(_.map(_._1).toArray).toArray
+  @transient private lazy val centArr: Array[Array[Array[Long]]] =
+    books.map(_.map(_._2.toArray).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public entry point shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
+    val numSub = codeArr.length
+    val out = new Array[Any](numSub)
+    var mm = 0
+    while (mm < numSub) {
+      val codes = codeArr(mm)
+      val cents = centArr(mm)
+      var bestD = Long.MaxValue
+      var bestC = Long.MaxValue
+      var c = 0
+      while (c < codes.length) {
+        val cv = cents(c)
+        var d = 0L
+        var i = 0
+        while (i < sub) {
+          val df = arr.getLong(mm * sub + i) - cv(i)
+          d += df * df
+          i += 1
+        }
+        if (d < bestD || (d == bestD && codes(c) < bestC)) {
+          bestD = d; bestC = codes(c)
+        }
+        c += 1
+      }
+      out(mm) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestD, bestC))
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("pqAssignExpr", this)
+    val arr  = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${arr.code}
+        |boolean ${ev.isNull} = ${arr.isNull};
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $expr.compute(${arr.value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_pq_assign"
 }
 
 /** The MinHash hash family shared by the Spark-side [[MinHashSig]]
