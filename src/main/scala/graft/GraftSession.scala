@@ -60,10 +60,14 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def documents: DataFrame  = read("documents")
   def embeddings: DataFrame = read("embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with nanosAsLong=true Spark
-    * surfaces it as LongType nanos. Normalize to a proper TimestampType
-    * column (microsecond precision) so every downstream operator sees an
-    * event-time column, same as the reference's cast-to-timestamp ingest
+  /** `events.ts` arrives in whatever physical shape the testdata generator
+    * used: parquet TIMESTAMP(NANOS) (surfaced as LongType nanos under
+    * nanosAsLong=true), TIMESTAMP without timezone (surfaced as
+    * TIMESTAMP_NTZ since Spark infers NTZ for isAdjustedToUTC=false), or a
+    * plain TIMESTAMP. Normalize all three to session-zone TimestampType
+    * (session is pinned UTC, so NTZ wall-clock values map to the same
+    * instants DuckDB reads) so every downstream operator sees one
+    * event-time type, same as the reference's cast-to-timestamp ingest
     * (kafka-spark-configmap.yaml:64,175,254).
     */
   def events: DataFrame = {
@@ -72,6 +76,8 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
