@@ -3692,7 +3692,7 @@ object Queries {
 
   private val qPqAnn = Q(
     "q_pq_ann",
-    "IVF-PQ style ANN: asymmetric-distance top-k over PQ codes, literal per-query distance tables",
+    "PQ/ADC flat-scan ANN baseline: asymmetric-distance top-k over PQ codes (cell-pruned path: q_ivfpq_ann)",
     (s, d) => {
       // the search half of IVF-PQ (Jégou et al. TPAMI'11 §IV): corpus
       // vectors exist ONLY as 4 code bytes; each query's distance table
@@ -3729,6 +3729,56 @@ object Queries {
          |  SELECT qid, neighbor_id, adc,
          |    row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank
          |  FROM adc) WHERE rank <= 10""".stripMargin
+    })
+
+  private val qIvfPqAnn = Q(
+    "q_ivfpq_ann",
+    "IVF-PQ ANN: PQ codes in IVF inverted lists, probe-limited ADC search (only probed cells scored)",
+    (s, d) => {
+      // the full IVF-PQ composition (Jégou et al. TPAMI'11 §V):
+      // q_pq_ann's ADC scoring pruned by q_knn_ivf's coarse cells.
+      // Corpus pass fuses cell assignment (broadcast-centroid argmax)
+      // with the shuffle-free PQ encode; each query routes to its 4
+      // most-similar cells and ADC-scores ONLY codes in those cells —
+      // the scored set is an equi-join on the cell id, never a
+      // full-corpus fan-out. Exact int64 ADC, ties by neighbor.
+      val e = t(s, d).embeddings
+      Similarity.ivfPqAnn(e.filter(col("vec_id") < 3), e, "vec_id", "embedding",
+        k = 10, dims = 64, numSub = PqM, codesPerSub = PqK, pqIters = PqIters,
+        numCells = IvfNumCells, nProbe = 4, ivfIters = 2)
+    },
+    Some {
+      val dts = (0 until PqM).map { mm =>
+        val dist = (1 to PqSubDim)
+          .map(i => s"(q.sv$mm[$i]-c.cv[$i])*(q.sv$mm[$i]-c.cv[$i])")
+          .mkString(" + ")
+        s"""dt$mm AS (SELECT q.cid AS qid, c.code, $dist AS d
+           |  FROM (SELECT * FROM sub WHERE cid < 3) q, c${PqIters}m$mm c)""".stripMargin
+      }.mkString(",\n")
+      val fJoins = (1 until PqM)
+        .map(mm => s"JOIN f$mm ON f$mm.cid = f0.cid").mkString(" ")
+      val dtJoins = (1 until PqM)
+        .map(mm => s"JOIN dt$mm ON dt$mm.qid = dt0.qid AND dt$mm.code = f$mm.code")
+        .mkString("\n  ")
+      s"""WITH $sqlIvfCellCtes,
+         |$sqlPqCtes,
+         |pr AS (SELECT qid, cell FROM (
+         |  SELECT b.cid AS qid, c.cell,
+         |    row_number() OVER (PARTITION BY b.cid
+         |      ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS prn
+         |  FROM bn b, c2 c WHERE b.cid < 3) WHERE prn <= 4),
+         |$dts,
+         |adcs AS (SELECT dt0.qid, f0.cid AS neighbor_id,
+         |    CAST(${(0 until PqM).map(mm => s"dt$mm.d").mkString(" + ")} AS BIGINT) AS adc
+         |  FROM f0 $fJoins
+         |  JOIN af ON af.cid = f0.cid
+         |  JOIN pr ON pr.cell = af.cell
+         |  JOIN dt0 ON dt0.qid = pr.qid AND dt0.code = f0.code
+         |  $dtJoins)
+         |SELECT qid, neighbor_id, adc, rank FROM (
+         |  SELECT qid, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank
+         |  FROM adcs) WHERE rank <= 10""".stripMargin
     })
 
   private val qPqEncode = Q(
@@ -3854,5 +3904,5 @@ object Queries {
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qDsirSelect,
-    qBpePairs, qBpeTrain, qPqEncode, qPqAnn)
+    qBpePairs, qBpeTrain, qPqEncode, qPqAnn, qIvfPqAnn)
 }

@@ -781,7 +781,34 @@ object Similarity {
     pqEncodeWith(pqBase(corpus, id, vec), books, dims / numSub)
   }
 
-  /** IVF-PQ-style ANN search by asymmetric distance computation (ADC —
+  /** Hard bound on the query side of [[pqAnn]] / [[ivfPqAnn]]: both
+    * collect the query vectors driver-side and build one ADC distance
+    * table per query (the tables ride the plan as literals / a
+    * broadcast row each), so memory and plan size are linear in the
+    * query count. 1024 queries × numSub maps of ≤ codesPerSub entries
+    * is a few MB — the same order as the broadcast query side of
+    * [[knnCosine]]. Larger query sets must be searched in batches (or
+    * pre-filtered); exceeding the bound is a contract error, not a
+    * silent slow path.
+    */
+  val MaxPqQueries: Int = 1024
+
+  /** Driver-side collect of the query vectors in quantized int64 space,
+    * enforcing [[MaxPqQueries]] (the limit+1 read means the check never
+    * scans more than MaxPqQueries+1 rows).
+    */
+  private def collectPqQueries(
+      queries: DataFrame, id: String, vec: String): Array[(Long, Seq[Long])] = {
+    val rows = pqBase(queries, id, vec).limit(MaxPqQueries + 1).collect()
+    require(rows.length <= MaxPqQueries,
+      s"pqAnn/ivfPqAnn collect the query vectors driver-side and build one " +
+        s"literal ADC distance table per query; the query side is bounded at " +
+        s"MaxPqQueries=$MaxPqQueries rows and the input exceeds it — " +
+        "pre-filter the query set or search in batches")
+    rows.map(r => (r.getLong(0), r.getSeq[Long](1)))
+  }
+
+  /** PQ ANN search by asymmetric distance computation (ADC —
     * Jégou et al. TPAMI'11 §IV): the corpus is represented ONLY by its
     * PQ codes; for each query the `numSub × codesPerSub` table of exact
     * int64 squared-L2 distances from the query's subvectors to every
@@ -794,8 +821,13 @@ object Similarity {
     * (qid, neighbor, adc) rows map-side; the only shuffle is the
     * per-query top-k, which the rank-filter plans as a partial
     * WindowGroupLimit (bounded state per task). Query count is bounded
-    * (they are literals in the plan), exactly like the broadcast query
-    * side of [[knnCosine]].
+    * by [[MaxPqQueries]] (enforced — they are literals in the plan),
+    * exactly like the broadcast query side of [[knnCosine]].
+    *
+    * This is a FLAT scan: every corpus code row is scored for every
+    * query. Correct and linear, but at index scale the coarse IVF layer
+    * exists precisely to prune it — use [[ivfPqAnn]] when the corpus is
+    * big enough that |corpus| · |queries| map lookups dominate.
     *
     * Returns (qid, neighbor_id, adc, rank ≤ k); ties broken by
     * neighbor_id — fully deterministic, exact integer ADC.
@@ -811,11 +843,10 @@ object Similarity {
       codesPerSub: Int = 16,
       iters: Int = 2): DataFrame = {
     val sub = dims / numSub
+    val qRows = collectPqQueries(queries, id, vec) // fail fast before training
     val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, iters)
     val codes = pqEncodeWith(pqBase(corpus, id, vec), books, sub)
-    val qStructs = pqBase(queries, id, vec).collect().map { r =>
-      val qid = r.getLong(0)
-      val qv  = r.getSeq[Long](1)
+    val qStructs = qRows.map { case (qid, qv) =>
       val adc = (0 until numSub).map { mm =>
         val qsv = qv.slice(mm * sub, (mm + 1) * sub)
         val tbl = books(mm).map { case (code, cv) =>
@@ -833,5 +864,126 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc"), col("neighbor_id"))))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ ANN search (Jégou et al. TPAMI'11 §V) — the composition of
+    * the coarse IVF layer ([[kmeansCentroids]] cells, as in
+    * [[ivfKnnCosine]]) with PQ/ADC scoring ([[pqAnn]]): every corpus
+    * vector's PQ codes live in its IVF cell's inverted list, a query
+    * routes to its `nProbe` most-similar cells and ADC-scores ONLY the
+    * codes in those cells. This is the scale shape [[pqAnn]]'s flat
+    * scan lacks: corpus work per query is |corpus| · nProbe / numCells
+    * map lookups instead of |corpus|.
+    *
+    * Index build (one corpus pass after the bounded training collects):
+    * cell assignment is the broadcast-centroid argmax and the PQ encode
+    * is the literal-codebook projection — both map-side, fused into a
+    * single pass; the only corpus shuffle is the assignment argmax
+    * (groupBy id). In production the (cell, codes) table is persisted
+    * `partitionBy("cell")` so a search touches only probed cells'
+    * files.
+    *
+    * Search: the probe list (query × nProbe cells) is computed
+    * in-engine against the broadcast centroids — same rounding and
+    * tie rules as [[ivfSearch]] — then collected (≤ [[MaxPqQueries]] ×
+    * nProbe rows) and joined back BROADCAST, each probe row carrying
+    * its query's per-subspace ADC distance tables as map columns. The
+    * scored row set is the equi-join of the corpus code table with the
+    * probe table ON THE CELL ID — no full-corpus fan-out — and the
+    * per-query top-k plans as a partial WindowGroupLimit.
+    *
+    * Exact int64 ADC, similarities/probes rounded exactly like
+    * [[ivfSearch]], all ties broken by id: fully deterministic,
+    * engine-independent. Returns (qid, neighbor_id, adc, rank ≤ k).
+    */
+  def ivfPqAnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      k: Int = 10,
+      dims: Int = 64,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      pqIters: Int = 2,
+      numCells: Int = 16,
+      nProbe: Int = 4,
+      ivfIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, MapType, StructField, StructType}
+    val sub   = dims / numSub
+    val spark = corpus.sparkSession
+    val qRows = collectPqQueries(queries, id, vec) // fail fast before training
+
+    // coarse quantizer: trained IVF centroids, materialized driver-side
+    // (≤ numCells rows — the ivfKnnCosine index-build collect)
+    val cn = kmeansCentroids(corpus, id, vec, dims, numCells, ivfIters)
+    val localCn = spark.createDataFrame(
+      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+
+    // fine quantizer: PQ codebooks (driver-side, ≤ numSub × codesPerSub)
+    val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, pqIters)
+
+    // corpus index: ONE pass assigns each vector to its IVF cell
+    // (broadcast argmax) AND encodes its PQ codes (literal-codebook
+    // projection) — the (cell, code0…) inverted-list table
+    val corp = corpus.select(
+        col(id).as("cid"),
+        quantized(toDouble(col(vec))).as("qv"),
+        transform(toDouble(col(vec)),
+          x => round(x * lit(1000000.0)).cast("long")).as("lqv"))
+      .withColumn("qn2", norm2(col("qv")))
+    val codes = assignToCells(corp, localCn)
+      .withColumn("a", pqAssign(col("lqv"), books, sub))
+      .select(col("cid").as("neighbor_id") +: col("cell") +:
+        (0 until numSub).map(mm => col("a")(mm).getField("c").as(s"code$mm")): _*)
+
+    // query routing: nProbe nearest cells per query, computed in-engine
+    // (identical arithmetic to ivfSearch's probe stage), then collected —
+    // ≤ MaxPqQueries × nProbe rows
+    val qs = queries.select(
+        col(id).as("qid"), quantized(toDouble(col(vec))).as("pqv"))
+      .withColumn("pqn2", norm2(col("pqv")))
+    val probes = qs
+      .join(broadcast(localCn))
+      .withColumn("psim",
+        round(dot(col("pqv"), col("cv")) / sqrt(col("pqn2") * col("cn2")), 4))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("psim").desc, col("cell"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("qid"), col("cell"))
+
+    // per-query ADC distance tables (exact int64), one map per subspace,
+    // attached to each (qid, cell) probe row — they ride the broadcast
+    val dts: Map[Long, Seq[Map[Long, Long]]] = qRows.map { case (qid, qv) =>
+      qid -> (0 until numSub).map { mm =>
+        val qsv = qv.slice(mm * sub, (mm + 1) * sub)
+        books(mm).map { case (code, cv) =>
+          code -> cv.indices.map { i => val d = qsv(i) - cv(i); d * d }.sum
+        }.toMap
+      }
+    }.toMap
+    val probeRows: java.util.List[Row] = java.util.Arrays.asList(
+      probes.collect().map { r =>
+        val qid = r.getLong(0)
+        Row.fromSeq(qid +: r.get(1) +: dts(qid))
+      }: _*)
+    val probeSchema = StructType(
+      StructField("qid", LongType) +: probes.schema.fields(1) +:
+        (0 until numSub).map(mm =>
+          StructField(s"dt$mm", MapType(LongType, LongType))))
+    val probeDf = spark.createDataFrame(probeRows, probeSchema)
+
+    // cell-pruned ADC scoring: equi-join on the cell id — only codes in
+    // probed cells are ever scored — then the partial-top-k window
+    codes
+      .join(broadcast(probeDf), Seq("cell"))
+      .withColumn("adc",
+        (0 until numSub).map(mm =>
+          element_at(col(s"dt$mm"), col(s"code$mm"))).reduce(_ + _))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("adc"), col("rank"))
   }
 }

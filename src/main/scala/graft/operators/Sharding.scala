@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-loader shard manifests: the layout step between a
+  * curated corpus and distributed training (every doc gets a
+  * deterministic (shard, pos) slot for one epoch).
+  *
+  * Reference scope: the reference engine stops at serving-collection
+  * layout (its TTL/partitioning step, mongo-init/init-collections.js);
+  * the shard manifest is the training-pipeline extension of the same
+  * idea, SURVEY.md §2's LLM-pipeline appendix.
+  *
+  * Determinism: the epoch-salted `md5(doc id)` order IS the epoch's
+  * global shuffle — no RNG state, any engine reproduces it. Shards are
+  * hash-balanced by construction (md5 prefix mod shards); positions are
+  * a per-shard `row_number` over the hash order.
+  *
+  * Scale contract — PARALLELISM EQUALS THE SHARD COUNT: the shard key
+  * is computed map-side and the only shuffle is the per-shard position
+  * window, so each task sorts |corpus| / shards rows. That is the same
+  * work a loader-shard build costs by definition, but ONLY if the shard
+  * count is sized to the corpus: in production shards = loader-worker
+  * count (hundreds–thousands). A fixed small count at 100 TB would
+  * funnel the whole corpus through that many sort tasks — so
+  * [[shardManifest]] auto-sizes from a rows-per-shard target unless the
+  * caller pins an explicit count, and the sizing rule is spec-pinned
+  * (no shard may exceed the target by more than hash-balance jitter).
+  */
+object Sharding {
+
+  /** Default rows-per-shard target for [[autoShardCount]]: 4M docs per
+    * loader shard keeps a shard's manifest (3 longs/row) well under a
+    * task's memory and its sort a few seconds, while 100 TB of ~4 KB
+    * docs (~25B rows) auto-sizes to ~6k shards — loader-fleet scale.
+    */
+  val DefaultRowsPerShard: Long = 4L * 1024 * 1024
+
+  /** Shard count sized so no shard holds more than ~rowsPerShard rows:
+    * ⌈corpusRows / rowsPerShard⌉, minimum 1. Window parallelism equals
+    * the returned count (see the object doc).
+    */
+  def autoShardCount(
+      corpusRows: Long,
+      rowsPerShard: Long = DefaultRowsPerShard): Int = {
+    require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
+    math.min(Int.MaxValue.toLong,
+      math.max(1L, (corpusRows + rowsPerShard - 1) / rowsPerShard)).toInt
+  }
+
+  /** The per-epoch loader manifest: (id, shard, pos).
+    *
+    * `numShards > 0` pins the shard count (shards = loader workers, the
+    * production call); `numShards = 0` auto-sizes via [[autoShardCount]]
+    * from one narrow `count()` of the input (a row-count-only scan —
+    * column pruning reads no data pages). `epoch` salts the hash so
+    * each epoch is an independent global shuffle.
+    */
+  def shardManifest(
+      docs: DataFrame,
+      id: String,
+      numShards: Int = 0,
+      epoch: Int = 0,
+      rowsPerShard: Long = DefaultRowsPerShard): DataFrame = {
+    val shards =
+      if (numShards > 0) numShards
+      else autoShardCount(docs.count(), rowsPerShard)
+    val h = md5(concat(lit(s"ep$epoch:"), col(id).cast("string")))
+    docs
+      .select(col(id), h.as("h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"), lit(shards)))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col(id)))
+          .cast("long"))
+      .select(col(id), col("shard"), col("pos"))
+  }
+}

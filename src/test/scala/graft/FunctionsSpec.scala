@@ -369,6 +369,82 @@ class FunctionsSpec extends SparkSpec {
     recall should be >= 0.8
   }
 
+  test("ivfPqAnn with nProbe = numCells equals the flat pqAnn scan exactly") {
+    // probing every cell scores every code — the cell-pruned composition
+    // must then reproduce the flat ADC scan bit-for-bit (same codebooks,
+    // same int64 ADC, same ties)
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") >= 8 && col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "neighbor_id", "adc", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val flat = rows(Similarity.pqAnn(qs, vecs, "vec_id", "embedding",
+      k = 5, dims = 16, numSub = 4, codesPerSub = 8))
+    val full = rows(Similarity.ivfPqAnn(qs, vecs, "vec_id", "embedding",
+      k = 5, dims = 16, numSub = 4, codesPerSub = 8,
+      numCells = 8, nProbe = 8))
+    full shouldBe flat
+  }
+
+  test("IVF-PQ recall: nProbe=4 of 8 cells recovers >=80% of flat-ADC and exact top-3") {
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") >= 8 && col("vec_id") < 28)
+    // 8 subspaces × 16 codes: fine enough that ADC distortion (a PQ
+    // property shared with the flat scan) stays below the top-3 margin —
+    // the pruning itself is separately pinned lossless vs the flat scan
+    val flat = Similarity.pqAnn(qs, vecs, "vec_id", "embedding",
+      k = 3, dims = 16, numSub = 8, codesPerSub = 16)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnCosine(qs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Similarity.ivfPqAnn(qs, vecs, "vec_id", "embedding",
+      k = 3, dims = 16, numSub = 8, codesPerSub = 16,
+      numCells = 8, nProbe = 4)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vsFlat  = flat.count(pruned.contains).toDouble / flat.size
+    val vsExact = exact.count(pruned.contains).toDouble / exact.size
+    withClue(s"recall vsFlat=$vsFlat vsExact=$vsExact: ") {
+      vsFlat should be >= 0.8  // what cell pruning loses vs scoring everything
+      vsExact should be >= 0.8 // end-to-end vs the exact cosine baseline
+    }
+  }
+
+  test("pqAnn/ivfPqAnn enforce the bounded-query-side contract") {
+    // both collect query vectors driver-side and build one literal ADC
+    // table per query — exceeding MaxPqQueries must fail fast with the
+    // contract in the message, before any training work runs
+    val corpus = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => (i + d).toFloat))).toDF("vec_id", "embedding")
+    val tooMany = spark.range(0, Similarity.MaxPqQueries + 1L)
+      .select(col("id").as("vec_id"),
+        array((0 until 8).map(d => lit(d.toFloat)): _*).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqAnn(tooMany, corpus, "vec_id", "embedding",
+        k = 1, dims = 8, numSub = 2, codesPerSub = 4)
+    }
+    ex.getMessage should include("MaxPqQueries")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAnn(tooMany, corpus, "vec_id", "embedding",
+        k = 1, dims = 8, numSub = 2, codesPerSub = 4, numCells = 4)
+    }
+    ex2.getMessage should include("MaxPqQueries")
+  }
+
   test("k-means-trained IVF centroids beat first-N seeding on clustered data") {
     // 4 noisy clusters (noise comparable to the cluster signal, so cell
     // boundaries genuinely matter); ids ordered so ids 0..7 ALL sit in

@@ -57,7 +57,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // for the argmax assignment
     "q_knn_cosine", "q_media_ann", "q_knn_ivf",
     "q_semantic_dedup",  // same <=16-centroid broadcast assignment as IVF
-    "q_cluster_balance") // same <=16-centroid broadcast assignment as IVF
+    "q_cluster_balance", // same <=16-centroid broadcast assignment as IVF
+    "q_ivfpq_ann")       // same <=16-centroid broadcast assignment + probe routing
 
   test("literal-bounded queries push their id bounds into the parquet scan") {
     // the bound is what keeps the quadratic baselines quadratic-over-a-
@@ -152,6 +153,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
         .queryExecution.executedPlan.toString
       plan should not include "Exchange"
       plan should not include "Join"
+    }
+  }
+
+  test("q_ivfpq_ann's ADC scoring is cell-pruned: probes equi-join the code table on the cell id") {
+    // the IVF-PQ scale claim vs q_pq_ann's flat scan: the scored row set
+    // must come from a hash equi-join of the corpus code table with the
+    // broadcast probe table ON THE CELL ID — i.e. only codes in probed
+    // cells are scored — not a per-row fan-out over every query
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_ivfpq_ann").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should include regex "BroadcastHashJoin \\[cell#"
     }
   }
 
