@@ -919,33 +919,19 @@ object Queries {
             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
             |FROM c GROUP BY 1, 2""".stripMargin))
 
-  // Data-loader shard assignment: the layout step between a curated
-  // corpus and distributed training. Every doc gets (shard, pos) — an
-  // epoch-salted md5 order, so each epoch is a fresh global shuffle
-  // with zero RNG state and any engine reproduces it. Shards are
-  // hash-balanced; positions are a per-shard row_number. Scale shape:
-  // the shard key is map-side; the only shuffle is the per-shard
-  // window, whose parallelism IS the shard count — at 100 TB the shard
-  // count is the loader-worker count (thousands), so each task sorts
-  // |corpus|/shards rows, the same work a loader shard build costs by
-  // definition. Emitting per-doc rows is the point: this query IS the
-  // loader manifest.
+  // Data-loader shard assignment — operators/Sharding.shardManifest
+  // (see its scaladoc for the determinism and parallelism-=-shards
+  // contract). The catalog pins 8 shards so the oracle stays literal;
+  // the production path auto-sizes from a rows-per-shard target
+  // (Sharding.autoShardCount — spec-pinned so no shard can exceed the
+  // target by more than hash-balance jitter). Emitting per-doc rows is
+  // the point: this query IS the loader manifest.
   private val ShardCount = 8
   private val qShardAssign = Q(
     "q_shard_assign",
     "deterministic epoch-salted shard + position assignment for training data loaders",
-    (s, d) => {
-      val h = md5(concat(lit("ep0:"), col("doc_id").cast("string")))
-      t(s, d).documents
-        .select(col("doc_id"), h.as("h"))
-        .withColumn("shard",
-          pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"), lit(ShardCount)))
-        .withColumn("pos",
-          row_number().over(
-            Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
-            .cast("long"))
-        .select(col("doc_id"), col("shard"), col("pos"))
-    },
+    (s, d) => graft.operators.Sharding.shardManifest(
+      t(s, d).documents, "doc_id", numShards = ShardCount, epoch = 0),
     Some(s"""WITH h AS (SELECT doc_id, md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h
             |  FROM documents),
             |s AS (SELECT doc_id, h,

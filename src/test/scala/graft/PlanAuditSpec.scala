@@ -156,6 +156,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_shard_assign's position window partitions on the shard key") {
+    // the manifest scale claim: window parallelism equals the shard
+    // count, so every Window in the plan must partition on the shard
+    // column — an empty partition spec would sort the whole corpus in
+    // one task, and any other key would break the per-shard contract.
+    // (The shard-count SIZING rule — no shard bigger than the
+    // rows-per-shard target — is pinned in ShardingSpec.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_shard_assign").get
+      val opt = q.spark(s, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+      val windows = opt.collect { case w: LWindow => w }
+      windows should not be empty
+      windows.foreach { w =>
+        withClue(s"window ${w.windowExpressions.map(_.name)}: ") {
+          w.partitionSpec should not be empty
+          w.partitionSpec.flatMap(_.references.map(_.name)) should contain("shard")
+        }
+      }
+    }
+  }
+
   test("q_ivfpq_ann's ADC scoring is cell-pruned: probes equi-join the code table on the cell id") {
     // the IVF-PQ scale claim vs q_pq_ann's flat scan: the scored row set
     // must come from a hash equi-join of the corpus code table with the

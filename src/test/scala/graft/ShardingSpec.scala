@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sharding
+
+/** Specs for the loader shard manifest: auto-sizing rule, balance,
+  * manifest invariants, and explicit-vs-auto equivalence.
+  */
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("autoShardCount: ceil(rows / rowsPerShard), minimum 1") {
+    Sharding.autoShardCount(0L, 1000L) shouldBe 1
+    Sharding.autoShardCount(1L, 1000L) shouldBe 1
+    Sharding.autoShardCount(1000L, 1000L) shouldBe 1
+    Sharding.autoShardCount(1001L, 1000L) shouldBe 2
+    Sharding.autoShardCount(10000L, 1000L) shouldBe 10
+    // the 100 TB sanity row from the scaladoc: ~25B docs → ~6k shards
+    Sharding.autoShardCount(25L * 1000 * 1000 * 1000) shouldBe 5961
+    intercept[IllegalArgumentException](Sharding.autoShardCount(5L, 0L))
+  }
+
+  test("auto-sized manifest: no shard exceeds the rows-per-shard target beyond hash jitter") {
+    // 10k docs at a 1k-row target → 10 shards; md5 balance keeps every
+    // shard within ~15% of the target, so the parallelism-=-shards
+    // contract (each task sorts ~rowsPerShard rows) holds
+    val docs = spark.range(10000).select(col("id").as("doc_id"))
+    val m = Sharding.shardManifest(docs, "doc_id", numShards = 0,
+      epoch = 0, rowsPerShard = 1000L)
+    val sizes = m.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes.keySet shouldBe (0L until 10L).toSet
+    all(sizes.values) should be <= 1150L
+    all(sizes.values) should be >= 850L
+  }
+
+  test("manifest invariants: every doc exactly once, positions contiguous from 1 per shard") {
+    val docs = spark.range(500).select(col("id").as("doc_id"))
+    val m = Sharding.shardManifest(docs, "doc_id", numShards = 4).cache()
+    m.count() shouldBe 500L
+    m.select("doc_id").distinct().count() shouldBe 500L
+    // per shard: pos is 1..size with no gaps
+    val bad = m.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("nd"))
+      .filter(!(col("lo") === 1L && col("hi") === col("n") && col("nd") === col("n")))
+    bad.count() shouldBe 0L
+    m.unpersist()
+  }
+
+  test("explicit shard count equals auto-sizing when the counts coincide; epochs reshuffle") {
+    val docs = spark.range(2000).select(col("id").as("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val explicit = rows(Sharding.shardManifest(docs, "doc_id", numShards = 2))
+    val auto     = rows(Sharding.shardManifest(docs, "doc_id", numShards = 0,
+      rowsPerShard = 1000L))
+    auto shouldBe explicit
+    // a different epoch salt is an independent global shuffle
+    val ep1 = rows(Sharding.shardManifest(docs, "doc_id", numShards = 2, epoch = 1))
+    ep1 should not be explicit
+    ep1.map(_._1) shouldBe explicit.map(_._1) // same docs, different slots
+  }
+}
