@@ -75,9 +75,21 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     val raw = read("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer ns→µs division: ns/1000 through double division has a
+        // 256 ns ULP at epoch scale, so truncation after the divide can
+        // land one µs off for sub-µs-aligned inputs; `div` stays in
+        // exact 64-bit arithmetic (timestamp_micros is tz-independent)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        // interpret the NTZ wall clock as UTC REGARDLESS of the session
+        // timezone: render the UTC wall clock into the session zone
+        // first, then the session-zone NTZ→TIMESTAMP cast yields the
+        // same instant under any spark.sql.session.timeZone (a bare
+        // cast would silently shift instants if the session were not
+        // pinned UTC by builder()/tune())
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        raw.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(tz), col("ts")).cast("timestamp"))
       case _ => raw
     }
   }
