@@ -3799,55 +3799,19 @@ object Queries {
     s"iterative BPE trainer: $BpeMerges greedy merge rounds over the word-frequency table",
     (s, d) => {
       // the full BPE training LOOP (Sennrich et al., ACL'16 §3), not
-      // just one pair-count round (q_bpe_pairs): repeat { count
-      // adjacent symbol pairs; merge the most frequent everywhere }.
-      // Representation invariant that makes the merge a plain string
-      // replace with EXACT greedy left-to-right semantics in both
-      // engines: a word's symbol sequence is two-space-joined and
-      // one-space-padded (" l o w " -> after merging "l o" -> " lo  w ").
-      // Every symbol is flanked by a space on BOTH sides of the match
-      // pattern " x  y " so a pattern can never start mid-symbol, and
-      // consecutive overlapping occurrences ("a a a a") consume
-      // disjoint spans exactly like the reference greedy merge
-      // ([aa][aa]). Scale shape: the corpus is tokenized ONCE into the
-      // distinct word-frequency table (vocab rows ~ log of corpus
-      // size) and localCheckpoint'ed so the per-round work never
-      // re-reads documents; each round is one map-side pair explode
-      // over vocab rows + one pair-keyed agg + a 1-row
-      // TakeOrderedAndProject collect (the only driver traffic), and
-      // the merge itself is a map-side replace. This is the two-level
-      // map-reduce BPE loop production tokenizer trainers use.
+      // just one pair-count round (q_bpe_pairs) — functions/Bpe (see
+      // its scaladoc for the two-space representation invariant that
+      // gives exact greedy left-to-right merge parity in both engines,
+      // and the corpus-tokenized-once / map-side-per-round scale
+      // shape). The catalog runs the INCREMENTAL trainer (per-round
+      // pair-delta over only the words the merge touches — the
+      // production-trainer shape at 30k merges); BpeSpec pins its merge
+      // sequence equal to the naive full-recount loop, which is what
+      // the oracle's unrolled CTE chain mirrors.
       import s.implicits._
-      import graft.functions.expressions.NativeExpressions
-      val words0 = t(s, d).documents
-        .select(explode(TF.tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-        .select(col("f"), concat(lit(" "),
-          rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")).as("r"))
-        .localCheckpoint(eager = false)
-      val merges = Seq.newBuilder[(Int, String, Long)]
-      var cur    = words0
-      var step   = 1
-      var done   = false
-      while (step <= BpeMerges && !done) {
-        val best = cur
-          .select(col("f"), explode(NativeExpressions.shingles(
-            split(trim(col("r")), "  "), 2, distinct = false)).as("pr"))
-          .groupBy(col("pr")).agg(sum(col("f")).as("n"))
-          .orderBy(col("n").desc, col("pr").asc)
-          .limit(1)
-          .collect()
-        if (best.isEmpty) done = true // vocabulary fully merged
-        else {
-          val pair = best(0).getString(0)
-          merges += ((step, pair, best(0).getLong(1)))
-          cur = cur.withColumn("r", call_function("replace", col("r"),
-            lit(" " + pair.replace(" ", "  ") + " "),
-            lit(" " + pair.replace(" ", "") + " ")))
-          step += 1
-        }
-      }
-      merges.result().toDF("step", "pair", "n")
+      graft.functions.Bpe.trainDelta(
+        graft.functions.Bpe.wordTable(t(s, d).documents, "text"), BpeMerges)
+        .toDF("step", "pair", "n")
     },
     Some {
       val rounds = (1 to BpeMerges).map(sqlBpeRound).mkString(",\n")
