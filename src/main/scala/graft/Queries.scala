@@ -3426,34 +3426,12 @@ object Queries {
     * two linear scans.
     */
   private def dsirScored(s: SparkSession, d: String): DataFrame = {
-    val base = t(s, d).documents
-      .select(col("doc_id"), (col("source") === DsirTarget).as("tgt"),
-        TF.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("tgt"), explode(concat(col("tk"),
-        graft.functions.expressions.NativeExpressions
-          .shingles(col("tk"), 2, distinct = false))).as("g"))
-    val feats = base.select(col("doc_id"), col("tgt"),
-      (!col("g").like("% %")).as("uni"), // tokens carry no whitespace
-      pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-        lit(DsirBuckets.toLong)).as("bkt"))
-    val model = feats.groupBy(col("bkt")).agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
-    val wAll = Window.partitionBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val lam = model
-      .withColumn("nt", sum(col("ct")).over(wAll))
-      .withColumn("nr", sum(col("cr")).over(wAll))
-      .select(col("bkt"),
-        ((length(expr("bin(ct + 1)")) - length(expr(s"bin(nt + $DsirBuckets)"))) -
-          (length(expr("bin(cr + 1)")) - length(expr(s"bin(nr + $DsirBuckets)"))))
-          .cast("long").as("lam_bits"))
-    feats.filter(!col("tgt"))
-      .join(broadcast(lam), Seq("bkt"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(when(col("uni"), 1L).otherwise(0L)).as("n_toks"),
-        sum(col("lam_bits")).as("dsir_bits"))
+    import graft.functions.Dsir
+    val feats = Dsir.features(
+      t(s, d).documents.withColumn("tgt", col("source") === DsirTarget),
+      "doc_id", "text", carry = Seq("tgt"), buckets = DsirBuckets)
+    val lam = Dsir.lambdaTable(feats, DsirBuckets)
+    Dsir.scoreFeatures(feats.filter(!col("tgt")), lam, "doc_id")
   }
 
   /** Shared DuckDB CTEs ending in `scored(doc_id, n_feats, n_toks,

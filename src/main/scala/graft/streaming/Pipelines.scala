@@ -245,6 +245,53 @@ object Pipelines {
       }
   }
 
+  /** Streaming DSIR-scoring ingest — the quality-weighting analog of
+    * [[dedupIngest]]: each micro-batch is scored against a PERSISTED λ
+    * table ([[graft.functions.Dsir.lambdaTable]] with `dense = true`,
+    * trained offline on the target-vs-pool corpus and written to
+    * `lambdaDir`), and the per-doc weights land in
+    * `<stateDir>/scores/batch=<id>`.
+    *
+    * Semantics are the batch oracle's (`q_dsir_weight`): the same
+    * hashed unigram+bigram features, the same broadcast-λ join, the
+    * same exact integer bit-length weights — spec-pinned equal to
+    * [[graft.functions.Dsir.scoreDocs]] over the union of all batches.
+    * The dense λ requirement is what makes the persisted-model split
+    * sound: a micro-batch may hash into buckets the training pool
+    * never produced, which the dense table scores with the smoothed
+    * zero-count λ instead of silently dropping.
+    *
+    * Per-trigger work is O(batch): λ is ≤ `buckets` rows (re-read per
+    * batch so an offline retrain is picked up at the next trigger, and
+    * broadcast into the join), and scoring is one map-side feature
+    * explode + one doc-keyed aggregation. REPLAY SAFETY: scoring is a
+    * pure function of (batch, λ) and each batch overwrites its own
+    * partition directory, so a replayed batch rewrites identical rows
+    * — same idiom as [[reviewsMultiSink]].
+    */
+  def dsirScoreIngest(
+      docs: DataFrame,
+      lambdaDir: String,
+      stateDir: String,
+      checkpoint: String,
+      id: String = "doc_id",
+      text: String = "text",
+      buckets: Int = graft.functions.Dsir.DefaultBuckets)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Dsir
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val lam = spark.read.parquet(lambdaDir)
+        Dsir.scoreDocs(batch, lam, id, text, buckets)
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/scores/batch=$batchId")
+        ()
+      }
+  }
+
   /** Stream-static enrichment: join a streaming fact against a small
     * static dimension (game metadata). The dimension is broadcast — each
     * micro-batch's tasks probe a local hash map, no shuffle of the stream,

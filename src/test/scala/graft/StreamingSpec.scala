@@ -486,6 +486,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirScoreIngest: micro-batches score against the persisted dense λ, equal to the batch path") {
+    import graft.functions.Dsir
+    val in     = memStream[(Long, String)]
+    val state  = tmpDir("dsir_state")
+    val lamDir = tmpDir("dsir_lam")
+    // offline λ training: target domain (alpha/beta-ish) vs raw pool —
+    // dense, so buckets the pool never hit still carry a smoothed λ
+    val train = Seq(
+      (100L, "alpha beta alpha beta", true),
+      (101L, "alpha gamma beta alpha", true),
+      (102L, "x y z w x y", false),
+      (103L, "p q r s p q", false),
+      (104L, "alpha x beta y", false)).toDF("doc_id", "text", "tgt")
+    val feats = Dsir.features(train, "doc_id", "text", carry = Seq("tgt"), buckets = 64)
+    Dsir.lambdaTable(feats, buckets = 64, dense = true)
+      .write.mode("overwrite").parquet(lamDir)
+    spark.read.parquet(lamDir).count() shouldBe 64L // dense: every bucket present
+
+    val batch0 = Seq((1L, "alpha beta gamma"), (2L, "x y z"))
+    val batch1 = Seq((3L, "unseen tokens entirely novel"))
+    val q = Pipelines.dsirScoreIngest(
+      in.toDF().toDF("doc_id", "text"), lamDir, state, tmpDir("dsir_ckpt"),
+      buckets = 64).start()
+    try {
+      in.addData(batch0: _*)
+      q.processAllAvailable()
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def scores() = spark.read.parquet(s"$state/scores")
+      .select("doc_id", "n_feats", "n_toks", "dsir_bits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = scores()
+    // identical semantics to the batch scorer over the union of batches
+    val lam = spark.read.parquet(lamDir)
+    val expected = Dsir.scoreDocs(
+      (batch0 ++ batch1).toDF("doc_id", "text"), lam, "doc_id", "text", 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    got shouldBe expected
+    // doc 3's features hash into buckets the training pool never
+    // produced — the dense λ scores all 4 unigrams + 3 bigrams instead
+    // of dropping rows
+    got.find(_._1 == 3L).get._2 shouldBe 7L
+    // REPLAY SAFETY: a re-fired batch 0 (same data, same λ) overwrites
+    // its own partition with identical rows — the scores table is
+    // byte-for-byte unchanged, no duplicates
+    Dsir.scoreDocs(batch0.toDF("doc_id", "text"), lam, "doc_id", "text", 64)
+      .write.mode("overwrite").parquet(s"$state/scores/batch=0")
+    scores() shouldBe got
+  }
+
   test("embedDedupIngest: vectors classify against the growing SRP index") {
     val in = memStream[(Long, Array[Double])]
     val state = tmpDir("embdedup_state")
