@@ -976,6 +976,16 @@ object Similarity {
 
     // cell-pruned ADC scoring: equi-join on the cell id — only codes in
     // probed cells are ever scored — then the partial-top-k window
+    scoreProbed(codes, probeDf, numSub, k)
+  }
+
+  /** The ADC scoring tail shared by [[ivfPqAnn]] and
+    * [[ivfPqAnnIndexed]]: broadcast the probe table (each row carrying
+    * its query's per-subspace distance maps) onto the code table by
+    * cell id, sum the `numSub` map lookups, partial-top-k per query.
+    */
+  private def scoreProbed(
+      codes: DataFrame, probeDf: DataFrame, numSub: Int, k: Int): DataFrame =
     codes
       .join(broadcast(probeDf), Seq("cell"))
       .withColumn("adc",
@@ -985,5 +995,139 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("adc"), col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("neighbor_id"), col("adc"), col("rank"))
+
+  /** Persist the IVF-PQ index that [[ivfPqAnn]] builds transiently:
+    *
+    *  - `<dir>/codes` — the inverted lists: (neighbor_id, code0…),
+    *    written `partitionBy("cell")` so each cell is its own
+    *    directory. THIS is what makes the probe-limited search claim
+    *    physical: a search filters on the probed cell ids and the
+    *    parquet source prunes to those directories — unprobed cells
+    *    are never read ([[ivfPqAnnIndexed]]; spec-pinned via the
+    *    scan's partition count).
+    *  - `<dir>/centroids` — the ≤ numCells coarse-quantizer rows.
+    *  - `<dir>/codebooks` — the ≤ numSub × codesPerSub PQ codebook
+    *    rows (m, code, cv).
+    *
+    * Training and encoding are exactly [[ivfPqAnn]]'s (deterministic,
+    * engine-independent), so searches over the persisted index equal
+    * the transient composition bit-for-bit.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      dir: String,
+      dims: Int = 64,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      pqIters: Int = 2,
+      numCells: Int = 16,
+      ivfIters: Int = 2): Unit = {
+    val sub   = dims / numSub
+    val spark = corpus.sparkSession
+    val cn = kmeansCentroids(corpus, id, vec, dims, numCells, ivfIters)
+    val localCn = spark.createDataFrame(
+      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+    val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, pqIters)
+    val corp = corpus.select(
+        col(id).as("cid"),
+        quantized(toDouble(col(vec))).as("qv"),
+        transform(toDouble(col(vec)),
+          x => round(x * lit(1000000.0)).cast("long")).as("lqv"))
+      .withColumn("qn2", norm2(col("qv")))
+    assignToCells(corp, localCn)
+      .withColumn("a", pqAssign(col("lqv"), books, sub))
+      .select(col("cid").as("neighbor_id") +: col("cell") +:
+        (0 until numSub).map(mm => col("a")(mm).getField("c").as(s"code$mm")): _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    localCn.write.mode("overwrite").parquet(s"$dir/centroids")
+    import spark.implicits._
+    books.zipWithIndex.toSeq
+      .flatMap { case (bk, mm) => bk.map { case (c, cv) => (mm, c, cv.toSeq) } }
+      .toDF("m", "code", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** IVF-PQ search over a PERSISTED index ([[writeIvfPqIndex]]): same
+    * probe routing and ADC scoring as [[ivfPqAnn]], but the corpus
+    * contributes only its on-disk inverted lists — and because the
+    * probed cell set is known driver-side before the scan, the code
+    * table is filtered with a LITERAL cell predicate that the parquet
+    * source turns into partition pruning: only the probed cells'
+    * directories are listed and read. Search I/O is
+    * |corpus| · |probed cells| / numCells, physically.
+    */
+  def ivfPqAnnIndexed(
+      queries: DataFrame,
+      indexDir: String,
+      id: String,
+      vec: String,
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val qRows = collectPqQueries(queries, id, vec)
+    val localCn = {
+      val cn = spark.read.parquet(s"$indexDir/centroids")
+      spark.createDataFrame(java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+    }
+    val books: Array[Seq[(Long, Array[Long])]] = {
+      val rows = spark.read.parquet(s"$indexDir/codebooks").collect()
+      val numSub = rows.map(_.getInt(0)).max + 1
+      Array.tabulate(numSub) { mm =>
+        rows.filter(_.getInt(0) == mm)
+          .map(r => (r.getLong(1), r.getSeq[Long](2).toArray))
+          .sortBy(_._1).toSeq
+      }
+    }
+    val numSub = books.length
+    val sub    = books.head.head._2.length
+
+    val qs = queries.select(
+        col(id).as("qid"), quantized(toDouble(col(vec))).as("pqv"))
+      .withColumn("pqn2", norm2(col("pqv")))
+    val probes = qs
+      .join(broadcast(localCn))
+      .withColumn("psim",
+        round(dot(col("pqv"), col("cv")) / sqrt(col("pqn2") * col("cn2")), 4))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("psim").desc, col("cell"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("qid"), col("cell"))
+      .collect()
+    val dts: Map[Long, Seq[Map[Long, Long]]] = qRows.map { case (qid, qv) =>
+      qid -> (0 until numSub).map { mm =>
+        val qsv = qv.slice(mm * sub, (mm + 1) * sub)
+        books(mm).map { case (code, cv) =>
+          code -> cv.indices.map { i => val d = qsv(i) - cv(i); d * d }.sum
+        }.toMap
+      }
+    }.toMap
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, MapType, StructField, StructType}
+    val probeRows: java.util.List[Row] = java.util.Arrays.asList(
+      probes.map { r =>
+        Row.fromSeq(r.getLong(0) +: r.getLong(1) +: dts(r.getLong(0)))
+      }: _*)
+    val probeSchema = StructType(
+      StructField("qid", LongType) +: StructField("cell", LongType) +:
+        (0 until numSub).map(mm =>
+          StructField(s"dt$mm", MapType(LongType, LongType))))
+    val probeDf = spark.createDataFrame(probeRows, probeSchema)
+
+    // the literal probed-cell predicate → partition pruning on disk.
+    // Compare in the partition column's OWN type (directory-value
+    // inference may narrow long cell ids to int): a cast around the
+    // column would block the pruning.
+    val probedCells = probes.map(_.getLong(1)).distinct.sorted
+    val codesRaw = spark.read.parquet(s"$indexDir/codes")
+    val cellLits: Seq[Any] = codesRaw.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probedCells.map(_.toInt).toSeq
+      case _ => probedCells.toSeq
+    }
+    val codes = codesRaw
+      .filter(col("cell").isin(cellLits: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    scoreProbed(codes, probeDf, numSub, k)
   }
 }

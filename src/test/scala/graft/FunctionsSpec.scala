@@ -424,6 +424,52 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ index: indexed search == transient composition, scan pruned to probed cells") {
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val qs  = vecs.filter(col("vec_id") === 8) // one query → exactly nProbe cells probed
+    val dir = tmpDir("ivfpq_index")
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", dir,
+      dims = 16, numSub = 4, codesPerSub = 8, numCells = 8)
+    // the inverted lists really are one directory per cell
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    cellDirs.size shouldBe 8
+
+    val indexed = Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val transientRows = rows(Similarity.ivfPqAnn(qs, vecs, "vec_id", "embedding",
+      k = 5, dims = 16, numSub = 4, codesPerSub = 8, numCells = 8, nProbe = 2))
+    rows(indexed) shouldBe transientRows
+
+    // the probed-cell predicate reaches the scan as a PARTITION filter —
+    // unprobed cells' directories are never read
+    val plan = indexed.queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[[^\\]]*cell"
+    val probedCells = "cell[^ ]* IN \\(([^)]+)\\)".r.findFirstMatchIn(plan)
+      .map(_.group(1).split(",").map(_.trim.toLong).toSet)
+      .getOrElse(fail(s"no IN partition filter in plan:\n$plan"))
+    probedCells.size shouldBe 2 // one query, nProbe = 2
+    // PHYSICAL proof: delete every unprobed cell's data files from disk —
+    // the pruned search still returns identical rows (it never needed
+    // them), while a full table read shows the rows really are gone
+    val unprobed = cellDirs.map(_.stripPrefix("cell=").toLong) -- probedCells
+    unprobed should not be empty
+    unprobed.foreach { c =>
+      new java.io.File(s"$dir/codes/cell=$c").listFiles().foreach(_.delete())
+    }
+    rows(Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding",
+      k = 5, nProbe = 2)) shouldBe transientRows
+    spark.read.parquet(s"$dir/codes").count() should be < 200L
+  }
+
   test("pqAnn/ivfPqAnn enforce the bounded-query-side contract") {
     // both collect query vectors driver-side and build one literal ADC
     // table per query — exceeding MaxPqQueries must fail fast with the
