@@ -3745,6 +3745,77 @@ object Queries {
          |  FROM adcs) WHERE rank <= 10""".stripMargin
     })
 
+  /** nProbe arms of the IVF-PQ sweep (Spark side AND the oracle's
+    * unrolled CTEs — one constant so the two sides cannot drift). The
+    * last arm equals [[IvfNumCells]], pinning n_hits = n_results there.
+    */
+  val IvfPqSweepArms: Seq[Int] = Seq(1, 2, 4, 16)
+
+  private val qIvfPqSweep = Q(
+    "q_ivfpq_sweep",
+    "IVF-PQ nProbe sweep: per-probe-count recall vs the flat ADC scan — the cost/recall knee observable",
+    (s, d) => {
+      // the probe-count analog of q_band_sweep: the index is trained
+      // once; each arm scores only its prn-prefix of the probe ranking
+      // and is measured against the every-cell arm (= q_pq_ann's flat
+      // scan). n_hits/n_results climbing to 1 as n_probe → numCells is
+      // the |corpus|·nProbe/numCells cost-vs-recall trade, in a
+      // hash-pinned table.
+      val e = t(s, d).embeddings
+      Similarity.ivfPqProbeSweep(e.filter(col("vec_id") < 3), e,
+        "vec_id", "embedding", k = 10, probeArms = IvfPqSweepArms,
+        dims = 64, numSub = PqM, codesPerSub = PqK, pqIters = PqIters,
+        numCells = IvfNumCells, ivfIters = 2)
+    },
+    Some {
+      val dts = (0 until PqM).map { mm =>
+        val dist = (1 to PqSubDim)
+          .map(i => s"(q.sv$mm[$i]-c.cv[$i])*(q.sv$mm[$i]-c.cv[$i])")
+          .mkString(" + ")
+        s"""dt$mm AS (SELECT q.cid AS qid, c.code, $dist AS d
+           |  FROM (SELECT * FROM sub WHERE cid < 3) q, c${PqIters}m$mm c)""".stripMargin
+      }.mkString(",\n")
+      val fJoins = (1 until PqM)
+        .map(mm => s"JOIN f$mm ON f$mm.cid = f0.cid").mkString(" ")
+      val dtJoins = (1 until PqM)
+        .map(mm => s"JOIN dt$mm ON dt$mm.qid = dt0.qid AND dt$mm.code = f$mm.code")
+        .mkString("\n  ")
+      // MATERIALIZED: the arm top-ks all read adcb (which itself reads
+      // the trained-cell and PQ chains) — without materialization DuckDB
+      // inlines the whole training pipeline once per arm reference and
+      // blows its memory budget
+      val topks = (IvfPqSweepArms :+ IvfNumCells).distinct.map { p =>
+        s"""t$p AS MATERIALIZED (SELECT qid, neighbor_id FROM (
+           |  SELECT a.qid, a.neighbor_id,
+           |    row_number() OVER (PARTITION BY a.qid ORDER BY a.adc, a.neighbor_id) AS rank
+           |  FROM adcb a JOIN prall pr
+           |    ON pr.qid = a.qid AND pr.cell = a.cell AND pr.prn <= $p)
+           |WHERE rank <= 10)""".stripMargin
+      }.mkString(",\n")
+      val unions = IvfPqSweepArms.map { p =>
+        s"""SELECT CAST($p AS INT) AS n_probe,
+           |  CAST(coalesce(sum(CASE WHEN fu.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+           |  CAST(count(*) AS BIGINT) AS n_results
+           |FROM t$p tp LEFT JOIN t$IvfNumCells fu
+           |  ON fu.qid = tp.qid AND fu.neighbor_id = tp.neighbor_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sqlIvfCellCtes,
+         |$sqlPqCtes,
+         |prall AS MATERIALIZED (SELECT b.cid AS qid, c.cell,
+         |    row_number() OVER (PARTITION BY b.cid
+         |      ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS prn
+         |  FROM bn b, c2 c WHERE b.cid < 3),
+         |$dts,
+         |adcb AS MATERIALIZED (SELECT dt0.qid, f0.cid AS neighbor_id, af.cell,
+         |    CAST(${(0 until PqM).map(mm => s"dt$mm.d").mkString(" + ")} AS BIGINT) AS adc
+         |  FROM f0 $fJoins
+         |  JOIN af ON af.cid = f0.cid
+         |  JOIN dt0 ON dt0.code = f0.code
+         |  $dtJoins),
+         |$topks
+         |$unions""".stripMargin
+    })
+
   private val qPqEncode = Q(
     "q_pq_encode",
     "product quantization: per-subspace k-means codebooks, shuffle-free encode to code ids + exact error",
@@ -3832,5 +3903,5 @@ object Queries {
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qDsirSelect,
-    qBpePairs, qBpeTrain, qPqEncode, qPqAnn, qIvfPqAnn)
+    qBpePairs, qBpeTrain, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep)
 }

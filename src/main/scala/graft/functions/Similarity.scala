@@ -996,6 +996,102 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("neighbor_id"), col("adc"), col("rank"))
 
+  /** nProbe sensitivity sweep for [[ivfPqAnn]] — the probe-count
+    * analog of [[bandWidthSweep]]: for each `nProbe` in `probeArms`,
+    * one row `(n_probe, n_hits, n_total)` where `n_hits` counts how
+    * many of the flat-ADC top-k results (= probing EVERY cell, the
+    * [[pqAnn]] scan) the probe-limited search recovers, over all
+    * queries. This makes the |corpus|·nProbe/numCells cost-vs-recall
+    * trade oracle-OBSERVABLE instead of scaladoc folklore: as nProbe
+    * grows toward numCells, n_hits climbs to n_total while scored-row
+    * cost climbs linearly — the knee is the economical probe count.
+    *
+    * The index is trained ONCE (same deterministic build as
+    * [[ivfPqAnn]]); every arm reuses the same codes, probe ranking and
+    * ADC tables, so the sweep costs one training + |arms| scoring
+    * passes over probed cells. Ties and rounding identical to
+    * [[ivfPqAnn]] — the flat reference arm is exactly `nProbe =
+    * numCells`, which the equality spec pins to [[pqAnn]].
+    */
+  def ivfPqProbeSweep(
+      queries: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      probeArms: Seq[Int],
+      dims: Int = 64,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      pqIters: Int = 2,
+      numCells: Int = 16,
+      ivfIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, MapType, StructField, StructType}
+    val sub   = dims / numSub
+    val spark = corpus.sparkSession
+    val qRows = collectPqQueries(queries, id, vec)
+
+    val cn = kmeansCentroids(corpus, id, vec, dims, numCells, ivfIters)
+    val localCn = spark.createDataFrame(
+      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+    val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, pqIters)
+    val corp = corpus.select(
+        col(id).as("cid"),
+        quantized(toDouble(col(vec))).as("qv"),
+        transform(toDouble(col(vec)),
+          x => round(x * lit(1000000.0)).cast("long")).as("lqv"))
+      .withColumn("qn2", norm2(col("qv")))
+    val codes = assignToCells(corp, localCn)
+      .withColumn("a", pqAssign(col("lqv"), books, sub))
+      .select(col("cid").as("neighbor_id") +: col("cell") +:
+        (0 until numSub).map(mm => col("a")(mm).getField("c").as(s"code$mm")): _*)
+      .localCheckpoint(eager = false) // one assignment+encode pass for all arms
+
+    // full probe ranking once; each arm is a prn-prefix of it
+    val qs = queries.select(
+        col(id).as("qid"), quantized(toDouble(col(vec))).as("pqv"))
+      .withColumn("pqn2", norm2(col("pqv")))
+    val ranked = qs
+      .join(broadcast(localCn))
+      .withColumn("psim",
+        round(dot(col("pqv"), col("cv")) / sqrt(col("pqn2") * col("cn2")), 4))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("psim").desc, col("cell"))))
+      .select(col("qid"), col("cell"), col("prn"))
+      .collect()
+    val dts: Map[Long, Seq[Map[Long, Long]]] = qRows.map { case (qid, qv) =>
+      qid -> (0 until numSub).map { mm =>
+        val qsv = qv.slice(mm * sub, (mm + 1) * sub)
+        books(mm).map { case (code, cv) =>
+          code -> cv.indices.map { i => val d = qsv(i) - cv(i); d * d }.sum
+        }.toMap
+      }
+    }.toMap
+    val probeSchema = StructType(
+      StructField("qid", LongType) +: StructField("cell", LongType) +:
+        (0 until numSub).map(mm =>
+          StructField(s"dt$mm", MapType(LongType, LongType))))
+    def probeDfUpTo(nProbe: Int) = spark.createDataFrame(
+      java.util.Arrays.asList(ranked.filter(_.getInt(2) <= nProbe).map { r =>
+        Row.fromSeq(r.getLong(0) +: r.getLong(1) +: dts(r.getLong(0)))
+      }: _*),
+      probeSchema)
+
+    val full = scoreProbed(codes, probeDfUpTo(numCells), numSub, k)
+      .select(col("qid"), col("neighbor_id"))
+      .localCheckpoint(eager = false)
+    probeArms.map { p =>
+      scoreProbed(codes, probeDfUpTo(p), numSub, k)
+        .select(col("qid"), col("neighbor_id"))
+        .join(full.withColumn("hit", lit(1L)), Seq("qid", "neighbor_id"), "left")
+        .agg(
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"),
+          count(lit(1)).as("n_results"))
+        .select(lit(p).as("n_probe"), col("n_hits"), col("n_results"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Persist the IVF-PQ index that [[ivfPqAnn]] builds transiently:
     *
     *  - `<dir>/codes` — the inverted lists: (neighbor_id, code0…),

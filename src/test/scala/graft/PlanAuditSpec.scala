@@ -58,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_knn_cosine", "q_media_ann", "q_knn_ivf",
     "q_semantic_dedup",  // same <=16-centroid broadcast assignment as IVF
     "q_cluster_balance", // same <=16-centroid broadcast assignment as IVF
-    "q_ivfpq_ann")       // same <=16-centroid broadcast assignment + probe routing
+    "q_ivfpq_ann",       // same <=16-centroid broadcast assignment + probe routing
+    "q_ivfpq_sweep")     // same <=16-centroid broadcast assignment + probe routing
 
   test("literal-bounded queries push their id bounds into the parquet scan") {
     // the bound is what keeps the quadratic baselines quadratic-over-a-
