@@ -927,16 +927,7 @@ object Similarity {
     // corpus index: ONE pass assigns each vector to its IVF cell
     // (broadcast argmax) AND encodes its PQ codes (literal-codebook
     // projection) — the (cell, code0…) inverted-list table
-    val corp = corpus.select(
-        col(id).as("cid"),
-        quantized(toDouble(col(vec))).as("qv"),
-        transform(toDouble(col(vec)),
-          x => round(x * lit(1000000.0)).cast("long")).as("lqv"))
-      .withColumn("qn2", norm2(col("qv")))
-    val codes = assignToCells(corp, localCn)
-      .withColumn("a", pqAssign(col("lqv"), books, sub))
-      .select(col("cid").as("neighbor_id") +: col("cell") +:
-        (0 until numSub).map(mm => col("a")(mm).getField("c").as(s"code$mm")): _*)
+    val codes = encodeWithModel(corpus, localCn, books, id, vec)
 
     // query routing: nProbe nearest cells per query, computed in-engine
     // (identical arithmetic to ivfSearch's probe stage), then collected —
@@ -977,6 +968,52 @@ object Similarity {
     // cell-pruned ADC scoring: equi-join on the cell id — only codes in
     // probed cells are ever scored — then the partial-top-k window
     scoreProbed(codes, probeDf, numSub, k)
+  }
+
+  /** Assign-and-encode one pass against a TRAINED model: every vector
+    * gets its IVF cell (broadcast-centroid argmax) and its PQ codes
+    * (literal-codebook projection) — (neighbor_id, cell, code0…).
+    * Shared by the transient search, the index writer, the probe sweep
+    * and the streaming ingest, so an appended batch is encoded
+    * bit-identically to the original build.
+    */
+  private[graft] def encodeWithModel(
+      vecs: DataFrame,
+      localCn: DataFrame,
+      books: Array[Seq[(Long, Array[Long])]],
+      id: String,
+      vec: String): DataFrame = {
+    val numSub = books.length
+    val sub    = books.head.head._2.length
+    val corp = vecs.select(
+        col(id).as("cid"),
+        quantized(toDouble(col(vec))).as("qv"),
+        transform(toDouble(col(vec)),
+          x => round(x * lit(1000000.0)).cast("long")).as("lqv"))
+      .withColumn("qn2", norm2(col("qv")))
+    assignToCells(corp, localCn)
+      .withColumn("a", pqAssign(col("lqv"), books, sub))
+      .select(col("cid").as("neighbor_id") +: col("cell") +:
+        (0 until numSub).map(mm => col("a")(mm).getField("c").as(s"code$mm")): _*)
+  }
+
+  /** The trained model of a persisted index ([[writeIvfPqIndex]]):
+    * (centroid LocalRelation, PQ codebooks) — both driver-side bounded.
+    */
+  def readIndexModel(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (DataFrame, Array[Seq[(Long, Array[Long])]]) = {
+    val cn = spark.read.parquet(s"$indexDir/centroids")
+    val localCn = spark.createDataFrame(
+      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+    val rows = spark.read.parquet(s"$indexDir/codebooks").collect()
+    val numSub = rows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(numSub) { mm =>
+      rows.filter(_.getInt(0) == mm)
+        .map(r => (r.getLong(1), r.getSeq[Long](2).toArray))
+        .sortBy(_._1).toSeq
+    }
+    (localCn, books)
   }
 
   /** The ADC scoring tail shared by [[ivfPqAnn]] and
@@ -1036,16 +1073,7 @@ object Similarity {
     val localCn = spark.createDataFrame(
       java.util.Arrays.asList(cn.collect(): _*), cn.schema)
     val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, pqIters)
-    val corp = corpus.select(
-        col(id).as("cid"),
-        quantized(toDouble(col(vec))).as("qv"),
-        transform(toDouble(col(vec)),
-          x => round(x * lit(1000000.0)).cast("long")).as("lqv"))
-      .withColumn("qn2", norm2(col("qv")))
-    val codes = assignToCells(corp, localCn)
-      .withColumn("a", pqAssign(col("lqv"), books, sub))
-      .select(col("cid").as("neighbor_id") +: col("cell") +:
-        (0 until numSub).map(mm => col("a")(mm).getField("c").as(s"code$mm")): _*)
+    val codes = encodeWithModel(corpus, localCn, books, id, vec)
       .localCheckpoint(eager = false) // one assignment+encode pass for all arms
 
     // full probe ranking once; each arm is a prn-prefix of it
@@ -1120,23 +1148,18 @@ object Similarity {
       pqIters: Int = 2,
       numCells: Int = 16,
       ivfIters: Int = 2): Unit = {
-    val sub   = dims / numSub
     val spark = corpus.sparkSession
     val cn = kmeansCentroids(corpus, id, vec, dims, numCells, ivfIters)
     val localCn = spark.createDataFrame(
       java.util.Arrays.asList(cn.collect(): _*), cn.schema)
     val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, pqIters)
-    val corp = corpus.select(
-        col(id).as("cid"),
-        quantized(toDouble(col(vec))).as("qv"),
-        transform(toDouble(col(vec)),
-          x => round(x * lit(1000000.0)).cast("long")).as("lqv"))
-      .withColumn("qn2", norm2(col("qv")))
-    assignToCells(corp, localCn)
-      .withColumn("a", pqAssign(col("lqv"), books, sub))
-      .select(col("cid").as("neighbor_id") +: col("cell") +:
-        (0 until numSub).map(mm => col("a")(mm).getField("c").as(s"code$mm")): _*)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    // the base build is batch=-1; streaming ingest
+    // (graft.streaming.Pipelines.ivfPqIngest) appends batch=<id>
+    // directories with the SAME two-level batch=/cell= layout, so
+    // partition discovery stays uniform and cell pruning spans both
+    encodeWithModel(corpus, localCn, books, id, vec)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes/batch=-1")
     localCn.write.mode("overwrite").parquet(s"$dir/centroids")
     import spark.implicits._
     books.zipWithIndex.toSeq
@@ -1163,19 +1186,7 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     val qRows = collectPqQueries(queries, id, vec)
-    val localCn = {
-      val cn = spark.read.parquet(s"$indexDir/centroids")
-      spark.createDataFrame(java.util.Arrays.asList(cn.collect(): _*), cn.schema)
-    }
-    val books: Array[Seq[(Long, Array[Long])]] = {
-      val rows = spark.read.parquet(s"$indexDir/codebooks").collect()
-      val numSub = rows.map(_.getInt(0)).max + 1
-      Array.tabulate(numSub) { mm =>
-        rows.filter(_.getInt(0) == mm)
-          .map(r => (r.getLong(1), r.getSeq[Long](2).toArray))
-          .sortBy(_._1).toSeq
-      }
-    }
+    val (localCn, books) = readIndexModel(spark, indexDir)
     val numSub = books.length
     val sub    = books.head.head._2.length
 

@@ -292,6 +292,52 @@ object Pipelines {
       }
   }
 
+  /** Streaming IVF-PQ index maintenance — the ANN analog of
+    * [[dsirScoreIngest]]'s persisted-model split: the coarse centroids
+    * and PQ codebooks are trained ONCE offline
+    * ([[graft.functions.Similarity.writeIvfPqIndex]], which writes the
+    * base inverted lists under `codes/batch=-1`); each micro-batch of
+    * new vectors is assigned + encoded against that same model
+    * ([[graft.functions.Similarity.encodeWithModel]] — bit-identical
+    * encoding to the base build) and appended as its own
+    * `codes/batch=<id>` directory, `partitionBy("cell")` inside, so
+    * the two-level batch=/cell= layout stays uniform and
+    * [[graft.functions.Similarity.ivfPqAnnIndexed]]'s literal
+    * probed-cell predicate prunes across base and streamed partitions
+    * alike. No retraining, no rewrite of existing lists: per-trigger
+    * work is one narrow encode pass over the batch (the model is ≤
+    * numCells + numSub×codesPerSub driver-side rows, re-read per
+    * trigger so an offline retrain is picked up at the next one).
+    *
+    * REPLAY SAFETY: encoding is a pure function of (batch, model) and
+    * each batch overwrites its own directory — same idiom as
+    * [[dedupIngest]]. Model DRIFT is the operator's documented
+    * trade-off, as in every production IVF index: vectors far from the
+    * trained distribution degrade recall until an offline retrain;
+    * the [[graft.functions.Similarity.ivfPqProbeSweep]] recall table
+    * over the accumulated index is the monitoring signal.
+    */
+  def ivfPqIngest(
+      vecs: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      id: String = "vec_id",
+      vec: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Similarity
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val (localCn, books) = Similarity.readIndexModel(spark, indexDir)
+        Similarity.encodeWithModel(batch, localCn, books, id, vec)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexDir/codes/batch=$batchId")
+        ()
+      }
+  }
+
   /** Stream-static enrichment: join a streaming fact against a small
     * static dimension (game metadata). The dimension is broadcast — each
     * micro-batch's tasks probe a local hash map, no shuffle of the stream,

@@ -436,8 +436,9 @@ class FunctionsSpec extends SparkSpec {
     val dir = tmpDir("ivfpq_index")
     Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", dir,
       dims = 16, numSub = 4, codesPerSub = 8, numCells = 8)
-    // the inverted lists really are one directory per cell
-    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+    // the inverted lists really are one directory per cell (base build
+    // lands under batch=-1; streaming ingest appends sibling batches)
+    val cellDirs = new java.io.File(s"$dir/codes/batch=-1").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
     cellDirs.size shouldBe 8
 
@@ -463,7 +464,7 @@ class FunctionsSpec extends SparkSpec {
     val unprobed = cellDirs.map(_.stripPrefix("cell=").toLong) -- probedCells
     unprobed should not be empty
     unprobed.foreach { c =>
-      new java.io.File(s"$dir/codes/cell=$c").listFiles().foreach(_.delete())
+      new java.io.File(s"$dir/codes/batch=-1/cell=$c").listFiles().foreach(_.delete())
     }
     rows(Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding",
       k = 5, nProbe = 2)) shouldBe transientRows

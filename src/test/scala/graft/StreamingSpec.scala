@@ -539,6 +539,68 @@ class StreamingSpec extends SparkSpec {
     scores() shouldBe got
   }
 
+  test("ivfPqIngest: streamed batches extend the persisted index; accumulation == monolithic build") {
+    import graft.functions.Similarity
+    def mkVec(i: Long): Array[Double] = {
+      val c = (i % 8).toInt
+      Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0 else 0.0
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0
+      }
+    }
+    val base = (0L until 160L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val dir  = tmpDir("ivfpq_ingest")
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", dir,
+      dims = 16, numSub = 4, codesPerSub = 8, numCells = 8)
+
+    val b0 = (160L until 180L).map(i => (i, mkVec(i)))
+    val b1 = (180L until 200L).map(i => (i, mkVec(i)))
+    val in = memStream[(Long, Array[Double])]
+    val q = Pipelines.ivfPqIngest(
+      in.toDF().toDF("vec_id", "embedding"), dir, tmpDir("ivfpq_ingest_ckpt")).start()
+    try {
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      in.addData(b1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every vector indexed exactly once across base + streamed batches
+    val codes = spark.read.parquet(s"$dir/codes")
+    codes.count() shouldBe 200L
+    codes.select("neighbor_id").distinct().count() shouldBe 200L
+
+    // streamed rows are encoded bit-identically to a batch encode of the
+    // union under the SAME model: the accumulated index equals a
+    // monolithic index written from the union in one shot
+    val union = (0L until 200L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val (localCn, books) = Similarity.readIndexModel(spark, dir)
+    val dir2 = tmpDir("ivfpq_monolithic")
+    spark.read.parquet(s"$dir/centroids").write.parquet(s"$dir2/centroids")
+    spark.read.parquet(s"$dir/codebooks").write.parquet(s"$dir2/codebooks")
+    Similarity.encodeWithModel(union, localCn, books, "vec_id", "embedding")
+      .write.partitionBy("cell").parquet(s"$dir2/codes/batch=-1")
+    val qs = base.filter(col("vec_id") === 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val accumulated = Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    rows(accumulated) shouldBe rows(
+      Similarity.ivfPqAnnIndexed(qs, dir2, "vec_id", "embedding", k = 5, nProbe = 2))
+    // cell pruning spans base and streamed partitions alike
+    accumulated.queryExecution.executedPlan.toString should
+      include regex "PartitionFilters: \\[[^\\]]*cell"
+
+    // REPLAY SAFETY: re-encoding batch 0 against the same model
+    // overwrites its own directory with identical rows
+    Similarity.encodeWithModel(b0.toDF("vec_id", "embedding"), localCn, books,
+      "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes/batch=0")
+    spark.read.parquet(s"$dir/codes").count() shouldBe 200L
+    rows(Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding",
+      k = 5, nProbe = 2)) shouldBe rows(accumulated)
+  }
+
   test("embedDedupIngest: vectors classify against the growing SRP index") {
     val in = memStream[(Long, Array[Double])]
     val state = tmpDir("embdedup_state")
