@@ -3834,12 +3834,16 @@ object Queries {
     * `w${i+1}`. See [[qBpeTrain]] for the representation invariant.
     */
   private def sqlBpeRound(i: Int): String = {
+    // b$i / w$i MATERIALIZED: every round references the previous one
+    // (and q_bpe_tokenize's v-chain references every b$i) — without
+    // materialization DuckDB re-inlines the whole prefix chain per
+    // reference and the plan blows up combinatorially
     val prev = s"w${i - 1}"
     s"""p$i AS (SELECT pr, CAST(sum(f) AS BIGINT) AS n FROM (
        |    SELECT f, unnest(list_transform(range(1, len(s)), j -> s[j] || ' ' || s[j+1])) AS pr
        |    FROM (SELECT f, string_split(trim(r), '  ') AS s FROM $prev)) GROUP BY 1),
-       |b$i AS (SELECT pr, n FROM p$i ORDER BY n DESC, pr LIMIT 1),
-       |w$i AS (SELECT f, replace(r, ' ' || replace((SELECT pr FROM b$i), ' ', '  ') || ' ',
+       |b$i AS MATERIALIZED (SELECT pr, n FROM p$i ORDER BY n DESC, pr LIMIT 1),
+       |w$i AS MATERIALIZED (SELECT f, replace(r, ' ' || replace((SELECT pr FROM b$i), ' ', '  ') || ' ',
        |    ' ' || replace((SELECT pr FROM b$i), ' ', '') || ' ') AS r FROM $prev)""".stripMargin
   }
 
@@ -3876,6 +3880,58 @@ object Queries {
            |ORDER BY step""".stripMargin
     })
 
+  private val qBpeTokenize = Q(
+    "q_bpe_tokenize",
+    "apply the trained BPE merges to the corpus: per-doc whitespace-token vs BPE-symbol counts",
+    (s, d) => {
+      // the APPLY half of the tokenizer loop (q_bpe_train is the
+      // trainer): tokenize every document with the learned merge list.
+      // Scale shape: merges are a driver-side list (8 literals); the
+      // application folds them as 8 map-side replaces over the DISTINCT
+      // word table (vocab-scale, not corpus-scale — every occurrence of
+      // a word tokenizes identically, the same two-level trick as the
+      // trainer), and docs join the tokenized vocab on the word. Output
+      // is the trained tokenizer's per-doc fertility: n_bpe_symbols /
+      // n_tokens falls as merges learn the corpus.
+      import graft.functions.Bpe
+      val docs   = t(s, d).documents
+      val merges = Bpe.trainDelta(Bpe.wordTable(docs, "text"), BpeMerges).map(_._2)
+      val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+      val vocab = toks.select(col("w")).distinct()
+        .withColumn("r", concat(lit(" "),
+          rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")))
+      val applied = merges
+        .foldLeft(vocab)((v, p) => v.withColumn("r", Bpe.merged(col("r"), p)))
+        .withColumn("n_bpe", size(split(trim(col("r")), "  ")).cast("long"))
+        .select(col("w"), col("n_bpe"))
+      toks.join(applied, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("n_bpe")).as("n_bpe_symbols"))
+    },
+    Some {
+      val rounds = (1 to BpeMerges).map(sqlBpeRound).mkString(",\n")
+      val vs = (1 to BpeMerges).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT w, replace(r, ' ' || replace((SELECT pr FROM b$i), ' ', '  ') || ' ',
+           |    ' ' || replace((SELECT pr FROM b$i), ' ', '') || ' ') AS r FROM v${i - 1})""".stripMargin
+      }.mkString(",\n")
+      raw"""WITH w0 AS (SELECT CAST(count(*) AS BIGINT) AS f,
+           |    ' ' || rtrim(regexp_replace(tok, '(.)', '\1  ', 'g')) || ' ' AS r
+           |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |        FROM documents WHERE length(trim(text)) > 0) GROUP BY tok),
+           |$rounds,
+           |v0 AS (SELECT DISTINCT tok AS w,
+           |    ' ' || rtrim(regexp_replace(tok, '(.)', '\1  ', 'g')) || ' ' AS r
+           |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |        FROM documents WHERE length(trim(text)) > 0)),
+           |$vs,
+           |va AS (SELECT w, CAST(len(string_split(trim(r), '  ')) AS BIGINT) AS n_bpe FROM v$BpeMerges),
+           |d0 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+           |  FROM documents WHERE length(trim(text)) > 0)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_symbols
+           |FROM d0 JOIN va USING (w) GROUP BY 1""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -3903,5 +3959,5 @@ object Queries {
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qDsirSelect,
-    qBpePairs, qBpeTrain, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep)
+    qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep)
 }
