@@ -218,6 +218,73 @@ class PropertySpec extends SparkSpec {
       20L -> false, 21L -> false)
   }
 
+  test("property: BPE delta trainer equals naive trainer on random small-alphabet corpora") {
+    // small alphabets maximize pair collisions, overlapping runs
+    // ("aaaa"), ties, and counts that dip to zero and re-appear — the
+    // cases where incremental ±delta maintenance goes wrong first
+    import graft.functions.Bpe
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val docGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    (1L to 6L).foreach { seed =>
+      val texts = sample(Gen.listOfN(4, docGen), seed)
+      val w = Bpe.wordTable(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "text")
+      withClue(s"seed=$seed corpus=$texts: ") {
+        Bpe.trainDelta(w, 6) shouldBe Bpe.trainNaive(w, 6)
+      }
+    }
+  }
+
+  test("property: shard manifest invariants hold on random sizes and epochs") {
+    import graft.operators.Sharding
+    (1L to 4L).foreach { seed =>
+      val (n, shards, epoch) = sample(
+        Gen.zip(Gen.choose(1, 400), Gen.choose(1, 9), Gen.choose(0, 3)), seed)
+      val m = Sharding.shardManifest(
+        spark.range(n).select(col("id").as("doc_id")), "doc_id",
+        numShards = shards, epoch = epoch).cache()
+      withClue(s"seed=$seed n=$n shards=$shards epoch=$epoch: ") {
+        m.count() shouldBe n.toLong                       // every doc exactly once
+        m.select("doc_id").distinct().count() shouldBe n.toLong
+        m.agg(max("shard")).collect()(0).getLong(0) should be < shards.toLong
+        // positions contiguous 1..size within every shard
+        m.groupBy("shard")
+          .agg(count(lit(1)).as("n"), min("pos").as("lo"),
+            max("pos").as("hi"), countDistinct("pos").as("nd"))
+          .filter(!(col("lo") === 1L && col("hi") === col("n") && col("nd") === col("n")))
+          .count() shouldBe 0L
+      }
+      m.unpersist()
+    }
+  }
+
+  test("property: dense λ equals sparse λ on trained buckets; unseen buckets get the smoothed zero-count value") {
+    import graft.functions.Dsir
+    val B = 32
+    (1L to 4L).foreach { seed =>
+      val texts = sample(Gen.listOfN(6, textGen), seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, i % 2 == 0) }
+        .toDF("doc_id", "text", "tgt")
+      val feats  = Dsir.features(docs, "doc_id", "text", carry = Seq("tgt"), buckets = B)
+      val sparse = Dsir.lambdaTable(feats, B).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dense  = Dsir.lambdaTable(feats, B, dense = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed=$seed: ") {
+        dense.size shouldBe B
+        sparse.foreach { case (bkt, lam) => dense(bkt) shouldBe lam }
+        // every unseen bucket carries the identical smoothed value:
+        // bitlen(1) - bitlen(nt+B) - (bitlen(1) - bitlen(nr+B))
+        val unseen = dense.keySet -- sparse.keySet
+        unseen.map(dense).toSet.size should be <= 1
+      }
+    }
+  }
+
   test("q_bpe_pairs counts freq-weighted adjacent char pairs over the vocab") {
     // words: "abab"x3 -> per word 2x'ab', 1x'ba'; "abc"x2 -> 'ab','bc';
     // "xy"x1. Totals: ab=8, ba=3, bc=2, xy=1 -> 'ab' is the first merge.
