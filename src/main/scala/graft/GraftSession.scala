@@ -77,19 +77,33 @@ final case class Tables(spark: SparkSession, sfDir: String) {
       case org.apache.spark.sql.types.LongType =>
         // integer ns→µs division: ns/1000 through double division has a
         // 256 ns ULP at epoch scale, so truncation after the divide can
-        // land one µs off for sub-µs-aligned inputs; `div` stays in
-        // exact 64-bit arithmetic (timestamp_micros is tz-independent)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // land one µs off for sub-µs-aligned inputs. Pure 64-bit
+        // arithmetic with FLOOR semantics: subtracting the non-negative
+        // pmod remainder aligns the value downward, so the exact `div`
+        // that follows agrees with floor for pre-epoch (negative)
+        // nanos too — a bare `div` truncates toward zero and would land
+        // -1500 ns at -1 µs instead of -2 µs (ADVICE r8)
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // interpret the NTZ wall clock as UTC REGARDLESS of the session
         // timezone: render the UTC wall clock into the session zone
         // first, then the session-zone NTZ→TIMESTAMP cast yields the
         // same instant under any spark.sql.session.timeZone (a bare
         // cast would silently shift instants if the session were not
-        // pinned UTC by builder()/tune())
+        // pinned UTC by builder()/tune()). The conversion is resolved
+        // DRIVER-side: under a UTC session (the builder()/tune()
+        // default) convert_timezone(UTC, UTC, ts) is the identity, and
+        // leaving it in the plan costs ~3× on scan-bound windowed
+        // aggregates (measured at sf10 — PERF.md round 9), so the UTC
+        // case takes the bare cast; only genuinely non-UTC sessions
+        // pay the per-row rebase
         val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val utc = java.time.ZoneId.of(tz).normalized() ==
+          java.time.ZoneOffset.UTC
         raw.withColumn("ts",
-          convert_timezone(lit("UTC"), lit(tz), col("ts")).cast("timestamp"))
+          if (utc) col("ts").cast("timestamp")
+          else convert_timezone(lit("UTC"), lit(tz), col("ts")).cast("timestamp"))
       case _ => raw
     }
   }

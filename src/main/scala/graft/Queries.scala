@@ -3745,6 +3745,68 @@ object Queries {
          |  FROM adcs) WHERE rank <= 10""".stripMargin
     })
 
+  /** Re-rank candidate multiple of [[qIvfPqRerank]] (k′ = factor × k),
+    * one constant for the Spark call and the oracle's CTE chain.
+    */
+  val IvfPqRerankFactor: Int = 4
+
+  private val qIvfPqRerank = Q(
+    "q_ivfpq_rerank",
+    "IVF-PQ with exact re-rank: ADC top-k' candidates re-scored by exact cosine (Jégou §V-C refinement)",
+    (s, d) => {
+      // the refinement half of the IVF-PQ paper: ADC ordering is a
+      // quantization approximation, so the index returns k' = 4k
+      // candidates and ONLY those rows' original vectors are read back
+      // (broadcast join onto one corpus pass — no corpus shuffle) and
+      // re-ranked by exact 4-dp cosine. Per query, exactly k' vectors
+      // are re-scored instead of |corpus|.
+      val e = t(s, d).embeddings
+      Similarity.ivfPqAnnRerank(e.filter(col("vec_id") < 3), e,
+        "vec_id", "embedding", k = 10, rerankFactor = IvfPqRerankFactor,
+        dims = 64, numSub = PqM, codesPerSub = PqK, pqIters = PqIters,
+        numCells = IvfNumCells, nProbe = 4, ivfIters = 2)
+    },
+    Some {
+      val dts = (0 until PqM).map { mm =>
+        val dist = (1 to PqSubDim)
+          .map(i => s"(q.sv$mm[$i]-c.cv[$i])*(q.sv$mm[$i]-c.cv[$i])")
+          .mkString(" + ")
+        s"""dt$mm AS (SELECT q.cid AS qid, c.code, $dist AS d
+           |  FROM (SELECT * FROM sub WHERE cid < 3) q, c${PqIters}m$mm c)""".stripMargin
+      }.mkString(",\n")
+      val fJoins = (1 until PqM)
+        .map(mm => s"JOIN f$mm ON f$mm.cid = f0.cid").mkString(" ")
+      val dtJoins = (1 until PqM)
+        .map(mm => s"JOIN dt$mm ON dt$mm.qid = dt0.qid AND dt$mm.code = f$mm.code")
+        .mkString("\n  ")
+      s"""WITH $sqlIvfCellCtes,
+         |$sqlPqCtes,
+         |pr AS (SELECT qid, cell FROM (
+         |  SELECT b.cid AS qid, c.cell,
+         |    row_number() OVER (PARTITION BY b.cid
+         |      ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS prn
+         |  FROM bn b, c2 c WHERE b.cid < 3) WHERE prn <= 4),
+         |$dts,
+         |adcs AS (SELECT dt0.qid, f0.cid AS neighbor_id,
+         |    CAST(${(0 until PqM).map(mm => s"dt$mm.d").mkString(" + ")} AS BIGINT) AS adc
+         |  FROM f0 $fJoins
+         |  JOIN af ON af.cid = f0.cid
+         |  JOIN pr ON pr.cell = af.cell
+         |  JOIN dt0 ON dt0.qid = pr.qid AND dt0.code = f0.code
+         |  $dtJoins),
+         |cand AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS crank
+         |  FROM adcs) WHERE crank <= ${10 * IvfPqRerankFactor}),
+         |rr AS (SELECT c.qid, c.neighbor_id,
+         |    round(list_dot_product(q.v, n.v) / sqrt(q.vn2 * n.vn2), 4) AS cos_sim
+         |  FROM cand c JOIN bn q ON q.cid = c.qid JOIN bn n ON n.cid = c.neighbor_id)
+         |SELECT qid, neighbor_id, cos_sim, rank FROM (
+         |  SELECT qid, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM rr) WHERE rank <= 10""".stripMargin
+    })
+
   /** nProbe arms of the IVF-PQ sweep (Spark side AND the oracle's
     * unrolled CTEs — one constant so the two sides cannot drift). The
     * last arm equals [[IvfNumCells]], pinning n_hits = n_results there.
@@ -3959,5 +4021,6 @@ object Queries {
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qDsirSelect,
-    qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep)
+    qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
+    qIvfPqRerank)
 }

@@ -1033,6 +1033,61 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("neighbor_id"), col("adc"), col("rank"))
 
+  /** IVF-PQ search with exact re-ranking (Jégou et al. TPAMI'11 §V-C):
+    * the ADC scores that rank candidates inside [[ivfPqAnn]] are
+    * quantization APPROXIMATIONS — the final ordering can be wrong
+    * within a few rank positions even when the true neighbor set is
+    * probed. The §V-C refinement takes a candidate top-k′ (k′ =
+    * `rerankFactor` × k) from the probe-limited ADC search, joins back
+    * ONLY those k′ candidates' original vectors, and re-ranks them by
+    * exact cosine — recovering exact-ordering quality at the cost of
+    * k′ full-vector distance computations per query instead of
+    * |corpus|.
+    *
+    * Scale shape (100 TB): the candidate set is bounded
+    * (≤ [[MaxPqQueries]] × k′ rows) and BROADCAST onto the corpus
+    * scan, so the join-back reads corpus vectors in one pass with a
+    * broadcast hash join — no corpus shuffle; the query vectors ride a
+    * second broadcast (the [[knnCosine]] idiom). Exactly k′ rows per
+    * query reach the cosine operator (spec-pinned), and the per-query
+    * top-k plans as a partial WindowGroupLimit.
+    *
+    * Exact arithmetic discipline: cosine in raw double space rounded
+    * to 4 dp before ranking, ties by neighbor id — identical to
+    * [[knnCosine]], so the result is engine-independent. Returns
+    * (qid, neighbor_id, cos_sim, rank ≤ k).
+    */
+  def ivfPqAnnRerank(
+      queries: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      k: Int = 10,
+      rerankFactor: Int = 4,
+      dims: Int = 64,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      pqIters: Int = 2,
+      numCells: Int = 16,
+      nProbe: Int = 4,
+      ivfIters: Int = 2): DataFrame = {
+    val kPrime = k * rerankFactor
+    val cand = ivfPqAnn(queries, corpus, id, vec, kPrime, dims, numSub,
+        codesPerSub, pqIters, numCells, nProbe, ivfIters)
+      .select(col("qid"), col("neighbor_id"))
+    val nbrs = corpus.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("nv"))
+    val qs   = queries.select(col(id).as("qid"), toDouble(col(vec)).as("rqv"))
+    nbrs
+      .join(broadcast(cand), Seq("neighbor_id")) // corpus pass pruned to the k′ candidates
+      .join(broadcast(qs), Seq("qid"))
+      .withColumn("cos_sim", round(
+        dot(col("rqv"), col("nv")) / sqrt(norm2(col("rqv")) * norm2(col("nv"))), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** nProbe sensitivity sweep for [[ivfPqAnn]] — the probe-count
     * analog of [[bandWidthSweep]]: for each `nProbe` in `probeArms`,
     * one row `(n_probe, n_hits, n_total)` where `n_hits` counts how

@@ -424,6 +424,50 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ exact re-rank: recall >= the ADC-only search at equal nProbe") {
+    // coarse PQ geometry (4 subspaces × 8 codes on 16 dims) so ADC
+    // ordering genuinely errs — the §V-C refinement must recover what
+    // quantization distortion loses, never give it up: re-ranked top-k
+    // recall vs the exact cosine baseline >= the ADC-ordered top-k's,
+    // at the same probe budget
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") >= 8 && col("vec_id") < 28)
+    val exact = Similarity.knnCosine(qs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcOnly = Similarity.ivfPqAnn(qs, vecs, "vec_id", "embedding",
+      k = 3, dims = 16, numSub = 4, codesPerSub = 8,
+      numCells = 8, nProbe = 4)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reranked = Similarity.ivfPqAnnRerank(qs, vecs, "vec_id", "embedding",
+      k = 3, rerankFactor = 4, dims = 16, numSub = 4, codesPerSub = 8,
+      numCells = 8, nProbe = 4)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallAdc    = exact.count(adcOnly.contains).toDouble / exact.size
+    val recallRerank = exact.count(reranked.contains).toDouble / exact.size
+    withClue(s"recall adc=$recallAdc rerank=$recallRerank: ") {
+      recallRerank should be >= recallAdc
+      recallRerank should be >= 0.8
+    }
+    // the candidate pool is genuinely bounded: ≤ queries × k′ rows ever
+    // reach the exact-cosine operator (the catalog plan shape — corpus
+    // scan pruned by a broadcast hash join on the candidate ids — is
+    // pinned in PlanAuditSpec)
+    val kPrime = 3 * 4
+    val cand = Similarity.ivfPqAnn(qs, vecs, "vec_id", "embedding",
+      k = kPrime, dims = 16, numSub = 4, codesPerSub = 8,
+      numCells = 8, nProbe = 4)
+    cand.count() should be <= (20L * kPrime)
+  }
+
   test("persisted IVF-PQ index: indexed search == transient composition, scan pruned to probed cells") {
     val vecs = (0L until 200L).map { i =>
       val c = (i % 8).toInt

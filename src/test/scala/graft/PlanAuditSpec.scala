@@ -59,7 +59,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_semantic_dedup",  // same <=16-centroid broadcast assignment as IVF
     "q_cluster_balance", // same <=16-centroid broadcast assignment as IVF
     "q_ivfpq_ann",       // same <=16-centroid broadcast assignment + probe routing
-    "q_ivfpq_sweep")     // same <=16-centroid broadcast assignment + probe routing
+    "q_ivfpq_sweep",     // same <=16-centroid broadcast assignment + probe routing
+    "q_ivfpq_rerank")    // composes q_ivfpq_ann's assignment + probe routing
 
   test("literal-bounded queries push their id bounds into the parquet scan") {
     // the bound is what keeps the quadratic baselines quadratic-over-a-
@@ -189,6 +190,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       val plan = q.spark(s, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       plan should include regex "BroadcastHashJoin \\[cell#"
+    }
+  }
+
+  test("q_ivfpq_rerank re-scores only broadcast-joined candidates, never the corpus") {
+    // the §V-C refinement's scale claim: the exact-cosine stage reads
+    // corpus vectors through a BroadcastHashJoin whose build side is the
+    // bounded candidate set (≤ queries × k′ rows) — the corpus is never
+    // shuffled for the re-rank, and the join key is the neighbor id
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_ivfpq_rerank").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should include regex "BroadcastHashJoin \\[neighbor_id#"
+      plan should not include "SortMergeJoin"
     }
   }
 

@@ -65,4 +65,19 @@ class TablesSpec extends SparkSpec {
       }
     }
   }
+
+  test("nanos-as-long ts floors pre-epoch values: negative non-µs-aligned ns land one µs EARLIER") {
+    // -1500 ns is between -2 µs and -1 µs; floor semantics (timestamp
+    // truncation toward negative infinity) requires -2 µs — truncation
+    // toward zero (a bare integer div) would land at -1 µs (ADVICE r8).
+    // µs-aligned and positive values are unaffected.
+    val dir = tmpDir("events-ns-neg")
+    Seq((1L, -1500L), (2L, -2000L), (3L, 1500L))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables(spark, dir).events
+      .orderBy("event_id")
+      .select(unix_micros(col("ts"))).as[Long].collect()
+    got shouldBe Array(-2L, -2L, 1L)
+  }
 }
