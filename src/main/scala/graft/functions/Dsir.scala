@@ -70,7 +70,7 @@ object Dsir {
   def lambdaTable(
       feats: DataFrame,
       buckets: Int = DefaultBuckets,
-      dense: Boolean = false): DataFrame = {
+      dense: Boolean = true): DataFrame = {
     val m0 = feats.groupBy(col("bkt")).agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
@@ -95,6 +95,16 @@ object Dsir {
   /** Per-doc weights from a feature stream and a λ table: broadcast
     * join + one doc-keyed aggregation → (id, n_feats, n_toks,
     * dsir_bits).
+    *
+    * The join is INNER, so features hashing into buckets absent from
+    * `lam` are dropped from every count — correct only when the λ table
+    * covers every reachable bucket: a DENSE table (the [[lambdaTable]]
+    * default), or in-sample scoring where the features being scored are
+    * a subset of the features λ was trained on (the batch catalog
+    * queries). Out-of-sample callers with a sparse λ must use
+    * [[scoreDocs]], which enforces density (ADVICE r8: a doc whose
+    * tokens all hash to unseen buckets would otherwise vanish from the
+    * output entirely).
     */
   def scoreFeatures(feats: DataFrame, lam: DataFrame, id: String): DataFrame =
     feats
@@ -105,13 +115,23 @@ object Dsir {
         sum(col("lam_bits")).as("dsir_bits"))
 
   /** [[features]] + [[scoreFeatures]] in one call — the micro-batch
-    * scoring path (λ trained elsewhere and persisted).
+    * scoring path (λ trained elsewhere and persisted). The docs being
+    * scored are out-of-sample by construction here, so the λ table MUST
+    * be dense (every bucket in [0, buckets) present — the smoothed
+    * zero-count rows are what score unseen-bucket features); enforced
+    * with a bounded count over the ≤ buckets-row model.
     */
   def scoreDocs(
       docs: DataFrame,
       lam: DataFrame,
       id: String,
       text: String,
-      buckets: Int = DefaultBuckets): DataFrame =
+      buckets: Int = DefaultBuckets): DataFrame = {
+    val lamRows = lam.limit(buckets + 1).count()
+    require(lamRows == buckets,
+      s"scoreDocs requires a DENSE lambda table ($buckets rows, one per " +
+        s"bucket — lambdaTable(dense = true)); got $lamRows rows. A sparse " +
+        "table silently drops docs whose features hash into unseen buckets.")
     scoreFeatures(features(docs, id, text, Nil, buckets), lam, id)
+  }
 }

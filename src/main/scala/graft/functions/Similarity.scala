@@ -1208,6 +1208,16 @@ object Similarity {
     val localCn = spark.createDataFrame(
       java.util.Arrays.asList(cn.collect(): _*), cn.schema)
     val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, pqIters)
+    // a RETRAIN invalidates every inverted list encoded under the old
+    // model — streamed batch=<id> directories included (their codes AND
+    // cell routings are meaningless against new centroids/codebooks), so
+    // the whole codes/ tree is dropped before the base build is written
+    // (ADVICE r8). The version stamp below closes the remaining race
+    // (an ingest writing a stale batch AFTER this clear): every batch
+    // directory carries the model fingerprint it was encoded under, and
+    // [[ivfPqAnnIndexed]] refuses to score mismatched batches.
+    val fs = hadoopFs(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes"), true)
     // the base build is batch=-1; streaming ingest
     // (graft.streaming.Pipelines.ivfPqIngest) appends batch=<id>
     // directories with the SAME two-level batch=/cell= layout, so
@@ -1215,12 +1225,135 @@ object Similarity {
     encodeWithModel(corpus, localCn, books, id, vec)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes/batch=-1")
+    writeVersionMarker(spark, s"$dir/codes/batch=-1", modelVersion(localCn, books))
     localCn.write.mode("overwrite").parquet(s"$dir/centroids")
     import spark.implicits._
     books.zipWithIndex.toSeq
       .flatMap { case (bk, mm) => bk.map { case (c, cv) => (mm, c, cv.toSeq) } }
       .toDF("m", "code", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Deterministic fingerprint of a trained IVF-PQ model (centroids +
+    * codebooks): the version every inverted-list batch directory is
+    * stamped with (`_model_version` — the leading underscore keeps it
+    * invisible to parquet partition discovery), so lists encoded under
+    * a superseded model are detectable instead of silently scored with
+    * the wrong ADC tables after an offline retrain.
+    */
+  private[graft] def modelVersion(
+      localCn: DataFrame, books: Array[Seq[(Long, Array[Long])]]): String = {
+    val cn = localCn.collect()
+      .map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
+        case x => String.valueOf(x)
+      }.mkString("|"))
+      .sorted.mkString(";")
+    val bk = books.zipWithIndex.map { case (b, mm) =>
+      s"$mm:" + b.map { case (c, cv) => s"$c=${cv.mkString(",")}" }.mkString(";")
+    }.mkString("#")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$cn##$bk".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def hadoopFs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[graft] def writeVersionMarker(
+      spark: org.apache.spark.sql.SparkSession,
+      batchDir: String,
+      version: String): Unit = {
+    val out = hadoopFs(spark, batchDir)
+      .create(new org.apache.hadoop.fs.Path(s"$batchDir/_model_version"), true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readVersionMarker(
+      spark: org.apache.spark.sql.SparkSession,
+      batchDir: String): Option[String] = {
+    val fs = hadoopFs(spark, batchDir)
+    val p = new org.apache.hadoop.fs.Path(s"$batchDir/_model_version")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** The `codes/batch=<id>` directories of a persisted index. */
+  private def listBatchDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[String] = {
+    val fs = hadoopFs(spark, indexDir)
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    if (!fs.exists(codes)) Seq.empty
+    else fs.listStatus(codes).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString)
+  }
+
+  /** Every batch directory must carry the CURRENT model's version stamp;
+    * a mismatch means lists encoded under a superseded model survived a
+    * retrain (or an ingest raced one) — scoring them would silently
+    * return wrong neighbors, so refuse loudly instead.
+    */
+  private def requireCurrentModel(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      current: String,
+      op: String): Unit =
+    listBatchDirs(spark, indexDir).foreach { d =>
+      val v = readVersionMarker(spark, d)
+      require(v.contains(current),
+        s"$op: inverted-list directory $d was encoded under model " +
+          s"${v.getOrElse("<unstamped>")} but the index model is $current — " +
+          "a retrain superseded these lists (or an ingest raced one); " +
+          "re-run the ingest against the current model or rebuild the index")
+    }
+
+  /** Fold the accumulated inverted-list batches of a persisted index
+    * (base `batch=-1` plus every streamed `batch=<id>` appended by
+    * [[graft.streaming.Pipelines.ivfPqIngest]]) back into the single
+    * per-cell base layout — the index-side analog of the cold archive's
+    * small-file compaction: per-trigger appends are O(batch) and leave
+    * one file per touched cell per batch, so a long-running stream
+    * accumulates numCells × batches small files and partition-discovery
+    * cost grows with the batch count. Compaction rewrites the SAME rows
+    * (verified against the current model version first — folding stale
+    * lists would bake a superseded encoding into the base) into one
+    * file per cell under a fresh `batch=-1`, then atomically swaps the
+    * codes/ tree. Search results are identical before and after; cell
+    * pruning is preserved (the layout is exactly the base build's).
+    */
+  def compactIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val (localCn, books) = readIndexModel(spark, indexDir)
+    val version = modelVersion(localCn, books)
+    requireCurrentModel(spark, indexDir, version, "compactIvfPqIndex")
+    val numSub = books.length
+    val fs = hadoopFs(spark, indexDir)
+    val codesPath = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val tmpPath   = new org.apache.hadoop.fs.Path(s"$indexDir/codes_compacting")
+    fs.delete(tmpPath, true)
+    // repartition BY the cell column: each cell's rows land in exactly
+    // one task, so partitionBy writes exactly one file per cell
+    val cols = col("neighbor_id") +:
+      (0 until numSub).map(mm => col(s"code$mm")) :+ col("cell")
+    spark.read.parquet(codesPath.toString)
+      .select(cols: _*)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$tmpPath/batch=-1")
+    writeVersionMarker(spark, s"$tmpPath/batch=-1", version)
+    fs.delete(codesPath, true)
+    require(fs.rename(tmpPath, codesPath),
+      s"compactIvfPqIndex: rename $tmpPath -> $codesPath failed")
   }
 
   /** IVF-PQ search over a PERSISTED index ([[writeIvfPqIndex]]): same
@@ -1242,6 +1375,11 @@ object Similarity {
     val spark = queries.sparkSession
     val qRows = collectPqQueries(queries, id, vec)
     val (localCn, books) = readIndexModel(spark, indexDir)
+    // refuse lists encoded under a superseded model (retrain/ingest
+    // race): their codes and cell routings are wrong for this model's
+    // ADC tables and probe ranking
+    requireCurrentModel(spark, indexDir,
+      modelVersion(localCn, books), "ivfPqAnnIndexed")
     val numSub = books.length
     val sub    = books.head.head._2.length
 
@@ -1279,13 +1417,21 @@ object Similarity {
 
     // the literal probed-cell predicate → partition pruning on disk.
     // Compare in the partition column's OWN type (directory-value
-    // inference may narrow long cell ids to int): a cast around the
-    // column would block the pruning.
+    // inference may narrow long cell ids to int — or leave them STRING
+    // when partitionColumnTypeInference is disabled): a cast around the
+    // column would block the pruning, so the literals are rendered in
+    // whatever type discovery produced (ADVICE r8).
     val probedCells = probes.map(_.getLong(1)).distinct.sorted
     val codesRaw = spark.read.parquet(s"$indexDir/codes")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val cellLits: Seq[Any] = codesRaw.schema("cell").dataType match {
-      case org.apache.spark.sql.types.IntegerType => probedCells.map(_.toInt).toSeq
-      case _ => probedCells.toSeq
+      case IntegerType => probedCells.map(_.toInt).toSeq
+      case LongType    => probedCells.toSeq
+      case ShortType   => probedCells.map(_.toShort).toSeq
+      case ByteType    => probedCells.map(_.toByte).toSeq
+      case StringType  => probedCells.map(_.toString).toSeq
+      case other => throw new IllegalStateException(
+        s"ivfPqAnnIndexed: unexpected partition-column type $other for cell")
     }
     val codes = codesRaw
       .filter(col("cell").isin(cellLits: _*))

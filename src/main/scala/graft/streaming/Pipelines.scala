@@ -334,6 +334,11 @@ object Pipelines {
         Similarity.encodeWithModel(batch, localCn, books, id, vec)
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$indexDir/codes/batch=$batchId")
+        // stamp the model this batch was encoded under: a retrain
+        // drops+restamps the codes tree, so a stale stamp here is how
+        // ivfPqAnnIndexed detects (and refuses) an ingest that raced it
+        Similarity.writeVersionMarker(spark, s"$indexDir/codes/batch=$batchId",
+          Similarity.modelVersion(localCn, books))
         ()
       }
   }

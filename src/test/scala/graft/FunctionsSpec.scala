@@ -515,6 +515,41 @@ class FunctionsSpec extends SparkSpec {
     spark.read.parquet(s"$dir/codes").count() should be < 200L
   }
 
+  test("indexed IVF-PQ search still prunes when partition inference is off (string cell column)") {
+    // with partitionColumnTypeInference disabled, discovery types the
+    // cell partition column STRING; the probed-cell literals must then
+    // be rendered as strings — a cast around the column would silently
+    // degrade to a full scan of every cell (ADVICE r8)
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val qs  = vecs.filter(col("vec_id") === 8)
+    val dir = tmpDir("ivfpq_index_strcell")
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", dir,
+      dims = 16, numSub = 4, codesPerSub = 8, numCells = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val typed = rows(Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding",
+      k = 5, nProbe = 2))
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val untyped = Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      rows(untyped) shouldBe typed
+      val plan = untyped.queryExecution.executedPlan.toString
+      // the probed-cell IN list compares the RAW string column (an
+      // inferred isnotnull(cast(...)) join predicate may ride along —
+      // harmless, the uncast IN is what prunes the directories)
+      plan should include regex "PartitionFilters: \\[[^\\]]*cell#\\d+ IN \\("
+    } finally spark.conf.set(key, prev)
+  }
+
   test("pqAnn/ivfPqAnn enforce the bounded-query-side contract") {
     // both collect query vectors driver-side and build one literal ADC
     // table per query — exceeding MaxPqQueries must fail fast with the

@@ -270,7 +270,7 @@ class PropertySpec extends SparkSpec {
         .map { case (t, i) => (i.toLong, t, i % 2 == 0) }
         .toDF("doc_id", "text", "tgt")
       val feats  = Dsir.features(docs, "doc_id", "text", carry = Seq("tgt"), buckets = B)
-      val sparse = Dsir.lambdaTable(feats, B).collect()
+      val sparse = Dsir.lambdaTable(feats, B, dense = false).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val dense  = Dsir.lambdaTable(feats, B, dense = true).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -580,6 +580,8 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(s"$dir/codebooks").write.parquet(s"$dir2/codebooks")
     Similarity.encodeWithModel(union, localCn, books, "vec_id", "embedding")
       .write.partitionBy("cell").parquet(s"$dir2/codes/batch=-1")
+    Similarity.writeVersionMarker(spark, s"$dir2/codes/batch=-1",
+      Similarity.modelVersion(localCn, books))
     val qs = base.filter(col("vec_id") === 8)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
@@ -592,13 +594,134 @@ class StreamingSpec extends SparkSpec {
       include regex "PartitionFilters: \\[[^\\]]*cell"
 
     // REPLAY SAFETY: re-encoding batch 0 against the same model
-    // overwrites its own directory with identical rows
+    // overwrites its own directory with identical rows (the overwrite
+    // drops the version stamp with the rest of the directory, exactly
+    // like a replayed trigger — restamped the same way ivfPqIngest does)
     Similarity.encodeWithModel(b0.toDF("vec_id", "embedding"), localCn, books,
       "vec_id", "embedding")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes/batch=0")
+    Similarity.writeVersionMarker(spark, s"$dir/codes/batch=0",
+      Similarity.modelVersion(localCn, books))
     spark.read.parquet(s"$dir/codes").count() shouldBe 200L
     rows(Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding",
       k = 5, nProbe = 2)) shouldBe rows(accumulated)
+  }
+
+  test("compactIvfPqIndex folds streamed batches into one file per cell; search identical, pruning preserved") {
+    import graft.functions.Similarity
+    def mkVec(i: Long): Array[Double] = {
+      val c = (i % 8).toInt
+      Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0 else 0.0
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0
+      }
+    }
+    val base = (0L until 160L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val dir  = tmpDir("ivfpq_compact")
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", dir,
+      dims = 16, numSub = 4, codesPerSub = 8, numCells = 8)
+    val in = memStream[(Long, Array[Double])]
+    val q = Pipelines.ivfPqIngest(
+      in.toDF().toDF("vec_id", "embedding"), dir, tmpDir("ivfpq_compact_ckpt")).start()
+    try {
+      in.addData((160L until 180L).map(i => (i, mkVec(i))): _*)
+      q.processAllAvailable()
+      in.addData((180L until 200L).map(i => (i, mkVec(i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(p))
+    }
+    val qs = base.filter(col("vec_id") === 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val before      = rows(Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding",
+      k = 5, nProbe = 2))
+    val filesBefore = parquetFiles(s"$dir/codes").size
+
+    Similarity.compactIvfPqIndex(spark, dir)
+
+    // search results identical, file count strictly down, rows intact
+    val after = Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    rows(after) shouldBe before
+    val filesAfter = parquetFiles(s"$dir/codes").size
+    filesAfter should be < filesBefore
+    spark.read.parquet(s"$dir/codes").count() shouldBe 200L
+    // one file per cell, all under the single base batch
+    new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet shouldBe Set("batch=-1")
+    val cellDirs = new java.io.File(s"$dir/codes/batch=-1").listFiles()
+      .filter(_.getName.startsWith("cell=")).toSeq
+    cellDirs.size shouldBe 8
+    cellDirs.foreach { d =>
+      withClue(s"${d.getName}: ") {
+        d.listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1
+      }
+    }
+    // the probed-cell predicate still prunes partitions after the swap
+    after.queryExecution.executedPlan.toString should
+      include regex "PartitionFilters: \\[[^\\]]*cell"
+  }
+
+  test("retrain drops streamed lists; a raced stale batch is refused by version stamp") {
+    import graft.functions.Similarity
+    def mkVec(i: Long, flip: Boolean): Array[Double] = {
+      val c = (i % 8).toInt
+      Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) (if (flip) -5.0 else 5.0) else 0.0
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0
+      }
+    }
+    val base = (0L until 160L).map(i => (i, mkVec(i, flip = false)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfpq_retrain")
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", dir,
+      dims = 16, numSub = 4, codesPerSub = 8, numCells = 8)
+    val (oldCn, oldBooks) = Similarity.readIndexModel(spark, dir)
+    // a streamed batch encoded under the CURRENT model
+    Similarity.encodeWithModel(
+      (160L until 180L).map(i => (i, mkVec(i, flip = false)))
+        .toDF("vec_id", "embedding"), oldCn, oldBooks, "vec_id", "embedding")
+      .write.partitionBy("cell").parquet(s"$dir/codes/batch=0")
+    Similarity.writeVersionMarker(spark, s"$dir/codes/batch=0",
+      Similarity.modelVersion(oldCn, oldBooks))
+
+    // RETRAIN on different data -> different model, codes/ tree rebuilt:
+    // the streamed batch from the old model must be GONE, not silently
+    // scored against the new model (ADVICE r8 medium)
+    val retrained = (0L until 160L).map(i => (i, mkVec(i, flip = true)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfPqIndex(retrained, "vec_id", "embedding", dir,
+      dims = 16, numSub = 4, codesPerSub = 8, numCells = 8)
+    new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet shouldBe Set("batch=-1")
+    val (newCn, newBooks) = Similarity.readIndexModel(spark, dir)
+    Similarity.modelVersion(newCn, newBooks) should not be
+      Similarity.modelVersion(oldCn, oldBooks)
+
+    // an ingest that raced the retrain: stale-model batch lands AFTER
+    // the clear — search and compaction both refuse it loudly
+    Similarity.encodeWithModel(
+      (160L until 180L).map(i => (i, mkVec(i, flip = false)))
+        .toDF("vec_id", "embedding"), oldCn, oldBooks, "vec_id", "embedding")
+      .write.partitionBy("cell").parquet(s"$dir/codes/batch=1")
+    Similarity.writeVersionMarker(spark, s"$dir/codes/batch=1",
+      Similarity.modelVersion(oldCn, oldBooks))
+    val qs = retrained.filter(col("vec_id") === 8)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAnnIndexed(qs, dir, "vec_id", "embedding", k = 5, nProbe = 2)
+        .collect()
+    }
+    ex.getMessage should include("superseded")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.compactIvfPqIndex(spark, dir)
+    }
+    ex2.getMessage should include("superseded")
   }
 
   test("embedDedupIngest: vectors classify against the growing SRP index") {
