@@ -191,13 +191,26 @@ object Clustering {
     * near-dup candidates. Returns `(doc_a, doc_b, n_shared)` — the
     * number of distinct shared window CONTENTS per pair.
     *
-    * Scale shape: windows are generated map-side (`explode` over a
-    * `sequence` of offsets — `win/stride`× row blowup, each row one
-    * md5), the self-join shuffles by window hash, and window-content
-    * frequency caps bound the quadratic blowup inside a bucket the same
-    * way [[Dedup.minhashCandidates]] caps band buckets (`maxWindowFreq`;
-    * boilerplate windows — headers, license blocks — are exactly the
-    * windows that would otherwise pair everything with everything).
+    * Scale shape (bucket doc-set collapse, round 9): windows are
+    * generated map-side (`explode` over a `sequence` of offsets —
+    * `win/stride`× row blowup, each row one md5) and shuffle by window
+    * hash ONCE (the old formulation self-joined two aliases of the same
+    * subtree — two full scans + two full shuffles). Each window bucket
+    * is collapsed to its sorted doc-id set, and buckets with the SAME
+    * doc set — the dominant case in duplicate-heavy corpora, where a
+    * k-doc near-dup cluster shares hundreds of window contents, every
+    * one an identical {k docs} bucket — are merged into one row with a
+    * multiplicity `m` before any pair is emitted. Pair generation then
+    * costs Σ k² over DISTINCT doc sets instead of Σ k² over windows:
+    * on the 100-replica-clique scaling corpus that is a
+    * windows-per-doc-fold (~250×) cut in generated pair instances,
+    * with bit-identical output (`n_shared` = Σ m over the sets
+    * containing the pair = the distinct shared window contents).
+    * Window-content frequency caps still bound the per-bucket quadratic
+    * the same way [[Dedup.minhashCandidates]] caps band buckets
+    * (`maxWindowFreq`; boilerplate windows — headers, license blocks —
+    * are exactly the windows that would otherwise pair everything with
+    * everything).
     */
   def sharedWindowPairs(
       df: DataFrame,
@@ -207,12 +220,26 @@ object Clustering {
       stride: Int = 8,
       maxWindowFreq: Int = 0): DataFrame = {
     val capped = windowHashes(df, id, text, win, stride, maxWindowFreq)
-    val a = capped.select(col(id).as("doc_a"), col("wh"))
-    val b = capped.select(col(id).as("doc_b"), col("wh"))
-    a.join(b, Seq("wh"))
-      .filter(col("doc_a") < col("doc_b"))
+    val sets = capped
+      .groupBy(col("wh"))
+      .agg(sort_array(collect_set(col(id))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .groupBy(col("ids"))
+      .agg(count(lit(1)).as("m"))
+    // the collapsed set table is tiny (rows = distinct doc sets), so
+    // AQE would coalesce it to ~one partition and run the quadratic
+    // pair explode on one core — the same compute-bound-after-byte-
+    // small-shuffle trap as the Levenshtein verify (PERF.md r4); an
+    // explicit partition count pins the fan-out wide
+    val lanes = df.sparkSession.sparkContext.defaultParallelism
+    sets
+      .repartition(lanes, col("ids"))
+      .select(col("m"), col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"),
+        col("m"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(sum(col("m")).as("n_shared"))
   }
 
   /** Connectivity-only flavor of [[sharedWindowPairs]] for component

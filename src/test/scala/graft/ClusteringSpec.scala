@@ -106,6 +106,43 @@ class ClusteringSpec extends SparkSpec {
     capped shouldBe 0L
   }
 
+  test("sharedWindowPairs doc-set collapse == naive window self-join") {
+    // overlapping doc sets with distinct multiplicities: docs 1-3 share a
+    // long run (many windows, doc-set {1,2,3}), docs 1-2 additionally
+    // share a second run ({1,2} at a different multiplicity), doc 4
+    // shares a single 40-char window with doc 3 only — the n_shared
+    // counts must equal the naive per-window self-join formulation
+    val runA = "A" * 64
+    val runB = "B" * 56
+    val runC = "C" * 40
+    val docs = Seq(
+      (1L, runA + " " + runB),
+      (2L, runB + " " + runA),
+      // 8-char pad after runA keeps runC on doc 3's stride-8 offset grid
+      // (offset 73), so docs 3 and 4 (offset 1) both emit the pure-C window
+      (3L, runA + " tailthr" + runC),
+      (4L, runC + " tail four"),
+      (5L, "unrelated " + ("Z" * 60))
+    ).toDF("doc_id", "text")
+    val collapsed = Clustering
+      .sharedWindowPairs(docs, "doc_id", "text", win = 40, stride = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // naive formulation, inlined: all (id, wh) rows self-joined on wh
+    val wh = docs
+      .filter(org.apache.spark.sql.functions.length($"text") >= 40)
+      .select($"doc_id", explode(array_distinct(transform(
+        sequence(lit(1), org.apache.spark.sql.functions.length($"text") - 39, lit(8)),
+        off => conv(substring(md5($"text".substr(off, lit(40))), 1, 15), 16, 10)
+          .cast("long")))).as("wh"))
+    val naive = wh.select($"doc_id".as("doc_a"), $"wh")
+      .join(wh.select($"doc_id".as("doc_b"), $"wh"), Seq("wh"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .as[(Long, Long, Long)].collect().toSet
+    collapsed shouldBe naive
+    collapsed.map(p => (p._1, p._2)) should contain allOf ((1L, 2L), (3L, 4L))
+  }
+
   test("sharedWindowStarEdges: linear edge count, identical components") {
     // 6-doc window-clique + a disjoint 2-doc pair: the star generator
     // must emit k−1 edges per bucket (not C(k,2) pairs) and feed

@@ -207,6 +207,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_substr_dedup collapses window buckets before emitting pairs") {
+    // the doc-set-collapse scale claim (round 9): the corpus is window-
+    // hashed and shuffled ONCE (two documents scans at most — the
+    // small/big text branches — where the old self-join formulation paid
+    // four), singleton window buckets are dropped before any pair
+    // exists (Filter on size(ids) > 1), and the quadratic pair fan-out
+    // is a generator over the COLLAPSED distinct doc-set table (join-
+    // free: no SortMergeJoin anywhere), not a per-window self-join
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_substr_dedup").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      val docScans = "Scan parquet".r.findAllIn(plan).size
+      withClue(s"documents scans (small+big branch only):\n$plan") {
+        docScans should be <= 2
+      }
+      plan should include regex "(?i)filter.*size\\(ids"
+      plan should include("posexplode")
+      plan should not include "SortMergeJoin"
+    }
+  }
+
   test("every catalog query plans without an unbounded nested-loop join") {
     withGraftSession { s =>
       Queries.all.foreach { q =>
