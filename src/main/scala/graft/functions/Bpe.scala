@@ -99,13 +99,17 @@ object Bpe {
     * ±deltas over only the words whose representation the round's
     * merge changes. Merge-sequence-identical to [[trainNaive]].
     */
-  def trainDelta(words0: DataFrame, maxMerges: Int): Seq[(Int, String, Long)] = {
+  def trainDelta(
+      words0: DataFrame,
+      maxMerges: Int,
+      onRound: RoundProbe = NoProbe): Seq[(Int, String, Long)] = {
     val merges = Seq.newBuilder[(Int, String, Long)]
     var cur  = words0
     var pc   = pairCounts(cur).localCheckpoint(eager = false)
     var step = 1
     var done = false
     while (step <= maxMerges && !done) {
+      val roundT0 = System.nanoTime()
       val best = pc.orderBy(col("n").desc, col("pr").asc).limit(1).collect()
       if (best.isEmpty) done = true
       else {
@@ -123,9 +127,29 @@ object Bpe {
           .localCheckpoint(eager = false)
         cur = cur.withColumn("r", merged(col("r"), pair))
           .localCheckpoint(eager = false)
+        onRound(step, (System.nanoTime() - roundT0) / 1000000L,
+          planNodes(cur) + planNodes(pc))
         step += 1
       }
     }
     merges.result()
+  }
+
+  /** Per-round training probe: `(round, wallMillis, planNodes)` where
+    * `planNodes` is the combined optimized-plan node count of the two
+    * loop-carried tables (word table + pair counts). The production
+    * flatness contract (spec-pinned over 64+ merges): planNodes is
+    * CONSTANT — each round's `localCheckpoint` cuts the carried plan to
+    * a fixed `LogicalRDD`-rooted tree, so round N never re-plans or
+    * replays rounds 1..N−1 — and wall time stays flat (it shrinks as
+    * merges specialize; lineage creep would grow it exponentially).
+    */
+  type RoundProbe = (Int, Long, Int) => Unit
+  val NoProbe: RoundProbe = (_, _, _) => ()
+
+  private def planNodes(df: DataFrame): Int = {
+    var n = 0
+    df.queryExecution.optimizedPlan.foreach(_ => n += 1)
+    n
   }
 }

@@ -44,4 +44,34 @@ class BpeSpec extends SparkSpec {
     val w = Bpe.wordTable(d, "text")
     Bpe.trainDelta(w, 6) shouldBe Bpe.trainNaive(w, 6)
   }
+
+  test("delta trainer stays flat over 64+ merges: constant plan size, no wall-time creep") {
+    // the production-geometry contract (a 30k-merge build is this loop,
+    // longer): per-round localCheckpoints must hold the loop-carried
+    // plans at a CONSTANT node count — any growth means round N replays
+    // rounds 1..N−1 and per-round cost goes super-linear — and measured
+    // per-round wall time must not trend up across the run (lineage
+    // creep grows it exponentially; the generous 3x median bound rides
+    // out shared-machine noise while catching any real trend)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = Bpe.wordTable(d, "text")
+    val rounds = Seq.newBuilder[(Int, Long, Int)]
+    val merges = Bpe.trainDelta(w, 72, (s, ms, nodes) => rounds += ((s, ms, nodes)))
+    merges should have size 72
+    val rs = rounds.result()
+    rs should have size 72
+    // plan-size flatness: every round carries the same fixed plan shape
+    rs.map(_._3).distinct should have size 1
+    // wall-time flatness: the last quarter must not exceed 3x the median
+    // of an early window (rounds 9-24, after JIT/codegen warm-up)
+    def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+    val early = median(rs.slice(8, 24).map(_._2))
+    val late  = median(rs.takeRight(16).map(_._2))
+    info(s"plan nodes/round: ${rs.head._3}; per-round ms " +
+      s"r1=${rs.head._2} r9-24median=$early last16median=$late " +
+      s"max=${rs.map(_._2).max}")
+    withClue(s"early-median ${early}ms late-median ${late}ms: ") {
+      late should be <= early * 3
+    }
+  }
 }
