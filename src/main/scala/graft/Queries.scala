@@ -1898,6 +1898,34 @@ object Queries {
             |FROM wdw a JOIN wdw b ON a.wh = b.wh AND a.doc_id < b.doc_id
             |GROUP BY 1, 2""".stripMargin))
 
+  /** The winnowing parameters of the long-span scale path: one
+    * fingerprint selected per [[WinnowSpanW]] consecutive window hashes
+    * → any shared span ≥ win + stride·(w−1) = 64 chars is guaranteed
+    * caught while only ~2/(w+1) of the window rows shuffle.
+    */
+  private val WinnowSpanW = 4
+
+  private val qSubstrWinnow = Q(
+    "q_substr_winnow",
+    "winnowed long-span dedup candidates: fingerprint-selected window minima (Schleimer SIGMOD'03 over Lee ACL'22 windows)",
+    (s, d) =>
+      Clustering.winnowedSpanCandidates(
+        t(s, d).documents, "doc_id", "text", SubstrWin, SubstrStride, WinnowSpanW),
+    Some(s"""WITH wseq AS (
+            |  SELECT doc_id,
+            |    list_transform(range(1, len(text) - ${SubstrWin - 1} + 1, $SubstrStride),
+            |      i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT), $SubstrWin)), 1, 15)
+            |        AS BIGINT)) AS whs
+            |  FROM documents WHERE len(text) >= $SubstrWin),
+            |fps AS (
+            |  SELECT DISTINCT doc_id,
+            |    unnest(list_transform(range(0, greatest(len(whs) - $WinnowSpanW, 0) + 1),
+            |      s -> list_min(whs[CAST(s + 1 AS INT):CAST(s + $WinnowSpanW AS INT)]))) AS fp
+            |  FROM wseq)
+            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fp
+            |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |GROUP BY 1, 2""".stripMargin))
+
   private val qDupClusters = Q(
     "q_dup_clusters",
     "connected-component duplicate clusters over shared-window edges (min-label propagation)",
@@ -4010,7 +4038,7 @@ object Queries {
     qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp,
-    qSubstrDedup, qDupClusters, qDupCanonical,
+    qSubstrDedup, qSubstrWinnow, qDupClusters, qDupCanonical,
     qContamination, qTfidfTopk, qPiiRedact,
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
     qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,

@@ -220,8 +220,23 @@ object Clustering {
       stride: Int = 8,
       maxWindowFreq: Int = 0): DataFrame = {
     val capped = windowHashes(df, id, text, win, stride, maxWindowFreq)
-    val sets = capped
-      .groupBy(col("wh"))
+    collapsedPairCounts(capped, id, "wh", "n_shared")
+  }
+
+  /** The bucket doc-set collapse shared by [[sharedWindowPairs]] and
+    * [[winnowedSpanCandidates]]: `(id, key)` rows → `(doc_a, doc_b,
+    * countCol)` where countCol = the number of distinct key values both
+    * docs carry. Buckets collapse to their sorted doc-id set, equal
+    * sets merge with a multiplicity, pairs fan out once per DISTINCT
+    * set — Σ k² over distinct doc sets, not over keys.
+    */
+  private def collapsedPairCounts(
+      rows: DataFrame,
+      id: String,
+      key: String,
+      countCol: String): DataFrame = {
+    val sets = rows
+      .groupBy(col(key))
       .agg(sort_array(collect_set(col(id))).as("ids"))
       .filter(size(col("ids")) > 1)
       .groupBy(col("ids"))
@@ -231,7 +246,7 @@ object Clustering {
     // pair explode on one core — the same compute-bound-after-byte-
     // small-shuffle trap as the Levenshtein verify (PERF.md r4); an
     // explicit partition count pins the fan-out wide
-    val lanes = df.sparkSession.sparkContext.defaultParallelism
+    val lanes = rows.sparkSession.sparkContext.defaultParallelism
     sets
       .repartition(lanes, col("ids"))
       .select(col("m"), col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
@@ -239,7 +254,59 @@ object Clustering {
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"),
         col("m"))
       .groupBy("doc_a", "doc_b")
-      .agg(sum(col("m")).as("n_shared"))
+      .agg(sum(col("m")).as(countCol))
+  }
+
+  /** Winnowed long-span duplicate candidates (Schleimer et al.,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03, applied to the character-window hash sequence): each
+    * doc's stride-grid window hashes are winnowed — one minimum
+    * selected from every `w` consecutive hashes — and only the
+    * selected fingerprints join. Returns `(doc_a, doc_b, n_shared_fp)`.
+    *
+    * Contract vs [[sharedWindowPairs]] (the exact evidence): this is
+    * the SCALE PATH for long-span dedup, shuffling ~`2/(w+1)` of the
+    * window rows. The winnowing guarantee holds for runs of `w`
+    * consecutive shared grid windows — any shared span of at least
+    * `win + stride·(w−1)` characters (64 chars at the 40/8/4 defaults,
+    * the Lee et al. ACL'22 long-duplicate regime) yields a shared
+    * selected minimum, so such pairs are ALWAYS found; pairs sharing
+    * only shorter overlaps may be missed (candidates ⊆ the exact
+    * pairs, spec-pinned). Docs with fewer than `w` windows contribute
+    * the minimum of their whole sequence, so short docs still
+    * fingerprint. Selection is by VALUE minimum (deterministic,
+    * engine-independent — no position tie-break needed since the
+    * fingerprint set is the distinct selected values per doc).
+    */
+  def winnowedSpanCandidates(
+      df: DataFrame,
+      id: String,
+      text: String,
+      win: Int = 40,
+      stride: Int = 8,
+      w: Int = 4,
+      maxFpFreq: Int = 0): DataFrame = {
+    def wh64(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // ORDERED hash sequence (winnowing is positional — no distinct
+    // here), materialized once per row so the per-window selection
+    // lambda below never recomputes an md5
+    val fps = df
+      .filter(length(col(text)) >= win)
+      .select(col(id), transform(
+        sequence(lit(1), length(col(text)) - (win - 1), lit(stride)),
+        off => wh64(col(text).substr(off, lit(win)))).as("whs"))
+      .select(col(id),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("whs")) - w, lit(0))),
+          s => array_min(slice(col("whs"), s + lit(1), lit(w)))))).as("fp"))
+    val capped =
+      if (maxFpFreq > 0) {
+        val common = fps.groupBy("fp").agg(count(lit(1)).as("freq"))
+          .filter(col("freq") > maxFpFreq).select("fp")
+        fps.join(broadcast(common), Seq("fp"), "left_anti")
+      } else fps
+    collapsedPairCounts(capped, id, "fp", "n_shared_fp")
   }
 
   /** Connectivity-only flavor of [[sharedWindowPairs]] for component

@@ -143,6 +143,53 @@ class ClusteringSpec extends SparkSpec {
     collapsed.map(p => (p._1, p._2)) should contain allOf ((1L, 2L), (3L, 4L))
   }
 
+  test("winnowedSpanCandidates guarantees spans >= win + stride*(w-1)") {
+    // the winnowing guarantee at the 40/8/4 defaults: a shared span of
+    // 64+ chars spans >= 4 consecutive grid windows in both docs, so
+    // both select the same minimum — the pair MUST surface. Doc 6/7
+    // share only a single 40-char window (below the guarantee): the
+    // scale path may drop them, the exact path must keep them.
+    val span = "S" * 96 // 96 >= 64: 8 grid windows shared
+    val short = "T" * 40
+    val docs = Seq(
+      (1L, span + " one tail"),
+      (2L, "two-pre " + span), // 8-char prefix keeps span on doc 2's grid
+      (6L, short + " six tail"),
+      (7L, short + " svn tail"),
+      (9L, "no duplicates here at all " + ("U" * 40))
+    ).toDF("doc_id", "text")
+    val winnow = Clustering
+      .winnowedSpanCandidates(docs, "doc_id", "text", win = 40, stride = 8, w = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Clustering
+      .sharedWindowPairs(docs, "doc_id", "text", win = 40, stride = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    winnow should contain((1L, 2L))
+    exact should contain allOf ((1L, 2L), (6L, 7L))
+    // candidates are always a subset of the exact pair evidence
+    winnow.subsetOf(exact) shouldBe true
+  }
+
+  test("winnowedSpanCandidates: short docs fingerprint; subset holds on testdata") {
+    // docs with fewer than w windows select the minimum of their whole
+    // sequence — two identical short docs must still pair
+    val tiny = Seq((1L, "Q" * 44), (2L, "Q" * 44), (3L, "R" * 44))
+      .toDF("doc_id", "text")
+    Clustering
+      .winnowedSpanCandidates(tiny, "doc_id", "text", win = 40, stride = 8, w = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet shouldBe Set((1L, 2L))
+    // real corpus: every winnow candidate is an exact-evidence pair
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val winnow = Clustering
+      .winnowedSpanCandidates(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Clustering
+      .sharedWindowPairs(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    winnow should not be empty
+    winnow.subsetOf(exact) shouldBe true
+  }
+
   test("sharedWindowStarEdges: linear edge count, identical components") {
     // 6-doc window-clique + a disjoint 2-doc pair: the star generator
     // must emit k−1 edges per bucket (not C(k,2) pairs) and feed
