@@ -286,13 +286,20 @@ object Clustering {
       stride: Int = 8,
       w: Int = 4,
       maxFpFreq: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def wh64(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val eligible = df.filter(length(col(text)) >= win)
     // ORDERED hash sequence (winnowing is positional — no distinct
     // here), materialized once per row so the per-window selection
-    // lambda below never recomputes an md5
-    val fps = df
-      .filter(length(col(text)) >= win)
+    // lambda below never recomputes an md5. Giant documents are the
+    // exception (same threshold as [[windowHashes]]): len/stride hashes
+    // in ONE array row would blow a task on a 100 MB outlier, so big
+    // docs stream through posexplode + a per-doc ordered sliding-min
+    // window — identical selected values, rare-outlier cost only.
+    val bigDocChars = 65536
+    val smallFps = eligible
+      .filter(length(col(text)) <= bigDocChars)
       .select(col(id), transform(
         sequence(lit(1), length(col(text)) - (win - 1), lit(stride)),
         off => wh64(col(text).substr(off, lit(win)))).as("whs"))
@@ -300,6 +307,25 @@ object Clustering {
         explode(array_distinct(transform(
           sequence(lit(0), greatest(size(col("whs")) - w, lit(0))),
           s => array_min(slice(col("whs"), s + lit(1), lit(w)))))).as("fp"))
+    val bigWin = Window.partitionBy(col(id)).orderBy(col("p"))
+      .rowsBetween(0, w - 1)
+    val bigFps = eligible
+      .filter(length(col(text)) > bigDocChars)
+      .select(col(id), col(text),
+        posexplode(sequence(lit(1), length(col(text)) - (win - 1), lit(stride)))
+          .as(Seq("p", "off")),
+        (length(col(text)) - (win - 1) + stride - 1).divide(stride)
+          .cast("long").as("g"))
+      .select(col(id), col("p"), col("g"),
+        wh64(col(text).substr(col("off"), lit(win))).as("wh"))
+      .withColumn("fp", min(col("wh")).over(bigWin))
+      // windows starting past g−w are suffixes shorter than w — they
+      // exist in the array path only when g < w (slice clamps); the
+      // ordered path keeps exactly position 0 in that case
+      .filter(col("p") <= greatest(col("g") - w, lit(0)))
+      .select(col(id), col("fp"))
+      .distinct()
+    val fps = smallFps.unionAll(bigFps)
     val capped =
       if (maxFpFreq > 0) {
         val common = fps.groupBy("fp").agg(count(lit(1)).as("freq"))

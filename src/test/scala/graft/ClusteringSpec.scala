@@ -190,6 +190,39 @@ class ClusteringSpec extends SparkSpec {
     winnow.subsetOf(exact) shouldBe true
   }
 
+  test("winnowedSpanCandidates big-doc streaming branch == array branch") {
+    // docs past the 65536-char threshold stream through the ordered
+    // sliding-min window instead of one giant array row; the selected
+    // fingerprints — and so the candidate pairs — must be identical to
+    // the array formulation, inlined here without the size split
+    val blockA = ("A" * 1000 + " ") // repeated to clear the threshold
+    val big1 = blockA * 70 + "unique one " + ("D" * 80)
+    val big2 = "unique two pre " + blockA * 70
+    val small = "D" * 80 + " small doc"
+    val docs = Seq((1L, big1), (2L, big2), (3L, small), (4L, "x" * 50))
+      .toDF("doc_id", "text")
+    val viaSplit = Clustering
+      .winnowedSpanCandidates(docs, "doc_id", "text", win = 40, stride = 8, w = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val L = org.apache.spark.sql.functions.length($"text")
+    val naive = docs.filter(L >= 40)
+      .select($"doc_id", transform(
+        sequence(lit(1), L - 39, lit(8)),
+        off => conv(substring(md5($"text".substr(off, lit(40))), 1, 15), 16, 10)
+          .cast("long")).as("whs"))
+      .select($"doc_id",
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(org.apache.spark.sql.functions.size($"whs") - 4, lit(0))),
+          s => array_min(slice($"whs", s + lit(1), lit(4)))))).as("fp"))
+    val naivePairs = naive.select($"doc_id".as("doc_a"), $"fp")
+      .join(naive.select($"doc_id".as("doc_b"), $"fp"), Seq("fp"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_fp"))
+      .as[(Long, Long, Long)].collect().toSet
+    viaSplit shouldBe naivePairs
+    viaSplit.map(p => (p._1, p._2)) should contain((1L, 2L))
+  }
+
   test("sharedWindowStarEdges: linear edge count, identical components") {
     // 6-doc window-clique + a disjoint 2-doc pair: the star generator
     // must emit k−1 edges per bucket (not C(k,2) pairs) and feed
