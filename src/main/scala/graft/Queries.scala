@@ -747,8 +747,13 @@ object Queries {
       val base = t(s, d).embeddings
         .select(col("vec_id").cast("long").as("vec_id"),
           Similarity.toDouble(col("embedding")).as("v"))
-      val aug = base.unionByName(base.select(
-        (col("vec_id") + 100000L).as("vec_id"),
+      // the perturbed-copy ids offset by max+1 (a one-row broadcast
+      // frame), NOT a fixed constant: a fixed 100000 collided with real
+      // ids beyond sf0.1, silently merging two different vectors under
+      // one id (found by the r9 sf100 study — ids reached 2M there)
+      val off = broadcast(base.agg((max(col("vec_id")) + 1L).as("off")))
+      val aug = base.unionByName(base.crossJoin(off).select(
+        (col("vec_id") + col("off")).as("vec_id"),
         transform(col("v"), x => x + lit(0.01)).as("v")))
       // bitsPerBand = 0 → auto-sized from the corpus count
       // (Similarity.autoBitsPerBand: ⌈log₂ n⌉ + slack), so the random-
@@ -761,7 +766,8 @@ object Queries {
            |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |aug AS (SELECT vec_id, v FROM base
            |  UNION ALL
-           |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM base),
+           |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base),
+           |    list_transform(v, x -> x + 0.01) FROM base),
            |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM aug),
            |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            |  round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) AS cos_sim
@@ -786,8 +792,11 @@ object Queries {
       val base = t(s, d).embeddings
         .select(col("vec_id").cast("long").as("vec_id"),
           Similarity.toDouble(col("embedding")).as("v"))
-      val aug = base.unionByName(base.select(
-        (col("vec_id") + 100000L).as("vec_id"),
+      // dynamic max+1 offset for the perturbed copies (same collision
+      // fix as q_neardup_banded)
+      val off = broadcast(base.agg((max(col("vec_id")) + 1L).as("off")))
+      val aug = base.unionByName(base.crossJoin(off).select(
+        (col("vec_id") + col("off")).as("vec_id"),
         transform(col("v"), x => x + lit(0.01)).as("v")))
       Similarity.bandWidthSweep(aug, "vec_id", "v", dims = 64, threshold = 0.95,
         widths = SweepWidths, numBands = SweepBands)
@@ -823,7 +832,8 @@ object Queries {
          |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |aug AS (SELECT vec_id, v FROM base
          |  UNION ALL
-         |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM base),
+         |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base),
+         |    list_transform(v, x -> x + 0.01) FROM base),
          |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM aug),
          |pl AS (SELECT p, list_transform(range(0, 64), d ->
          |    CAST('0x' || substr(md5('p' || p || ':d' || d), 1, 8) AS BIGINT)
@@ -1896,6 +1906,30 @@ object Queries {
     Some(s"""WITH wdw AS ($sqlWindows)
             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
             |FROM wdw a JOIN wdw b ON a.wh = b.wh AND a.doc_id < b.doc_id
+            |GROUP BY 1, 2""".stripMargin))
+
+  /** Window-frequency cap of the production substring-dedup
+    * configuration ([[qSubstrCapped]]): windows shared by more than
+    * this many docs are boilerplate (headers, license blocks, mass
+    * replicas) and are excluded from pair evidence — which is ALSO what
+    * keeps the output linear where uncapped pair evidence is
+    * inherently quadratic (a k-doc dup clique emits C(k,2) pairs; the
+    * sf100 scaling corpus has k=1000 cliques by construction).
+    */
+  private val SubstrMaxFreq = 24
+
+  private val qSubstrCapped = Q(
+    "q_substr_capped",
+    "substring-dedup pair evidence at the production boilerplate cap (linear output)",
+    (s, d) =>
+      Clustering.sharedWindowPairs(
+        t(s, d).documents, "doc_id", "text", SubstrWin, SubstrStride,
+        maxWindowFreq = SubstrMaxFreq),
+    Some(s"""WITH wdw AS ($sqlWindows),
+            |hot AS (SELECT wh FROM wdw GROUP BY wh HAVING count(*) > $SubstrMaxFreq),
+            |kept AS (SELECT * FROM wdw WHERE wh NOT IN (SELECT wh FROM hot))
+            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            |FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id
             |GROUP BY 1, 2""".stripMargin))
 
   /** The winnowing parameters of the long-span scale path: one
@@ -4038,7 +4072,7 @@ object Queries {
     qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp,
-    qSubstrDedup, qSubstrWinnow, qDupClusters, qDupCanonical,
+    qSubstrDedup, qSubstrCapped, qSubstrWinnow, qDupClusters, qDupCanonical,
     qContamination, qTfidfTopk, qPiiRedact,
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
     qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,

@@ -88,9 +88,21 @@ object ScaleUp {
       else d.withColumn("text",
         concat(md5(concat(lit(k.toString), lit(":"), col("doc_id").cast("string"))),
           lit(" "), col("text"))))
+    // rotation alone is NOT enough: rotations compound additively when
+    // ScaleUp is applied repeatedly (sf0.1 →×10 sf1 →×10 sf10 →×10
+    // sf100), so replica paths (p, q, r) with equal p+q+r produced
+    // IDENTICAL vectors — ~150-way exact-dup cliques at sf100 that blew
+    // the SRP-band join's bucket quadratic (2.6e9 pair instances, found
+    // by the r9 sf100 study). A per-replica md5 sign-flip mask composes
+    // multiplicatively across applications (collision odds ~2⁻ᵈⁱᵐˢ per
+    // path pair), stays norm-preserving, and keeps the component
+    // distribution (symmetric around 0) intact.
     replicate("embeddings", Map("vec_id" -> "vec_id"), (d, k) =>
       if (k == 0) d
       else d.withColumn("embedding", expr(
-        s"transform(embedding, (x, i) -> embedding[(i + $k) % size(embedding)])")))
+        s"""transform(embedding, (x, i) ->
+           |  embedding[(i + $k) % size(embedding)] *
+           |  (1 - 2 * (CAST(conv(substr(md5(concat('$k', ':', i)), 1, 1), 16, 10)
+           |            AS INT) % 2)))""".stripMargin)))
   }
 }

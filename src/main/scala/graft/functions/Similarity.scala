@@ -460,16 +460,33 @@ object Similarity {
       threshold: Double,
       bitsPerBand: Int = 16,
       numBands: Int = 16,
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4,
+      maxBandFreq: Int = 0): DataFrame = {
     val base = df.select(col(id), toDouble(col(vec)).as("v"))
     val bits =
       if (bitsPerBand > 0) bitsPerBand
       else autoBitsPerBand(base.select(col(id)).count(), numBands)
-    val coded = base
+    val codedAll = base
       .withColumn("codes",
         graft.functions.expressions.NativeExpressions
           .srpBank(col("v"), dims, bits, numBands))
       .select(col(id), posexplode(col("codes")).as(Seq("band", "bcode")))
+    // mass-identical vectors (boilerplate embeddings, undeduplicated
+    // replicas) put k-dup cliques in ONE bucket per band — k²·numBands
+    // join rows no band width can dilute (the r9 sf100 study measured
+    // 2.6e9 pair instances from ~150-way exact-dup cliques). The cap
+    // drops buckets past maxBandFreq the same way minhashCandidates
+    // caps band buckets; exact duplicates are the EXACT-dedup stage's
+    // job (pipeline ordering), not the near-dup verifier's.
+    val coded =
+      if (maxBandFreq <= 0) codedAll
+      else {
+        val hot = codedAll.groupBy("band", "bcode")
+          .agg(count(lit(1)).as("freq"))
+          .filter(col("freq") > maxBandFreq)
+          .select("band", "bcode")
+        codedAll.join(broadcast(hot), Seq("band", "bcode"), "left_anti")
+      }
     val a = coded.select(col(id).as("vec_a"), col("band"), col("bcode"))
     val b = coded.select(col(id).as("vec_b"), col("band"), col("bcode"))
     val pairs = a.join(b, Seq("band", "bcode"))

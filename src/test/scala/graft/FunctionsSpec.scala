@@ -860,6 +860,31 @@ class FunctionsSpec extends SparkSpec {
     auto shouldBe (0 until 100).map(i => (i.toLong, i + 100000L)).toSet
   }
 
+  test("nearDupBanded maxBandFreq drops exact-dup clique buckets, keeps the rest") {
+    // a 50-way EXACT-duplicate clique lands in one bucket per band —
+    // k²·numBands join rows no band width dilutes (the r9 sf100 blowup
+    // shape). With the cap the clique's buckets are dropped while a
+    // normal planted near-dup pair elsewhere survives.
+    def vec(i: Int): Array[Double] = Array.tabulate(64) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"c$i:$d".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 0xffffffffL.toDouble - 0.5
+    }
+    val clique = (0 until 50).map(i => (i.toLong, vec(999)))   // identical
+    val pair   = Seq((900L, vec(1)), (901L, vec(1).map(_ + 0.01)))
+    val df = (clique ++ pair).toDF("vec_id", "v")
+    val uncapped = Similarity
+      .nearDupBanded(df, "vec_id", "v", dims = 64, threshold = 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val capped = Similarity
+      .nearDupBanded(df, "vec_id", "v", dims = 64, threshold = 0.95,
+        maxBandFreq = 20)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    uncapped.size shouldBe (50 * 49 / 2 + 1) // full clique + the pair
+    capped shouldBe Set((900L, 901L))
+  }
+
   test("native ShingleSimHash equals the column-algebra shingle formulation bit-for-bit") {
     val docs = (0 until 30).map { i =>
       val toks = (0 until (i % 7) + 1).map(w => s"w${(i * 7 + w * 3) % 11}")

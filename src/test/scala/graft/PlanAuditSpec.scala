@@ -49,7 +49,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_zorder_layout",  // one-row min-max frame crossed into the bit interleave
     "q_cms_freq",       // one-row count-min counter matrix crossed into the probes
     "q_lm_surprisal",   // one-row corpus token total crossed into the scoring
-    "q_pmi_colloc")     // one-row document count crossed into the lift
+    "q_pmi_colloc",     // one-row document count crossed into the lift
+    // one-row max(vec_id)+1 frame crossed into the perturbed-copy ids
+    // (the r9 fixed-offset collision fix)
+    "q_neardup_banded", "q_band_sweep")
   private val broadcastSmallSideFanOuts = Set(
     // nested loop over a TINY broadcast side, linear in the big side:
     // brute-force kNN probes a handful of broadcast query vectors per
@@ -225,6 +228,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       }
       plan should include regex "(?i)filter.*size\\(ids"
       plan should include("posexplode")
+      plan should not include "SortMergeJoin"
+    }
+  }
+
+  test("q_substr_winnow joins only winnowed fingerprints, collapse shape intact") {
+    // the scale path's claim: the shuffled relation is the SELECTED
+    // fingerprint rows (array_min over the hash sequence — the plan
+    // must carry the selection lambda), and pair generation reuses the
+    // doc-set collapse (no sort-merge join, singleton buckets filtered
+    // before the generator)
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_substr_winnow").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should include("array_min")
+      plan should include regex "(?i)filter.*size\\(ids"
       plan should not include "SortMergeJoin"
     }
   }
