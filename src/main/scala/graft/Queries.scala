@@ -1613,10 +1613,13 @@ object Queries {
             |FROM daily
             |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin))
 
-  private val qEditDistance = Q(
-    "q_edit_distance",
-    "edit-distance near-dup: SimHash banded candidates + Levenshtein verify",
-    (s, d) => {
+  /** The edit-distance near-dup pipeline shared by [[qEditDistance]]
+    * (uncapped, the oracle-exact evidence) and [[qEditCapped]] (the
+    * production configuration: buckets past `maxBucketFreq` dropped —
+    * mass-dup cliques never reach the Levenshtein verify).
+    */
+  private def editDistancePlan(
+      s: SparkSession, d: String, maxBucketFreq: Int): DataFrame = {
       // the honest sketch pipeline over the FULL table: 64-bit SimHash
       // over ordered 3-gram shingles, 4 bands of 16-bit buckets generate
       // candidates (equi-join, no theta join anywhere), Levenshtein
@@ -1626,7 +1629,8 @@ object Queries {
       // shingles keep buckets at near-dup-cluster size — measured 25
       // candidates for 22 true pairs at sf0.01, max bucket 4 at sf0.1.
       val docs = t(s, d).documents
-      val cand = Dedup.simhashBucketCandidates(docs, "doc_id", "text")
+      val cand = Dedup.simhashBucketCandidates(docs, "doc_id", "text",
+        maxBucketFreq = maxBucketFreq)
       // the verify side is a pruned projection (id + 80-char prefix) —
       // broadcast it instead of shuffle-joining the candidate pairs
       // twice (Catalyst's size estimate comes from the full-text parquet
@@ -1653,8 +1657,23 @@ object Queries {
           // same kept rows and distances as levenshtein(ta,tb) ≤ 20
           levenshtein(col("ta"), col("tb"), 20).as("lev"))
         .filter(col("lev") >= 0)
-    },
-    Some {
+  }
+
+  private val qEditDistance = Q(
+    "q_edit_distance",
+    "edit-distance near-dup: SimHash banded candidates + Levenshtein verify",
+    (s, d) => editDistancePlan(s, d, maxBucketFreq = 0),
+    Some(editDistanceSql(maxBucketFreq = 0)))
+
+  private val EditMaxBucketFreq = 24
+
+  private val qEditCapped = Q(
+    "q_edit_capped",
+    "edit-distance near-dup at the production bucket cap (mass-dup cliques excluded)",
+    (s, d) => editDistancePlan(s, d, maxBucketFreq = EditMaxBucketFreq),
+    Some(editDistanceSql(maxBucketFreq = EditMaxBucketFreq)))
+
+  private def editDistanceSql(maxBucketFreq: Int): String = {
       val sums = (0 until 64).map { j =>
         val nib  = j / 4 + 1
         val mask = 1 << (j % 4)
@@ -1668,6 +1687,18 @@ object Queries {
       val bands = (0 until 4).map { b =>
         s"SELECT doc_id, $b AS band, (simhash >> ${b * 16}) & 65535 AS bucket FROM sh"
       }.mkString("\nUNION ALL\n")
+      // capped flavor: buckets past the frequency cap are excluded
+      // before the pair join, mirroring simhashBucketCandidates'
+      // maxBucketFreq anti-join
+      val (capCtes, candSrc) =
+        if (maxBucketFreq <= 0) ("", "bands")
+        else (
+          s"""hot AS (SELECT band, bucket FROM bands
+             |  GROUP BY band, bucket HAVING count(*) > $maxBucketFreq),
+             |kept AS (SELECT b.* FROM bands b WHERE NOT EXISTS (
+             |  SELECT 1 FROM hot h WHERE h.band = b.band AND h.bucket = b.bucket)),
+             |""".stripMargin,
+          "kept")
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS tok
          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents)
@@ -1680,14 +1711,14 @@ object Queries {
          |bands AS (
          |$bands
          |),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |${capCtes}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM $candSrc a JOIN $candSrc b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
          |  CAST(levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) AS INTEGER) AS lev
          |FROM cand JOIN documents ta ON ta.doc_id = doc_a
          |  JOIN documents tb ON tb.doc_id = doc_b
          |WHERE levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) <= 20""".stripMargin
-    })
+  }
 
   private val qVariance = Q(
     "q_variance",
@@ -4070,7 +4101,7 @@ object Queries {
     qGroupingSets, qQuantileSketch,
     qSampleSplit, qSampleStratified, qSampleWeighted, qPackBudget,
     qEmbedCentroid, qProfile,
-    qWindowFuncs, qEditDistance, qVariance, qTokenBudget, qMedian,
+    qWindowFuncs, qEditDistance, qEditCapped, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp,
     qSubstrDedup, qSubstrCapped, qSubstrWinnow, qDupClusters, qDupCanonical,
     qContamination, qTfidfTopk, qPiiRedact,

@@ -337,13 +337,24 @@ object Dedup {
     * pigeonhole-complete for Hamming ≤ bands-1 and high-probability for
     * moderate distances; callers define precision via their verifier, so
     * no Hamming filter is applied here.
+    *
+    * `maxBucketFreq > 0` drops buckets holding more than that many docs
+    * before the pair join — the same guard as [[minhashCandidates]]'s
+    * band cap and `Similarity.nearDupBanded(maxBandFreq)`: mass-
+    * identical documents (undeduplicated replicas, boilerplate) put
+    * k-doc cliques into one bucket per band — k²·bands join rows no
+    * sketch entropy dilutes (the r9 sf100 study measured the uncapped
+    * q_edit_distance at 99× per 10× data from exactly this, the C(k,2)
+    * clique-pair signature). Exact duplicates are the exact-dedup
+    * stage's job; the cap enforces that pipeline ordering operator-side.
     */
   def simhashBucketCandidates(
       df: DataFrame,
       id: String,
       text: String,
       bits: Int = 64,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketFreq: Int = 0): DataFrame = {
     val w = bits / bands
     val mask = if (w == 64) -1L else (1L << w) - 1
     val sh = df
@@ -355,9 +366,18 @@ object Dedup {
       struct(lit(bnd).as("band"),
         shiftright(col("simhash"), bnd * w).bitwiseAND(lit(mask)).as("bucket"))
     }: _*)
-    val banded = sh
+    val bandedAll = sh
       .select(col(id), explode(keys).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val banded =
+      if (maxBucketFreq <= 0) bandedAll
+      else {
+        val hot = bandedAll.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("freq"))
+          .filter(col("freq") > maxBucketFreq)
+          .select("band", "bucket")
+        bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
     val a = banded.select(col(id).as("doc_a"), col("band"), col("bucket"))
     val b = banded.select(col(id).as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

@@ -885,6 +885,27 @@ class FunctionsSpec extends SparkSpec {
     capped shouldBe Set((900L, 901L))
   }
 
+  test("simhashBucketCandidates maxBucketFreq drops clique buckets, keeps normal pairs") {
+    // 40 identical docs land in one bucket per band (k²·bands pair rows
+    // uncapped); a separate near-dup pair must survive the cap
+    val clique = (0 until 40).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+    // identical pair → identical sketch → same buckets at k=2 ≤ cap
+    val pair = Seq(
+      (900L, "one two three four five six seven eight nine ten"),
+      (901L, "one two three four five six seven eight nine ten"))
+    val df = (clique ++ pair).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashBucketCandidates(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val capped = Dedup.simhashBucketCandidates(df, "doc_id", "text",
+        maxBucketFreq = 20)
+      .as[(Long, Long)].collect().toSet
+    uncapped should contain((900L, 901L))
+    uncapped.count(p => p._1 < 40 && p._2 < 40) shouldBe (40 * 39 / 2)
+    capped.count(p => p._1 < 40 && p._2 < 40) shouldBe 0
+    capped should contain((900L, 901L))
+  }
+
   test("native ShingleSimHash equals the column-algebra shingle formulation bit-for-bit") {
     val docs = (0 until 30).map { i =>
       val toks = (0 until (i % 7) + 1).map(w => s"w${(i * 7 + w * 3) % 11}")
