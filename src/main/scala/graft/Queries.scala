@@ -3523,6 +3523,13 @@ object Queries {
     val feats = Dsir.features(
       t(s, d).documents.withColumn("tgt", col("source") === DsirTarget),
       "doc_id", "text", carry = Seq("tgt"), buckets = DsirBuckets)
+    // two-pass (train λ, then score) — measured FASTER than the
+    // one-scan Dsir.trainAndScore here (7.2 s vs 3.6 s at sf10): the
+    // one-scan variant's shared compact table shuffles ~every gram row
+    // (little map-side reduction at B=1024), while the second SCAN it
+    // saves is a cheap columnar re-read. trainAndScore remains the
+    // right shape when scans are the expensive side (remote object
+    // storage, decode-heavy formats) — see its scaladoc for the trade.
     val lam = Dsir.lambdaTable(feats, DsirBuckets)
     Dsir.scoreFeatures(feats.filter(!col("tgt")), lam, "doc_id")
   }

@@ -70,13 +70,25 @@ object Dsir {
   def lambdaTable(
       feats: DataFrame,
       buckets: Int = DefaultBuckets,
-      dense: Boolean = true): DataFrame = {
-    val m0 = feats.groupBy(col("bkt")).agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+      dense: Boolean = true): DataFrame =
+    lambdaFromCounts(
+      feats.groupBy(col("bkt")).agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cr")),
+      buckets, dense)
+
+  /** [[lambdaTable]]'s smoothing/bit-length core over pre-aggregated
+    * per-bucket counts `(bkt, ct, cr)` — shared with the one-scan
+    * [[trainAndScore]] path, whose counts arrive via the compact
+    * per-(doc, bucket) table rather than raw feature rows.
+    */
+  private def lambdaFromCounts(
+      m0: DataFrame,
+      buckets: Int,
+      dense: Boolean): DataFrame = {
     val model =
       if (!dense) m0
-      else feats.sparkSession.range(buckets).select(col("id").as("bkt"))
+      else m0.sparkSession.range(buckets).select(col("id").as("bkt"))
         .join(m0, Seq("bkt"), "left")
         .select(col("bkt"),
           coalesce(col("ct"), lit(0L)).as("ct"),
@@ -113,6 +125,60 @@ object Dsir {
       .agg(count(lit(1)).as("n_feats"),
         sum(when(col("uni"), 1L).otherwise(0L)).as("n_toks"),
         sum(col("lam_bits")).as("dsir_bits"))
+
+  /** One-SCAN train-and-score: the in-sample batch path (train λ on the
+    * whole pool, score the non-target slice) reading the corpus ONCE.
+    * [[lambdaTable]] + [[scoreFeatures]] each consume the raw feature
+    * stream, so composing them tokenizes, md5-hashes, and explodes the
+    * corpus twice; here both the λ aggregation and the per-doc score
+    * read ONE compact per-(id, bucket, uni) count table, and the two
+    * consumers' identical aggregation subplans dedupe into a single
+    * exchange via Catalyst's ReusedExchange (spec-pinned on the final
+    * adaptive plan). Result == `scoreFeatures(feats.filter(!tgt),
+    * lambdaTable(feats))` bit-for-bit (spec-pinned).
+    *
+    * THE TRADE — measure before choosing: the saved second scan costs a
+    * shuffle of the compact table, which at B buckets is ~every gram
+    * row (map-side reduction only collapses in-doc repeats of the same
+    * bucket). On fast local columnar storage the re-scan is cheaper
+    * than the shuffle — the two-pass composition measured 2× FASTER at
+    * sf10 (3.6 s vs 7.2 s) and is what the catalog queries use. Prefer
+    * this one-scan shape when the scan side is the expensive one:
+    * remote object storage, decode-heavy formats, or a feature stream
+    * that is itself costly to recompute.
+    */
+  def trainAndScore(
+      feats: DataFrame,
+      id: String,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    // the compact table's exact shape is what makes the reuse fire, so
+    // two deliberate choices:
+    //  - `tgt` rides as an AGGREGATE (max over per-doc-identical
+    //    values), NOT a grouping key — were it a key, Catalyst would
+    //    push the scoring side's `!tgt` filter below the aggregate and
+    //    the two consumers' exchange subtrees would differ;
+    //  - `uni` IS a grouping key, NOT a `sum(when(uni,...))` aggregate —
+    //    the λ consumer has no use for a unigram count, so a per-group
+    //    n_uni aggregate would be pruned from λ's copy of the subtree
+    //    (different partial aggregates ⇒ different exchanges ⇒ no
+    //    reuse); as a key it survives in both copies identically, and
+    //    the per-doc token count is recovered as sum(n) over uni rows
+    val compact = feats
+      .groupBy(col(id), col("bkt"), col("uni"))
+      .agg(max(col("tgt")).as("tgt"), count(lit(1)).as("n"))
+    val lam = lambdaFromCounts(
+      compact.groupBy(col("bkt")).agg(
+        sum(when(col("tgt"), col("n")).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(col("n"))).as("cr")),
+      buckets, dense = true)
+    compact
+      .filter(!col("tgt"))
+      .join(broadcast(lam), Seq("bkt"))
+      .groupBy(col(id))
+      .agg(sum(col("n")).as("n_feats"),
+        sum(when(col("uni"), col("n")).otherwise(0L)).as("n_toks"),
+        sum(col("n") * col("lam_bits")).as("dsir_bits"))
+  }
 
   /** [[features]] + [[scoreFeatures]] in one call — the micro-batch
     * scoring path (λ trained elsewhere and persisted). The docs being

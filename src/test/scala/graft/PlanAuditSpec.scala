@@ -248,6 +248,31 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("Dsir.trainAndScore reads the corpus ONCE (ReusedExchange on the compact table)") {
+    // the one-scan variant's claim: λ aggregation and per-doc scoring
+    // both consume the compact per-(doc, bucket, uni) exchange, which
+    // Catalyst dedupes via ReusedExchange — the tokenize+md5+explode
+    // pass over the corpus happens once, not once per consumer. The
+    // shape is load-bearing (tgt as aggregate, uni as grouping key —
+    // see trainAndScore's comments); a second live scan means the
+    // reuse broke. Under AQE the reuse materializes at runtime stage
+    // creation, so assert on the FINAL adaptive plan.
+    import graft.functions.Dsir
+    import org.apache.spark.sql.functions.col
+    withGraftSession { s =>
+      val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("tgt", col("source") === "src0")
+      val feats = Dsir.features(docs, "doc_id", "text", carry = Seq("tgt"))
+      val df = Dsir.trainAndScore(feats, "doc_id")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(plan) {
+        plan should include("isFinalPlan=true")
+        plan should include("ReusedExchange")
+      }
+    }
+  }
+
   test("every catalog query plans without an unbounded nested-loop join") {
     withGraftSession { s =>
       Queries.all.foreach { q =>

@@ -285,6 +285,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: one-scan trainAndScore == two-pass lambdaTable+scoreFeatures") {
+    import graft.functions.Dsir
+    val B = 32
+    (1L to 4L).foreach { seed =>
+      val texts = sample(Gen.listOfN(8, textGen), seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, i % 3 == 0) }
+        .toDF("doc_id", "text", "tgt")
+      val feats = Dsir.features(docs, "doc_id", "text", carry = Seq("tgt"), buckets = B)
+      val twoPass = Dsir
+        .scoreFeatures(feats.filter(!col("tgt")), Dsir.lambdaTable(feats, B), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val oneScan = Dsir.trainAndScore(feats, "doc_id", B)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      withClue(s"seed=$seed: ") { oneScan shouldBe twoPass }
+    }
+  }
+
   test("q_bpe_pairs counts freq-weighted adjacent char pairs over the vocab") {
     // words: "abab"x3 -> per word 2x'ab', 1x'ba'; "abc"x2 -> 'ab','bc';
     // "xy"x1. Totals: ab=8, ba=3, bc=2, xy=1 -> 'ab' is the first merge.
