@@ -298,6 +298,15 @@ object Clustering {
     // docs stream through posexplode + a per-doc ordered sliding-min
     // window — identical selected values, rare-outlier cost only.
     val bigDocChars = 65536
+    // the sliding minimum is unrolled to least(try_element_at…) over
+    // the w offsets instead of array_min(slice(…)): slice allocates a
+    // w-element array per window POSITION (g allocations per doc);
+    // least over w direct lookups allocates nothing. try_element_at
+    // past the end is null and least ignores nulls, which is exactly
+    // the slice-clamp semantics at the tail / g < w (A/B spec-pinned
+    // against the slice formulation)
+    def slidingMin(s: Column): Column =
+      least((0 until w).map(j => try_element_at(col("whs"), s + lit(j + 1))): _*)
     val smallFps = eligible
       .filter(length(col(text)) <= bigDocChars)
       .select(col(id), transform(
@@ -306,7 +315,7 @@ object Clustering {
       .select(col(id),
         explode(array_distinct(transform(
           sequence(lit(0), greatest(size(col("whs")) - w, lit(0))),
-          s => array_min(slice(col("whs"), s + lit(1), lit(w)))))).as("fp"))
+          s => slidingMin(s)))).as("fp"))
     val bigWin = Window.partitionBy(col(id)).orderBy(col("p"))
       .rowsBetween(0, w - 1)
     val bigFps = eligible
