@@ -242,7 +242,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       val q = Queries.all.find(_.name == "q_substr_winnow").get
       val plan = q.spark(s, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
-      plan should include("array_min")
+      // the allocation-free sliding minimum: least over w direct
+      // lookups (try_element_at renders as element_at(..) in plans)
+      plan should include("least(")
+      plan should include("element_at(")
+      plan should not include "array_min"
       plan should include regex "(?i)filter.*size\\(ids"
       plan should not include "SortMergeJoin"
     }
