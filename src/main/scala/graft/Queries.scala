@@ -843,6 +843,51 @@ object Queries {
          |${selects.mkString("\nUNION ALL\n")}""".stripMargin
     })
 
+  // The pipeline-ORDERING demonstration behind every bucket cap in the
+  // dedup family: exact duplicates are removed BEFORE near-dup banding,
+  // so mass-identical vectors never reach the band join at all. The
+  // corpus plants BOTH kinds of duplicate — +0.01-perturbed copies
+  // (near-dups the bander must find) and verbatim copies (exact dups
+  // the first stage must collapse); output = the near-dup pairs over
+  // the exact-deduped survivors, oracle = exhaustive SQL over the same
+  // two-stage construction. Exact dedup groups by the vector VALUE
+  // (arrays are grouping keys in both engines — no float rendering in
+  // any key), keeping the min id per distinct vector.
+  private val qDedupOrder = Q(
+    "q_dedup_order",
+    "exact-dedup-before-near-dup ordering: verbatim copies collapse before banding",
+    (s, d) => {
+      val base = t(s, d).embeddings
+        .select(col("vec_id").cast("long").as("vec_id"),
+          Similarity.toDouble(col("embedding")).as("v"))
+      val off = broadcast(base.agg((max(col("vec_id")) + 1L).as("off")))
+      val aug = base
+        .unionByName(base.crossJoin(off).select(
+          (col("vec_id") + col("off")).as("vec_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v")))
+        .unionByName(base.crossJoin(off).select(
+          (col("vec_id") + col("off") * 2).as("vec_id"), col("v")))
+      val survivors = aug.groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+        .select(col("vec_id"), col("v"))
+      Similarity.nearDupBanded(survivors, "vec_id", "v", dims = 64,
+        threshold = 0.95, bitsPerBand = 0, numBands = 16)
+    },
+    Some("""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |o AS (SELECT max(vec_id) + 1 AS off FROM base),
+           |aug AS (SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + (SELECT off FROM o),
+           |    list_transform(v, x -> x + 0.01) FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 2 * (SELECT off FROM o), v FROM base),
+           |surv AS (SELECT min(vec_id) AS vec_id, v FROM aug GROUP BY v),
+           |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM surv),
+           |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) AS cos_sim
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.95""".stripMargin))
+
   private val sqlToks = """string_split_regex(trim(text), '\s+')"""
 
   private val qTextQuality = Q(
@@ -4120,7 +4165,7 @@ object Queries {
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
-    qKmvOverlapSketch, qBandSweep, qShardAssign, qDsirWeight, qDsirSelect,
+    qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank)
 }
