@@ -995,6 +995,21 @@ object Queries {
             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
             |FROM s""".stripMargin))
 
+  private val qGlobalShuffle = Q(
+    "q_global_shuffle",
+    "global epoch-shuffle positions without a global sort: hash-prefix buckets + driver prefix-sum offsets",
+    (s, d) => graft.operators.Sharding.globalOrder(
+      t(s, d).documents, "doc_id", epoch = 0),
+    // the oracle IS the naive global sort the operator avoids: one
+    // row_number over the whole corpus — identical output, single-task
+    // shape. The Spark side assigns the same rank via per-bucket
+    // windows + broadcast bucket offsets (buckets are hash PREFIXES, so
+    // bucket boundaries are exact global-order boundaries).
+    Some("""SELECT doc_id,
+           |  CAST(row_number() OVER (
+           |    ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - 1 AS pos
+           |FROM documents""".stripMargin))
+
   private val qSampleWeighted = Q(
     "q_sample_weighted",
     "quality-weighted deterministic sampling (keep-probability = quality score)",
@@ -2090,6 +2105,37 @@ object Queries {
             |  (count(b.gram) * 10000) // count(*) AS contam_bps
             |FROM corpus c LEFT JOIN bench b USING (gram)
             |GROUP BY 1""".stripMargin))
+
+  private val qEmbedContamination = Q(
+    "q_embed_contamination",
+    "semantic decontamination: per-corpus-vector max cosine vs a broadcast eval embedding set",
+    (s, d) => {
+      // the embedding-space complement of q_contamination's 5-gram
+      // check: paraphrased eval leakage shares no 8-gram but still
+      // lands next to its source in embedding space. Scale shape is
+      // knnCosine REVERSED — the corpus streams (big side), the eval
+      // set rides the broadcast, and the per-row argmax is a max_by
+      // aggregation with map-side partial combine (no window sort over
+      // the corpus).
+      val e = t(s, d).embeddings
+      Similarity.semanticContamination(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", threshold = 0.4)
+    },
+    Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id >= 8),
+           |e AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+           |  FROM embeddings WHERE vec_id < 8),
+           |s AS (SELECT c.vec_id, e.eval_id,
+           |    round(list_dot_product(c.v, e.ev)
+           |      / sqrt(list_dot_product(c.v, c.v) * list_dot_product(e.ev, e.ev)), 4) AS sim
+           |  FROM c, e),
+           |r AS (SELECT vec_id, eval_id, sim,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+           |  FROM s)
+           |SELECT vec_id, eval_id AS nearest_eval, sim AS max_sim,
+           |  sim >= 0.4 AS contaminated
+           |FROM r WHERE rn = 1""".stripMargin))
 
   /** TF-IDF ranking without floats: with corpus size N constant, ranking
     * by tf·N/df is ranking by the integer `tf * 1_000_000 * N div df` —
@@ -3758,15 +3804,19 @@ object Queries {
     * centroid update = integer rounded mean (the `(2s+n) DIV 2n` form —
     * floor and truncating division agree on the non-negative operands).
     */
-  private val sqlPqCtes: String = {
-    def dist(sv: String, cv: String) =
-      (1 to PqSubDim).map(i => s"($sv[$i]-$cv[$i])*($sv[$i]-$cv[$i])")
-        .mkString(" + ")
-    val subCols = (0 until PqM)
-      .map(mm => s"qv[${mm * PqSubDim + 1}:${(mm + 1) * PqSubDim}] AS sv$mm")
-      .mkString(", ")
+  private def sqlPqDist(sv: String, cv: String): String =
+    (1 to PqSubDim).map(i => s"($sv[$i]-$cv[$i])*($sv[$i]-$cv[$i])")
+      .mkString(" + ")
+
+  /** The training-round half of [[sqlPqCtes]], parameterized by a CTE
+    * name prefix `p` so the residual chain ([[sqlIvfPqResidualCtes]])
+    * can run the IDENTICAL trainer over `${p}sub` without name
+    * collisions: emits `${p}seeds`, `${p}c0m*`, per-round
+    * `${p}a*m*`/`${p}c*m*`, and final codes `${p}f*` = (cid, code, d).
+    */
+  private def sqlPqTrainCtes(p: String): String = {
     val c0 = (0 until PqM)
-      .map(mm => s"c0m$mm AS (SELECT cid AS code, sv$mm AS cv FROM seeds)")
+      .map(mm => s"${p}c0m$mm AS (SELECT cid AS code, sv$mm AS cv FROM ${p}seeds)")
       .mkString(",\n")
     def round(it: Int) = (0 until PqM).map { mm =>
       val sCols = (1 to PqSubDim)
@@ -3775,29 +3825,39 @@ object Queries {
         .map(i => s"CASE WHEN s$i >= 0 THEN (2*s$i + n) // (2*n)" +
           s" ELSE -((-2*s$i + n) // (2*n)) END")
         .mkString(", ")
-      s"""a${it}m$mm AS (SELECT cid, code, sv FROM (
+      s"""${p}a${it}m$mm AS (SELECT cid, code, sv FROM (
          |  SELECT s.cid, c.code, s.sv$mm AS sv,
-         |    row_number() OVER (PARTITION BY s.cid ORDER BY ${dist(s"s.sv$mm", "c.cv")}, c.code) AS rn
-         |  FROM sub s, c${it - 1}m$mm c) WHERE rn = 1),
-         |c${it}m$mm AS (SELECT code, list_value($rm) AS cv FROM (
+         |    row_number() OVER (PARTITION BY s.cid ORDER BY ${sqlPqDist(s"s.sv$mm", "c.cv")}, c.code) AS rn
+         |  FROM ${p}sub s, ${p}c${it - 1}m$mm c) WHERE rn = 1),
+         |${p}c${it}m$mm AS (SELECT code, list_value($rm) AS cv FROM (
          |  SELECT code, CAST(count(*) AS BIGINT) AS n, $sCols
-         |  FROM a${it}m$mm GROUP BY code))""".stripMargin
+         |  FROM ${p}a${it}m$mm GROUP BY code))""".stripMargin
     }.mkString(",\n")
     val fin = (0 until PqM).map { mm =>
-      s"""f$mm AS (SELECT cid, code, d FROM (
-         |  SELECT s.cid, c.code, ${dist(s"s.sv$mm", "c.cv")} AS d,
-         |    row_number() OVER (PARTITION BY s.cid ORDER BY ${dist(s"s.sv$mm", "c.cv")}, c.code) AS rn
-         |  FROM sub s, c${PqIters}m$mm c) WHERE rn = 1)""".stripMargin
+      s"""${p}f$mm AS (SELECT cid, code, d FROM (
+         |  SELECT s.cid, c.code, ${sqlPqDist(s"s.sv$mm", "c.cv")} AS d,
+         |    row_number() OVER (PARTITION BY s.cid ORDER BY ${sqlPqDist(s"s.sv$mm", "c.cv")}, c.code) AS rn
+         |  FROM ${p}sub s, ${p}c${PqIters}m$mm c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""qb AS (SELECT vec_id AS cid,
-       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |sub AS (SELECT cid, $subCols FROM qb),
-       |seeds AS (SELECT * FROM sub ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT $PqK),
+    s"""${p}seeds AS (SELECT * FROM ${p}sub ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT $PqK),
        |$c0,
        |${(1 to PqIters).map(round).mkString(",\n")},
        |$fin""".stripMargin
   }
+
+  /** Subspace-slice projection `sv0…sv{PqM−1}` of a 64-dim int64 list
+    * column `qv`.
+    */
+  private val sqlPqSubCols: String = (0 until PqM)
+    .map(mm => s"qv[${mm * PqSubDim + 1}:${(mm + 1) * PqSubDim}] AS sv$mm")
+    .mkString(", ")
+
+  private val sqlPqCtes: String =
+    s"""qb AS (SELECT vec_id AS cid,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sub AS (SELECT cid, $sqlPqSubCols FROM qb),
+       |${sqlPqTrainCtes("")}""".stripMargin
 
   private val qPqAnn = Q(
     "q_pq_ann",
@@ -4023,6 +4083,90 @@ object Queries {
          |$unions""".stripMargin
     })
 
+  /** Residual-IVFADC oracle chain (appended to [[sqlIvfCellCtes]]):
+    * `afq` = the final cell assignment with int64 quantized vectors,
+    * `cm` = per-cell integer rounded-MEAN centroids (the `(2s+n) DIV
+    * 2n` rule of the PQ trainer — unlike the routing sum-centroids,
+    * residual subtraction needs true means), `rb` = residuals
+    * `qv − cm(cell)`, `rsub` = their subspace split, then the
+    * r-prefixed PQ trainer ([[sqlPqTrainCtes]]) over the residuals —
+    * final codes `rf*`, codebooks `rc{PqIters}m*`.
+    */
+  private val sqlIvfPqResidualCtes: String = {
+    val sums = (1 to 64).map(i => s"CAST(sum(qv[$i]) AS BIGINT) AS s$i").mkString(", ")
+    val rm = (1 to 64).map(i =>
+      s"CASE WHEN s$i >= 0 THEN (2*s$i + n) // (2*n)" +
+        s" ELSE -((-2*s$i + n) // (2*n)) END").mkString(", ")
+    val diffs = (1 to 64).map(i => s"a.qv[$i]-m.cv[$i]").mkString(", ")
+    s"""afq AS (SELECT a.cid, a.cell, list_transform(b.qv, x -> CAST(x AS BIGINT)) AS qv
+       |  FROM af a JOIN bn b ON b.cid = a.cid),
+       |cm AS (SELECT cell, list_value($rm) AS cv FROM (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n, $sums
+       |  FROM afq GROUP BY cell)),
+       |rb AS (SELECT a.cid, a.cell, list_value($diffs) AS qv
+       |  FROM afq a JOIN cm m ON m.cell = a.cell),
+       |rsub AS (SELECT cid, cell, $sqlPqSubCols FROM rb),
+       |${sqlPqTrainCtes("r")}""".stripMargin
+  }
+
+  private val qIvfPqResidual = Q(
+    "q_ivfpq_residual",
+    "residual IVFADC: PQ codes of x − cellCentroid, per-(query,cell) residual ADC tables (Jégou §V eq. 27)",
+    (s, d) => {
+      // the TRUE IVFADC of the paper: q_ivfpq_ann quantizes raw
+      // vectors, this quantizes what the coarse quantizer LEFT — the
+      // residual x − mean(cell) — so the same 4×4-bit code budget
+      // spends itself on far less energy (quantization error strictly
+      // drops, spec-pinned). The ADC table becomes per-(query, probed
+      // cell) since the query's residual depends on the probed cell;
+      // the scored set is still the broadcast probe-table equi-join on
+      // the cell id.
+      val e = t(s, d).embeddings
+      Similarity.ivfPqAnnResidual(e.filter(col("vec_id") < 3), e,
+        "vec_id", "embedding", k = 10, dims = 64, numSub = PqM,
+        codesPerSub = PqK, pqIters = PqIters, numCells = IvfNumCells,
+        nProbe = 4, ivfIters = 2)
+    },
+    Some {
+      val qdiffs = (1 to 64).map(i => s"q.qv[$i]-m.cv[$i]").mkString(", ")
+      val dts = (0 until PqM).map { mm =>
+        val dist = (1 to PqSubDim)
+          .map(i => s"(q.sv$mm[$i]-c.cv[$i])*(q.sv$mm[$i]-c.cv[$i])")
+          .mkString(" + ")
+        s"""dt$mm AS (SELECT q.qid, q.cell, c.code, $dist AS d
+           |  FROM qrs q, rc${PqIters}m$mm c)""".stripMargin
+      }.mkString(",\n")
+      val fJoins = (1 until PqM)
+        .map(mm => s"JOIN rf$mm ON rf$mm.cid = rf0.cid").mkString(" ")
+      val dtJoins = (1 until PqM)
+        .map(mm => s"JOIN dt$mm ON dt$mm.qid = dt0.qid AND dt$mm.cell = a.cell AND dt$mm.code = rf$mm.code")
+        .mkString("\n  ")
+      s"""WITH $sqlIvfCellCtes,
+         |$sqlIvfPqResidualCtes,
+         |pr AS (SELECT qid, cell FROM (
+         |  SELECT b.cid AS qid, c.cell,
+         |    row_number() OVER (PARTITION BY b.cid
+         |      ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS prn
+         |  FROM bn b, c2 c WHERE b.cid < 3) WHERE prn <= 4),
+         |qres AS (SELECT p.qid, p.cell, list_value($qdiffs) AS qv
+         |  FROM pr p
+         |  JOIN (SELECT cid, list_transform(qv, x -> CAST(x AS BIGINT)) AS qv
+         |        FROM bn WHERE cid < 3) q ON q.cid = p.qid
+         |  JOIN cm m ON m.cell = p.cell),
+         |qrs AS (SELECT qid, cell, $sqlPqSubCols FROM qres),
+         |$dts,
+         |adcs AS (SELECT dt0.qid, rf0.cid AS neighbor_id,
+         |    CAST(${(0 until PqM).map(mm => s"dt$mm.d").mkString(" + ")} AS BIGINT) AS adc
+         |  FROM rf0 $fJoins
+         |  JOIN afq a ON a.cid = rf0.cid
+         |  JOIN dt0 ON dt0.cell = a.cell AND dt0.code = rf0.code
+         |  $dtJoins)
+         |SELECT qid, neighbor_id, adc, rank FROM (
+         |  SELECT qid, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank
+         |  FROM adcs) WHERE rank <= 10""".stripMargin
+    })
+
   private val qPqEncode = Q(
     "q_pq_encode",
     "product quantization: per-subspace k-means codebooks, shuffle-free encode to code ids + exact error",
@@ -4156,7 +4300,7 @@ object Queries {
     qWindowFuncs, qEditDistance, qEditCapped, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp,
     qSubstrDedup, qSubstrCapped, qSubstrWinnow, qDupClusters, qDupCanonical,
-    qContamination, qTfidfTopk, qPiiRedact,
+    qContamination, qEmbedContamination, qTfidfTopk, qPiiRedact,
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
     qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,
     qMinhashCluster,
@@ -4165,7 +4309,8 @@ object Queries {
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
-    qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qDsirWeight, qDsirSelect,
+    qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qGlobalShuffle,
+    qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
-    qIvfPqRerank)
+    qIvfPqRerank, qIvfPqResidual)
 }

@@ -81,6 +81,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-level eval-set decontamination: for every corpus vector,
+    * its maximum cosine similarity against the (small) eval/benchmark
+    * embedding set, the arg-max eval id (ties to the lowest), and the
+    * `contaminated` flag at `threshold` — the semantic complement of
+    * n-gram contamination checks: paraphrased eval leakage that shares
+    * no 8-gram still lands next to its source in embedding space.
+    *
+    * Scale shape (100 TB): this is [[knnCosine]] with the broadcast
+    * side REVERSED — the corpus is the big streaming side, the eval set
+    * rides the broadcast, and the per-corpus-row argmax is a `max_by`
+    * aggregation (map-side partial combine, one skinny shuffle of
+    * ≤ |corpus| rows, no window sort). The eval set is bounded the way
+    * benchmark suites are (10³–10⁵ rows); corpus work is one narrow
+    * pass. Returns (id, nearest_eval, max_sim, contaminated).
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      roundTo: Int = 4): DataFrame = {
+    val c = corpus.select(col(id), toDouble(col(vec)).as("v"))
+      .withColumn("vn2", norm2(col("v")))
+    val e = evalSet.select(col(id).as("eval_id"), toDouble(col(vec)).as("ev"))
+      .withColumn("en2", norm2(col("ev")))
+    c.join(broadcast(e))
+      .withColumn("sim",
+        round(dot(col("v"), col("ev")) / sqrt(col("vn2") * col("en2")), roundTo))
+      .groupBy(col(id))
+      .agg(
+        max(col("sim")).as("max_sim"),
+        max_by(col("eval_id"), struct(col("sim"), -col("eval_id")))
+          .as("nearest_eval"))
+      .withColumn("contaminated", col("max_sim") >= lit(threshold))
+      .select(col(id), col("nearest_eval"), col("max_sim"), col("contaminated"))
+  }
+
   /** All embedding pairs (a < b) with rounded cosine ≥ threshold — the
     * EXHAUSTIVE ground-truth verifier. Brute force (theta join): callers
     * must bound the input to a constant-size slice, exactly like the other
@@ -707,8 +745,22 @@ object Similarity {
       codesPerSub: Int = 16,
       iters: Int = 2): Array[Seq[(Long, Array[Long])]] = {
     require(dims % numSub == 0, s"dims=$dims not divisible by numSub=$numSub")
-    val sub = dims / numSub
-    val base = pqBase(corpus, id, vec)
+    pqTrainOnBase(pqBase(corpus, id, vec), dims / numSub, numSub, codesPerSub, iters)
+  }
+
+  /** [[pqTrain]] over an ALREADY-QUANTIZED `(cid, qv: array<long>)`
+    * base — the residual IVFADC path trains its codebooks on
+    * `qv − cellCentroid` residuals, which exist only in int64 space, so
+    * the trainer cannot insist on re-projecting from raw doubles.
+    * Identical rules: md5-smallest seeds, argmin ties to the lowest
+    * code, integer rounded-mean updates.
+    */
+  private[graft] def pqTrainOnBase(
+      base: DataFrame,
+      sub: Int,
+      numSub: Int,
+      codesPerSub: Int,
+      iters: Int): Array[Seq[(Long, Array[Long])]] = {
     val seeds = base
       .orderBy(md5(col("cid").cast("string")), col("cid"))
       .limit(codesPerSub)
@@ -1103,6 +1155,201 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** Trained residual-IVFADC model state, shared by
+    * [[ivfPqResidualEncode]] and [[ivfPqAnnResidual]]: the coarse
+    * centroid LocalRelation (sum-centroids, for cosine probe routing),
+    * the per-cell integer MEAN centroids (for residual subtraction —
+    * PQ distance is not scale-invariant, so unlike the routing
+    * centroids these must be true means), the residual-trained PQ
+    * codebooks, and the residual base `(cid, cell, qv)` with
+    * `qv = quantized(vec) − cellMean(cell)` in exact int64 space.
+    *
+    * Every piece of driver-side state is bounded: ≤ numCells mean
+    * centroids (one grouped aggregate collapses the corpus to
+    * numCells×(dims+1) longs map-side before the collect), ≤ numSub ×
+    * codesPerSub codebook rows.
+    */
+  private def residualModel(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int,
+      numSub: Int,
+      codesPerSub: Int,
+      pqIters: Int,
+      numCells: Int,
+      ivfIters: Int): (DataFrame, Map[Long, Array[Long]],
+        Array[Seq[(Long, Array[Long])]], DataFrame) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    require(dims % numSub == 0, s"dims=$dims not divisible by numSub=$numSub")
+    val sub   = dims / numSub
+    val spark = corpus.sparkSession
+
+    // coarse quantizer (identical to ivfPqAnn): trained sum-centroids,
+    // materialized driver-side for broadcast assignment + probe routing
+    val cn = kmeansCentroids(corpus, id, vec, dims, numCells, ivfIters)
+    val localCn = spark.createDataFrame(
+      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+
+    // one corpus pass: quantized vector (double for the cosine argmax,
+    // long for the residual arithmetic) + trained-cell assignment
+    val corp = corpus.select(
+        col(id).as("cid"),
+        quantized(toDouble(col(vec))).as("qv"),
+        transform(toDouble(col(vec)),
+          x => round(x * lit(1000000.0)).cast("long")).as("lqv"))
+      .withColumn("qn2", norm2(col("qv")))
+    val asg = assignToCells(corp, localCn)
+
+    // per-cell integer mean centroids: the grouped sums collapse to
+    // ≤ numCells rows before this bounded collect; rounded-mean division
+    // happens driver-side with the same roundedMean rule as pqTrain
+    val sums = (0 until dims).map(dd => sum(col("lqv")(dd)).as(s"s$dd"))
+    val cmeans: Map[Long, Array[Long]] = asg
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) -> Array.tabulate(dims)(i => roundedMean(r.getLong(2 + i), n))
+      }.toMap
+    val cmDf = spark.createDataFrame(
+      java.util.Arrays.asList(cmeans.toSeq.sortBy(_._1).map {
+        case (c, v) => Row(c, v.toSeq)
+      }: _*),
+      StructType(Seq(StructField("cell", LongType),
+        StructField("cmv", ArrayType(LongType)))))
+
+    // residual base: rv = quantized(vec) − mean(cell), exact int64 —
+    // a broadcast equi-join on the ≤ numCells mean table, zero shuffle
+    val rbase = asg
+      .join(broadcast(cmDf), Seq("cell"))
+      .select(col("cid"), col("cell"),
+        zip_with(col("lqv"), col("cmv"), (x, y) => x - y).as("qv"))
+
+    // fine quantizer trained on the RESIDUALS (Jégou §V: residual
+    // energy ≪ vector energy, so the same code budget quantizes finer)
+    val books = pqTrainOnBase(
+      rbase.select(col("cid"), col("qv")), sub, numSub, codesPerSub, pqIters)
+    (localCn, cmeans, books, rbase)
+  }
+
+  /** Residual-IVFADC corpus encode (Jégou et al. TPAMI'11 §V, eq. 27):
+    * every vector is PQ-encoded as its residual `x − cellMean(cell)`
+    * against codebooks TRAINED on residuals — vs [[ivfPqAnn]]'s raw
+    * encode, the same `numSub × log₂(codesPerSub)` bits quantize a
+    * vector population whose energy the coarse quantizer has already
+    * removed, so quantization error strictly drops (spec-pinned).
+    * Returns (vec_id, cell, code0…, qerr) with `qerr` the exact int64
+    * squared residual-quantization error.
+    */
+  def ivfPqResidualEncode(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int = 64,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      pqIters: Int = 2,
+      numCells: Int = 16,
+      ivfIters: Int = 2): DataFrame = {
+    val sub = dims / numSub
+    val (_, _, books, rbase) = residualModel(
+      corpus, id, vec, dims, numSub, codesPerSub, pqIters, numCells, ivfIters)
+    rbase.withColumn("a", pqAssign(col("qv"), books, sub))
+      .select(
+        (col("cid").as("vec_id") +: col("cell") +:
+          (0 until numSub).map(mm => col("a")(mm).getField("c").as(s"code$mm"))) :+
+          (0 until numSub).map(mm => col("a")(mm).getField("d")).reduce(_ + _).as("qerr"): _*)
+  }
+
+  /** Residual IVF-PQ ANN search — the TRUE IVFADC of Jégou et al.
+    * TPAMI'11 §V: [[ivfPqAnn]] composes the IVF cells with PQ codes of
+    * the RAW vectors, which is the simplification the paper explicitly
+    * improves on (eq. 27): here each inverted list stores PQ codes of
+    * the residual `x − cellMean(cell)`, and a query's ADC distance
+    * table is computed from ITS residual `q − cellMean(cell)` — one
+    * table per (query, probed cell) instead of per query, since the
+    * residual depends on which cell is being probed.
+    *
+    * Same scale shape as [[ivfPqAnn]]: the probe table (≤
+    * [[MaxPqQueries]] × nProbe rows, each carrying its (query, cell)
+    * ADC maps) is BROADCAST onto the code table with an equi-join on
+    * the cell id — only probed cells' codes are ever scored — and the
+    * per-query top-k plans as a partial WindowGroupLimit. The extra
+    * cost vs the raw composition is driver-side only: nProbe distance
+    * tables per query instead of one.
+    *
+    * Exact int64 ADC over residuals, routing/rounding/ties identical to
+    * [[ivfPqAnn]]. Returns (qid, neighbor_id, adc, rank ≤ k).
+    */
+  def ivfPqAnnResidual(
+      queries: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      k: Int = 10,
+      dims: Int = 64,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      pqIters: Int = 2,
+      numCells: Int = 16,
+      nProbe: Int = 4,
+      ivfIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, MapType, StructField, StructType}
+    val sub   = dims / numSub
+    val spark = corpus.sparkSession
+    val qRows = collectPqQueries(queries, id, vec) // fail fast before training
+    val qMap  = qRows.toMap
+
+    val (localCn, cmeans, books, rbase) = residualModel(
+      corpus, id, vec, dims, numSub, codesPerSub, pqIters, numCells, ivfIters)
+
+    // inverted lists: (neighbor_id, cell, code0…) — residual codes
+    val codes = rbase.withColumn("a", pqAssign(col("qv"), books, sub))
+      .select(col("cid").as("neighbor_id") +: col("cell") +:
+        (0 until numSub).map(mm => col("a")(mm).getField("c").as(s"code$mm")): _*)
+
+    // probe routing: UNCHANGED from ivfPqAnn — cosine of the raw query
+    // against the sum-centroids (routing reads direction only)
+    val qs = queries.select(
+        col(id).as("qid"), quantized(toDouble(col(vec))).as("pqv"))
+      .withColumn("pqn2", norm2(col("pqv")))
+    val probes = qs
+      .join(broadcast(localCn))
+      .withColumn("psim",
+        round(dot(col("pqv"), col("cv")) / sqrt(col("pqn2") * col("cn2")), 4))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("psim").desc, col("cell"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("qid"), col("cell"))
+
+    // per-(query, cell) ADC tables from the QUERY RESIDUAL wrt that
+    // cell's mean — ≤ MaxPqQueries × nProbe rows, each numSub bounded maps
+    val probeRows: java.util.List[Row] = java.util.Arrays.asList(
+      probes.collect().map { r =>
+        val qid  = r.getLong(0)
+        val cell = r.getLong(1)
+        val qv   = qMap(qid)
+        val cm   = cmeans(cell)
+        val dts = (0 until numSub).map { mm =>
+          val qsv = Array.tabulate(sub)(i => qv(mm * sub + i) - cm(mm * sub + i))
+          books(mm).map { case (code, cv) =>
+            code -> cv.indices.map { i => val d = qsv(i) - cv(i); d * d }.sum
+          }.toMap
+        }
+        Row.fromSeq(qid +: cell +: dts)
+      }: _*)
+    val probeSchema = StructType(
+      StructField("qid", LongType) +: StructField("cell", LongType) +:
+        (0 until numSub).map(mm =>
+          StructField(s"dt$mm", MapType(LongType, LongType))))
+    val probeDf = spark.createDataFrame(probeRows, probeSchema)
+    scoreProbed(codes, probeDf, numSub, k)
   }
 
   /** nProbe sensitivity sweep for [[ivfPqAnn]] — the probe-count

@@ -78,4 +78,56 @@ object Sharding {
           .cast("long"))
       .select(col(id), col("shard"), col("pos"))
   }
+
+  /** GLOBAL contiguous epoch-shuffle positions without a global sort:
+    * (id, pos) where pos is the row's rank 0‥N−1 in salted-md5 order —
+    * the single-sequence training order (one data loader walking one
+    * shuffled stream), where [[shardManifest]] gives the per-worker
+    * sharded form.
+    *
+    * A naive `row_number() OVER (ORDER BY h)` funnels the whole corpus
+    * through ONE sort task. Instead the hash's leading `prefixChars`
+    * hex chars are the bucket — a PREFIX of the ordering key, so bucket
+    * boundaries are exact global-order boundaries — and the position is
+    * assigned in two passes:
+    *  1. per-bucket row counts, collapsed map-side to ≤ 16^prefixChars
+    *     rows, collected and prefix-summed driver-side into bucket
+    *     start offsets;
+    *  2. per-bucket rank window (each task sorts |corpus| /
+    *     16^prefixChars rows) + the broadcast offset join.
+    * At 100 TB with the default 3 hex chars (4096 buckets) each sort
+    * task handles ~6M of ~25B rows; md5 uniformity keeps buckets within
+    * hash-balance jitter of each other. No RNG state anywhere — any
+    * engine reproduces the epoch's permutation from (id, epoch) alone.
+    */
+  def globalOrder(
+      docs: DataFrame,
+      id: String,
+      epoch: Int = 0,
+      prefixChars: Int = 3): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 8,
+      s"prefixChars must be in [1, 8], got $prefixChars")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    val h = md5(concat(lit(s"ep$epoch:"), col(id).cast("string")))
+    val hashed = docs.select(col(id), h.as("h"))
+      .withColumn("bucket",
+        conv(substring(col("h"), 1, prefixChars), 16, 10).cast("int"))
+    val counts = hashed.groupBy("bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offRows = counts.map { case (b, n) => val o = acc; acc += n; Row(b, o) }
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      StructType(Seq(StructField("bucket", IntegerType),
+        StructField("off", LongType))))
+    hashed
+      .join(broadcast(offDf), Seq("bucket"))
+      .withColumn("pos",
+        col("off") + row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("h"), col(id)))
+          .cast("long") - 1)
+      .select(col(id), col("pos"))
+  }
 }

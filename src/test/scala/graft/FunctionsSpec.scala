@@ -468,6 +468,88 @@ class FunctionsSpec extends SparkSpec {
     cand.count() should be <= (20L * kPrime)
   }
 
+  test("semanticContamination: per-corpus argmax vs the broadcast eval set, ties to the lowest eval id") {
+    // eval ids 0 and 1 are IDENTICAL vectors — wherever they win
+    // jointly the argmax must tie-break to eval 0
+    val evalSet = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // near eval 0/1 → nearest 0
+      (11L, Array(0.0f, 0.8f, 0.1f, 0.0f)), // near eval 2
+      (12L, Array(0.0f, 0.0f, 0.0f, 1.0f))  // orthogonal to every eval
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(
+      corpus, evalSet, "vec_id", "embedding", threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    out(10L)._1 shouldBe 0L
+    out(10L)._3 shouldBe true
+    out(11L)._1 shouldBe 2L
+    out(11L)._3 shouldBe true
+    out(12L)._2 should be < 0.5
+    out(12L)._3 shouldBe false
+  }
+
+  test("residual IVFADC encode cuts total quantization error vs the raw-vector PQ encode") {
+    // Jégou §V's reason to encode residuals: the coarse quantizer has
+    // already removed most of each vector's energy, so the same code
+    // budget (numSub × log2(codesPerSub) bits) quantizes what remains
+    // strictly finer. Same corpus, same PQ geometry, only the encoded
+    // population differs — total int64 squared error must drop.
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val rawErr = Similarity.pqEncode(vecs, "vec_id", "embedding",
+      dims = 16, numSub = 4, codesPerSub = 8)
+      .agg(sum(col("qerr"))).collect()(0).getLong(0)
+    val resErr = Similarity.ivfPqResidualEncode(vecs, "vec_id", "embedding",
+      dims = 16, numSub = 4, codesPerSub = 8, numCells = 8)
+      .agg(sum(col("qerr"))).collect()(0).getLong(0)
+    withClue(s"raw qerr=$rawErr residual qerr=$resErr: ") {
+      resErr should be < rawErr
+    }
+  }
+
+  test("residual IVFADC search: recall >= the raw-code ivfPqAnn at equal probe budget, deterministic") {
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") >= 8 && col("vec_id") < 28)
+    val exact = Similarity.knnCosine(qs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def res() = Similarity.ivfPqAnnResidual(qs, vecs, "vec_id", "embedding",
+      k = 3, dims = 16, numSub = 4, codesPerSub = 8,
+      numCells = 8, nProbe = 4)
+      .select("qid", "neighbor_id", "adc", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val residual = res()
+    residual shouldBe res() // trained state is deterministic end-to-end
+    val raw = Similarity.ivfPqAnn(qs, vecs, "vec_id", "embedding",
+      k = 3, dims = 16, numSub = 4, codesPerSub = 8,
+      numCells = 8, nProbe = 4)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val resIds = residual.map(t => (t._1, t._2))
+    val recallRaw = exact.count(raw.contains).toDouble / exact.size
+    val recallRes = exact.count(resIds.contains).toDouble / exact.size
+    withClue(s"recall raw=$recallRaw residual=$recallRes: ") {
+      recallRes should be >= recallRaw
+      recallRes should be >= 0.8
+    }
+  }
+
   test("persisted IVF-PQ index: indexed search == transient composition, scan pruned to probed cells") {
     val vecs = (0L until 200L).map { i =>
       val c = (i % 8).toInt

@@ -59,11 +59,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // corpus row; IVF fans every row out against <=16 broadcast centroids
     // for the argmax assignment
     "q_knn_cosine", "q_media_ann", "q_knn_ivf",
+    "q_embed_contamination", // corpus streamed against the broadcast eval set
     "q_semantic_dedup",  // same <=16-centroid broadcast assignment as IVF
     "q_cluster_balance", // same <=16-centroid broadcast assignment as IVF
     "q_ivfpq_ann",       // same <=16-centroid broadcast assignment + probe routing
     "q_ivfpq_sweep",     // same <=16-centroid broadcast assignment + probe routing
-    "q_ivfpq_rerank")    // composes q_ivfpq_ann's assignment + probe routing
+    "q_ivfpq_rerank",    // composes q_ivfpq_ann's assignment + probe routing
+    "q_ivfpq_residual")  // same assignment + probe routing over residual codes
 
   test("literal-bounded queries push their id bounds into the parquet scan") {
     // the bound is what keeps the quadratic baselines quadratic-over-a-

@@ -62,4 +62,36 @@ class ShardingSpec extends SparkSpec {
     ep1 should not be explicit
     ep1.map(_._1) shouldBe explicit.map(_._1) // same docs, different slots
   }
+
+  test("globalOrder equals the naive single-sort global rank, at any bucket width") {
+    // the two-pass form (per-bucket rank + driver prefix-sum offsets)
+    // must reproduce row_number() OVER (ORDER BY h, id) - 1 exactly:
+    // buckets are hash PREFIXES, so bucket boundaries are global-order
+    // boundaries and offset+local rank == global rank
+    val docs = spark.range(3000).select(col("id").as("doc_id"))
+    val naive = docs
+      .select(col("doc_id"),
+        md5(concat(lit("ep0:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("h"), col("doc_id"))).cast("long") - 1)
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (pc <- Seq(1, 2, 3)) {
+      val fast = Sharding.globalOrder(docs, "doc_id", epoch = 0, prefixChars = pc)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"prefixChars=$pc: ") { fast shouldBe naive }
+    }
+  }
+
+  test("globalOrder: dense 0..N-1 positions, epochs are independent permutations") {
+    val docs = spark.range(1500).select(col("id").as("doc_id"))
+    val ep0 = Sharding.globalOrder(docs, "doc_id", epoch = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    ep0.map(_._2).sorted shouldBe (0L until 1500L).toArray
+    val ep1 = Sharding.globalOrder(docs, "doc_id", epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    ep1.map(_._2).sorted shouldBe (0L until 1500L).toArray
+    ep0.toSet should not be ep1.toSet
+  }
 }
