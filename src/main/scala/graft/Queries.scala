@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Clustering, Dedup, Similarity, TextFunctions => TF}
+import graft.functions.{Clustering, Curation, Dedup, Similarity, TextFunctions => TF}
 import graft.operators.{Multimodal => MM, Serving, SteamOps}
 
 /** The correctness-gate query catalog: every operator from SURVEY.md §2
@@ -4283,6 +4283,101 @@ object Queries {
            |FROM d0 JOIN va USING (w) GROUP BY 1""".stripMargin
     })
 
+  // ───────────────────────────────────────────────────────────────────
+  // Corpus curation: BM25 retrieval, leakage-free split, α-temperature
+  // mixing (functions/Curation.scala)
+  // ───────────────────────────────────────────────────────────────────
+
+  /** BM25 query: one rare term ("dup", df≈5% — the dedup marker the
+    * generators plant) + two common ones, so idf does real ranking work.
+    */
+  private val Bm25Terms = Seq("dup", "spark", "window")
+  private val Bm25K     = 20
+
+  private val qBm25Topk = Q(
+    "q_bm25_topk",
+    "Okapi BM25 top-k retrieval (k1=1.2, b=0.75, Lucene idf) with exact-rational tf saturation",
+    (s, d) =>
+      Curation.bm25TopK(t(s, d).documents, "doc_id", "text", Bm25Terms, Bm25K),
+    Some {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      raw"""WITH toks AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+           |  WHERE tok IN ($termList) GROUP BY 1, 2),
+           |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |c AS (SELECT tf.doc_id,
+           |    CAST(round(
+           |      ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
+           |      * (CAST(44*t_toks*tf AS DOUBLE)
+           |         / CAST(20*t_toks*tf + 6*t_toks + 18*dl*n_docs AS DOUBLE))
+           |      * 10000) AS BIGINT) AS contrib
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot)
+           |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_sc
+           |FROM c GROUP BY 1 ORDER BY score_sc DESC, doc_id LIMIT $Bm25K""".stripMargin
+    })
+
+  private val qSplitLeakfree = Q(
+    "q_split_leakfree",
+    "dedup-aware train/val/test split: exact-dup groups assigned atomically by content-group hash",
+    (s, d) =>
+      // q_sample_split hashes the DOC id, so byte-identical dups can land
+      // in train AND test (eval leakage); here the coin is the content
+      // group. n_dup_groups per split is the observable that the corpus
+      // has dup groups being protected.
+      Curation.leakFreeSplit(t(s, d).documents, "doc_id", "text")
+        .groupBy(col("grp"), col("split"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("split"))
+        .agg(
+          sum(col("sz")).as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          max(col("sz")).as("max_group")),
+    Some(raw"""WITH g AS (SELECT md5(text) AS grp, count(*) AS sz,
+            |  (CASE WHEN ascii(substr(md5('lfsplit:' || md5(text)), 1, 1)) <= 57
+            |        THEN ascii(substr(md5('lfsplit:' || md5(text)), 1, 1)) - 48
+            |        ELSE ascii(substr(md5('lfsplit:' || md5(text)), 1, 1)) - 87 END) * 16 +
+            |  (CASE WHEN ascii(substr(md5('lfsplit:' || md5(text)), 2, 1)) <= 57
+            |        THEN ascii(substr(md5('lfsplit:' || md5(text)), 2, 1)) - 48
+            |        ELSE ascii(substr(md5('lfsplit:' || md5(text)), 2, 1)) - 87 END) AS b
+            |FROM documents GROUP BY 1)
+            |SELECT CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+            |            ELSE 'test' END AS split,
+            |  CAST(sum(sz) AS BIGINT) AS n_docs,
+            |  CAST(count(*) AS BIGINT) AS n_groups,
+            |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+            |  CAST(max(sz) AS BIGINT) AS max_group
+            |FROM g GROUP BY 1""".stripMargin))
+
+  private val qDomainMixAlpha = Q(
+    "q_domain_mix_alpha",
+    "α=1/2 temperature mixing: acceptance thresholds ⌊256·√(n_min/n)⌋, IEEE-sqrt-exact across engines",
+    (s, d) => Curation.temperatureMix(t(s, d).documents, "source", "doc_id"),
+    Some(raw"""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+            |  FROM documents GROUP BY 1),
+            |mn AS (SELECT min(n_total) AS n_min FROM n),
+            |thr AS (SELECT source, n_total,
+            |  CAST(floor(256 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_total AS DOUBLE))) AS INT) AS thr
+            |  FROM n CROSS JOIN mn),
+            |h AS (SELECT source, doc_id,
+            |  (CASE WHEN ascii(substr(md5('mixa:' || CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+            |        THEN ascii(substr(md5('mixa:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+            |        ELSE ascii(substr(md5('mixa:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16 +
+            |  (CASE WHEN ascii(substr(md5('mixa:' || CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+            |        THEN ascii(substr(md5('mixa:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+            |        ELSE ascii(substr(md5('mixa:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+            |FROM documents)
+            |SELECT h.source, max(thr.n_total) AS n_total, max(thr.thr) AS thr,
+            |  CAST(sum(CASE WHEN b < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            |  (CAST(sum(CASE WHEN b < thr THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+            |    // max(thr.n_total) AS kept_bp
+            |FROM h JOIN thr USING (source) GROUP BY 1""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -4312,5 +4407,6 @@ object Queries {
     qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qGlobalShuffle,
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
-    qIvfPqRerank, qIvfPqResidual)
+    qIvfPqRerank, qIvfPqResidual,
+    qBm25Topk, qSplitLeakfree, qDomainMixAlpha)
 }

@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators on top of the dedup/mixing stages: BM25
+  * retrieval scoring, dedup-aware (leakage-free) dataset splitting, and
+  * α-temperature domain mixing.
+  *
+  * Reference scope: the reference pipeline stops at ingest + serving
+  * aggregates (k8s/spark-apps/kafka-spark-configmap.yaml); these are part
+  * of the training-data extension surface (SURVEY.md §2, LLM-pipeline
+  * rows) — the selection steps between a deduplicated corpus and a
+  * training mixture.
+  *
+  * Cross-engine determinism contract (shared with [[graft.Queries]]):
+  * integer arithmetic wherever exactness matters, md5 for content
+  * hashing, and — where a float is unavoidable — only operations whose
+  * IEEE-754 result is identical on every engine (one division, one
+  * `sqrt`, one `ln`, one multiply, then an immediate fixed-point round).
+  */
+object Curation {
+
+  /** First md5 byte of `salt || key` as an int in [0, 256) — the
+    * deterministic acceptance coin used by every sampling operator in
+    * the catalog (reproducible on any engine, stable under corpus
+    * growth: a row's fate never changes when its neighbors do).
+    */
+  def md5Byte(salt: String, key: Column): Column = {
+    val h  = md5(concat(lit(salt), key))
+    val hi = ascii(substring(h, 1, 1))
+    val lo = ascii(substring(h, 2, 1))
+    (when(hi <= 57, hi - 48).otherwise(hi - 87) * 16 +
+      when(lo <= 57, lo - 48).otherwise(lo - 87))
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // BM25 retrieval scoring
+  // ─────────────────────────────────────────────────────────────────
+
+  /** Okapi BM25 top-k retrieval over a document table, k1 = 1.2,
+    * b = 0.75, Lucene's non-negative idf ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale shape: one explode + two keyed aggregations (doc lengths,
+    * term frequencies), a broadcast of the ≤|terms| df rows and the
+    * one-row corpus totals, and a TakeOrderedAndProject for the top-k —
+    * no shuffle carries more than one row per (doc, matched term).
+    * Scoring touches only docs containing a query term (the inner tf
+    * join), not the corpus.
+    *
+    * Exactness: with k1 = 6/5 and b = 3/4, multiplying the tf
+    * saturation term through by 20·T (T = corpus token count, N = doc
+    * count, dl = doc length, avgdl = T/N) gives an exact int64
+    * rational:
+    *
+    *     tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)
+    *
+    * and Lucene's idf collapses to ln((2N+2)/(2df+1)). The only float
+    * ops are one division each, one ln, one multiply — then each
+    * per-term contribution is rounded to int64 ten-thousandths BEFORE
+    * the per-doc sum, so the doc score is an order-independent integer
+    * sum (a float sum would be at the mercy of Spark's partial-agg
+    * order).
+    *
+    * Output: (idCol, score_sc) — score in ten-thousandths — ordered by
+    * (score desc, id) with a total-order tie-break, limited to k.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val dl   = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val tot  = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(dl, idCol)
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib", expr(
+        """CAST(round(
+          |  ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
+          |  * (CAST(44*t_toks*tf AS DOUBLE)
+          |     / CAST(20*t_toks*tf + 6*t_toks + 18*dl*n_docs AS DOUBLE))
+          |  * 10000) AS BIGINT)""".stripMargin))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("score_sc"))
+      .orderBy(col("score_sc").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // Dedup-aware (leakage-free) splitting
+  // ─────────────────────────────────────────────────────────────────
+
+  /** Train/val/test assignment keyed on the CONTENT group, not the row
+    * id: every doc in an exact-dup group (md5 of text) gets the split
+    * of its group, so a duplicate cluster can never straddle train and
+    * test — the eval-leakage failure mode of id-hash splitting
+    * (q_sample_split hashes the doc id and gives no such guarantee).
+    *
+    * Thresholds match q_sample_split: first md5 byte < 204 → train
+    * (~80%), < 230 → val (~10%), else test. One row per input doc:
+    * (idCol, grp, split).
+    *
+    * Scale shape: md5 is map-side; the group key never shuffles (split
+    * is a pure function of the group hash), so this is a zero-shuffle
+    * projection — the aggregation views over it decide what shuffles.
+    */
+  def leakFreeSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grp = md5(col(textCol))
+    val b   = md5Byte("lfsplit:", grp)
+    docs.select(
+      col(idCol),
+      grp.as("grp"),
+      when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"))
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // α-temperature domain mixing
+  // ─────────────────────────────────────────────────────────────────
+
+  /** Per-source acceptance thresholds for α = 1/2 temperature sampling
+    * (the T5 / Pile mixture trick: sampled share ∝ n^α, flattening the
+    * mixture toward small domains). Acceptance rate r_d ∝ n_d^(α−1)
+    * = 1/√n_d, normalized so the smallest domain keeps everything:
+    *
+    *     thr_d = ⌊256·√(n_min / n_d)⌋,  keep doc iff md5-byte < thr_d
+    *
+    * so E[kept_d] = n_d·√(n_min/n_d)·(thr-rounding) ∝ √n_d. The only
+    * float ops are one division and one `sqrt` — both CORRECTLY
+    * ROUNDED under IEEE-754 (unlike ln/exp/pow, sqrt is exact-rounded
+    * by spec), so the integer threshold is bit-identical on every
+    * engine with no rounding contract needed.
+    *
+    * Output: one row per source — (source, n_total, thr).
+    */
+  def temperatureThresholds(docs: DataFrame, srcCol: String): DataFrame = {
+    val perSrc = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_total"))
+    val minN   = perSrc.agg(min(col("n_total")).as("n_min"))
+    perSrc.crossJoin(broadcast(minN))
+      .withColumn("thr", expr(
+        "CAST(floor(256 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_total AS DOUBLE))) AS INT)"))
+      .drop("n_min")
+  }
+
+  /** α = 1/2 temperature mix report: per source, total docs, the
+    * deterministic acceptance threshold, kept count, and kept share in
+    * integer basis points. The acceptance coin is the doc-id md5 byte
+    * (salt "mixa:"), so the sample is reproducible and append-stable.
+    */
+  def temperatureMix(docs: DataFrame, srcCol: String, idCol: String): DataFrame = {
+    val thr = temperatureThresholds(docs, srcCol)
+    val b   = md5Byte("mixa:", col(idCol).cast("string"))
+    docs.select(col(srcCol), b.as("b"))
+      .join(broadcast(thr), Seq(srcCol))
+      .groupBy(col(srcCol))
+      .agg(
+        max(col("n_total")).as("n_total"),
+        max(col("thr")).cast("int").as("thr"),
+        sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_bp", expr("(n_kept * 10000) DIV n_total"))
+  }
+}

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Curation
+
+/** Specs for the corpus-curation operators (functions/Curation.scala):
+  * BM25 retrieval, leakage-free splitting, α-temperature mixing.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ─────────────────────────────────────────────────────────────────
+  // BM25
+  // ─────────────────────────────────────────────────────────────────
+
+  /** Independent scalar reimplementation of the exact formula the
+    * operator documents (k1=1.2, b=0.75, Lucene idf), for cross-checking
+    * the distributed path on a corpus small enough to enumerate.
+    */
+  private def bm25Expected(
+      docs: Seq[(Long, String)], terms: Seq[String], k: Int): Seq[(Long, Long)] = {
+    val toks   = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val dl     = toks.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val nDocs  = toks.size.toLong
+    val tToks  = dl.values.sum
+    val tf     = for ((id, ts) <- toks; t <- terms; c = ts.count(_ == t) if c > 0)
+      yield (id, t, c.toLong)
+    val df     = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val scores = tf
+      .map { case (id, t, f) =>
+        val idf    = math.log((2 * nDocs + 2).toDouble / (2 * df(t) + 1).toDouble)
+        val tfpart = (44 * tToks * f).toDouble /
+          (20 * tToks * f + 6 * tToks + 18 * dl(id) * nDocs).toDouble
+        id -> math.round(idf * tfpart * 10000)
+      }
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sum }.toSeq
+    scores.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  private val tinyCorpus = Seq(
+    (1L, "dup dup spark join"),          // rare term twice, short doc
+    (2L, "spark join window merge key"), // common terms only
+    (3L, "dup merge key value line group sort filter"), // rare term once, longer
+    (4L, "window window window spark"),
+    (5L, "key value line"))              // no query terms
+
+  test("bm25TopK matches an independent scalar evaluation of the documented formula") {
+    val df  = tinyCorpus.toDF("doc_id", "text")
+    val got = Curation.bm25TopK(df, "doc_id", "text", Seq("dup", "spark", "window"), 10)
+      .as[(Long, Long)].collect().toSeq
+    val exp = bm25Expected(tinyCorpus, Seq("dup", "spark", "window"), 10)
+    got shouldBe exp
+  }
+
+  test("bm25TopK ranking properties: rare-term docs outrank common-only, absent docs excluded") {
+    val df  = tinyCorpus.toDF("doc_id", "text")
+    val got = Curation.bm25TopK(df, "doc_id", "text", Seq("dup", "spark", "window"), 10)
+      .as[(Long, Long)].collect().toSeq
+    val rank = got.map(_._1)
+    // doc 5 has no query term → not scored at all
+    rank should not contain 5L
+    // doc 1 (rare term "dup" twice, short) must beat doc 2, whose only
+    // high-idf hit is a single "window" and whose other hits are low-idf
+    rank.indexOf(1L) should be < rank.indexOf(2L)
+    // scores strictly ordered (ties broken by id keeps output stable)
+    got.map(_._2).sliding(2).foreach { case Seq(a, b) => a should be >= b }
+  }
+
+  test("bm25TopK saturation: tf doubling gains less than the first occurrence (k1 cap)") {
+    val docs = Seq(
+      (1L, "dup pad pad pad"),
+      (2L, "dup dup pad pad"),
+      (3L, "dup dup dup dup")) // same length, rising tf
+    val got = Curation.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("dup"), 10).as[(Long, Long)].collect().toMap
+    val (s1, s2, s3) = (got(1L), got(2L), got(3L))
+    s2 should be > s1
+    s3 should be > s2
+    (s2 - s1) should be > (s3 - s2) // concave in tf: diminishing returns
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // Leakage-free split
+  // ─────────────────────────────────────────────────────────────────
+
+  test("leakFreeSplit never lets an exact-dup group straddle splits; id-hash split does") {
+    // 60 distinct texts, each duplicated under 3 different doc ids —
+    // enough groups that an id-hash split straddles some with high
+    // probability (P[all 60 co-located] ≈ (0.8²+0.1²+0.1²)^60 ~ 1e-11).
+    val docs = (0 until 60).flatMap { g =>
+      (0 until 3).map(i => (g * 100L + i, s"text of group $g with shared content"))
+    }.toDF("doc_id", "text")
+
+    val straddleLeakfree = Curation.leakFreeSplit(docs, "doc_id", "text")
+      .groupBy("grp").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count()
+    straddleLeakfree shouldBe 0L
+
+    val b = Curation.md5Byte("split:", col("doc_id").cast("string"))
+    val idSplit = docs.select(
+      md5(col("text")).as("grp"),
+      when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"))
+    val straddleIdHash = idSplit
+      .groupBy("grp").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count()
+    straddleIdHash should be > 0L // the leakage mode the operator exists to kill
+  }
+
+  test("leakFreeSplit is append-stable: adding docs never moves an existing doc's split") {
+    val base  = (0 until 40).map(i => (i.toLong, s"doc number $i")).toDF("doc_id", "text")
+    val grown = (0 until 80).map(i => (i.toLong, s"doc number $i")).toDF("doc_id", "text")
+    val a = Curation.leakFreeSplit(base, "doc_id", "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Curation.leakFreeSplit(grown, "doc_id", "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    a.foreach { case (id, s) => b(id) shouldBe s }
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // α-temperature mixing
+  // ─────────────────────────────────────────────────────────────────
+
+  test("temperatureThresholds: thr = floor(256·sqrt(n_min/n)) exactly, smallest domain keeps all") {
+    val docs = (
+      (0 until 100).map(i => (i.toLong, "a")) ++      // n=100
+      (0 until 400).map(i => (1000L + i, "b")) ++     // n=400 → thr 128
+      (0 until 900).map(i => (10000L + i, "c"))       // n=900 → thr 85
+    ).toDF("doc_id", "source")
+    val thr = Curation.temperatureThresholds(docs, "source")
+      .select("source", "n_total", "thr").as[(String, Long, Int)].collect()
+      .map { case (s, n, t) => s -> ((n, t)) }.toMap
+    thr("a") shouldBe ((100L, 256))
+    thr("b") shouldBe ((400L, 128)) // 256·sqrt(1/4) exactly
+    thr("c") shouldBe ((900L, 85))  // floor(256/3)
+  }
+
+  test("temperatureMix flattens toward √n: kept counts within 4σ of thr/256 expectation") {
+    val docs = (
+      (0 until 256).map(i => (i.toLong, "small")) ++
+      (0 until 4096).map(i => (100000L + i, "large"))
+    ).toDF("doc_id", "source")
+    val mix = Curation.temperatureMix(docs, "source", "doc_id")
+      .select("source", "n_total", "thr", "n_kept")
+      .as[(String, Long, Int, Long)].collect()
+      .map { case (s, n, t, k) => s -> ((n, t, k)) }.toMap
+    val (_, tS, kS) = mix("small")
+    val (nL, tL, kL) = mix("large")
+    tS shouldBe 256
+    kS shouldBe 256L // thr 256 accepts every md5 byte
+    tL shouldBe 64   // floor(256·sqrt(256/4096)) = 64
+    // md5 bytes ~ Uniform[0,256): E[kept] = n·thr/256, σ = sqrt(n·p·(1−p))
+    val p   = tL / 256.0
+    val sd  = math.sqrt(nL * p * (1 - p))
+    math.abs(kL - nL * p) should be <= (4 * sd)
+  }
+
+  test("temperatureMix acceptance is per-doc deterministic and append-stable") {
+    val docs  = (0 until 500).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
+    val r1 = Curation.temperatureMix(docs, "source", "doc_id").orderBy("source")
+      .collect().map(_.toSeq)
+    val r2 = Curation.temperatureMix(docs.repartition(7), "source", "doc_id")
+      .orderBy("source").collect().map(_.toSeq)
+    r1 shouldBe r2 // partition-layout invariant
+  }
+}

@@ -52,7 +52,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_pmi_colloc",     // one-row document count crossed into the lift
     // one-row max(vec_id)+1 frame crossed into the perturbed-copy ids
     // (the r9 fixed-offset collision fix)
-    "q_neardup_banded", "q_band_sweep", "q_dedup_order")
+    "q_neardup_banded", "q_band_sweep", "q_dedup_order",
+    "q_bm25_topk",        // one-row corpus totals crossed into the tf table
+    "q_domain_mix_alpha") // one-row n_min frame crossed into the thresholds
   private val broadcastSmallSideFanOuts = Set(
     // nested loop over a TINY broadcast side, linear in the big side:
     // brute-force kNN probes a handful of broadcast query vectors per
