@@ -4378,6 +4378,60 @@ object Queries {
             |    // max(thr.n_total) AS kept_bp
             |FROM h JOIN thr USING (source) GROUP BY 1""".stripMargin))
 
+  /** md5-byte SQL fragment: first byte of md5(salt || doc_id) as 0..255
+    * (the deterministic acceptance coin, DuckDB spelling).
+    */
+  private def sqlMd5Byte(salt: String): String =
+    s"""(CASE WHEN ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+       |      THEN ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+       |      ELSE ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16 +
+       |(CASE WHEN ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+       |      THEN ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+       |      ELSE ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END)""".stripMargin
+
+  private val qNbClassify = Q(
+    "q_nb_classify",
+    "Naive Bayes lang classifier: train on 80% split, score held-out, integer-exact argmax, confusion matrix",
+    (s, d) => Curation.nbConfusion(t(s, d).documents, "doc_id", "text", "lang"),
+    Some(raw"""WITH tagged AS (SELECT doc_id, lang, text,
+            |  (${sqlMd5Byte("nb:")}) < 204 AS is_train FROM documents),
+            |toks AS (SELECT doc_id, lang AS true_cls, is_train,
+            |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+            |  FROM tagged WHERE length(trim(text)) > 0),
+            |cnt AS (SELECT true_cls AS cls, tok, CAST(count(*) AS BIGINT) AS cnt
+            |  FROM toks WHERE is_train GROUP BY 1, 2),
+            |tot AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+            |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+            |  FROM toks WHERE is_train),
+            |model AS (SELECT cls, tok,
+            |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+            |  FROM cnt JOIN tot USING (cls) CROSS JOIN vv),
+            |lp0 AS (SELECT cls,
+            |    CAST(round(ln(1.0 / CAST(tot + v AS DOUBLE)) * 1000000) AS BIGINT) AS lp0
+            |  FROM tot CROSS JOIN vv),
+            |nc AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS nc
+            |  FROM tagged WHERE is_train GROUP BY 1),
+            |prior AS (SELECT cls,
+            |    CAST(round(ln(CAST(nc AS DOUBLE)
+            |      / CAST((SELECT sum(nc) FROM nc) AS DOUBLE)) * 1000000) AS BIGINT) AS prior_sc
+            |  FROM nc),
+            |ttf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            |  FROM toks WHERE NOT is_train GROUP BY 1, 2),
+            |toksc AS (SELECT doc_id, p.cls,
+            |    CAST(sum(tf * COALESCE(lp, lp0)) AS BIGINT) AS tok_sc
+            |  FROM ttf CROSS JOIN (SELECT cls FROM prior) p
+            |  LEFT JOIN model USING (cls, tok) JOIN lp0 USING (cls) GROUP BY 1, 2),
+            |td AS (SELECT doc_id, lang AS true_cls FROM tagged WHERE NOT is_train),
+            |sc AS (SELECT td.doc_id, td.true_cls, prior.cls,
+            |    prior_sc + COALESCE(tok_sc, 0) AS score
+            |  FROM td CROSS JOIN prior
+            |  LEFT JOIN toksc ON toksc.doc_id = td.doc_id AND toksc.cls = prior.cls),
+            |pred AS (SELECT doc_id, true_cls, cls,
+            |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+            |  FROM sc)
+            |SELECT true_cls, cls AS pred_cls, CAST(count(*) AS BIGINT) AS n
+            |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -4408,5 +4462,5 @@ object Queries {
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qSplitLeakfree, qDomainMixAlpha)
+    qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify)
 }

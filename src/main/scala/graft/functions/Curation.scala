@@ -148,6 +148,88 @@ object Curation {
       .drop("n_min")
   }
 
+  // ─────────────────────────────────────────────────────────────────
+  // Naive Bayes domain / language classification
+  // ─────────────────────────────────────────────────────────────────
+
+  /** Multinomial Naive Bayes with add-1 smoothing, trained and evaluated
+    * in one plan: an 80/20 content-stable split (doc-id md5 byte, salt
+    * "nb:"), per-class token log-probs from the train side, held-out
+    * docs scored and argmax-classified, confusion matrix out — the
+    * fastText-shaped quality/domain classifier step of a curation
+    * pipeline (CCNet-style), minus the embedding layer.
+    *
+    * Determinism: ln() is the one non-exact-rounded float op, so it is
+    * confined to the MODEL — each (class, token) log-prob and each class
+    * prior is rounded to int64 micro-units exactly once (O(V·C) + C
+    * roundings, data-independent count). Doc scoring is then pure
+    * integer arithmetic (tf·lp sums), so the argmax — including exact
+    * ties between near-identical class distributions — is bit-identical
+    * on every engine, with a lexicographic class tie-break.
+    *
+    * Scale shape: training is one (class, token) keyed aggregation;
+    * the model (V·C rows), class totals, and priors broadcast; scoring
+    * is a map-side fan-out of each held-out doc's token counts over the
+    * C classes plus one per-doc argmax window. At vocab sizes where
+    * V·C stops fitting a broadcast, flip the model join to a shuffle
+    * join on the token key — the plan shape is otherwise unchanged.
+    *
+    * Output: (true_cls, pred_cls, n) confusion counts.
+    */
+  def nbConfusion(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      classCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = docs.withColumn("is_train",
+      md5Byte("nb:", col(idCol).cast("string")) < 204)
+    val toks = tagged.select(col(idCol), col(classCol).as("true_cls"),
+      col("is_train"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val trainToks = toks.filter(col("is_train"))
+
+    val cnt = trainToks.groupBy(col("true_cls").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
+    val v   = trainToks.agg(countDistinct(col("tok")).as("v"))
+    val model = cnt.join(tot, "cls").crossJoin(broadcast(v))
+      .withColumn("lp", expr(
+        "CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .select(col("cls"), col("tok"), col("lp"))
+    val lp0 = tot.crossJoin(broadcast(v))
+      .withColumn("lp0", expr(
+        "CAST(round(ln(1.0 / CAST(tot + v AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .select(col("cls"), col("lp0"))
+    val nc = tagged.filter(col("is_train"))
+      .groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("nc"))
+    val prior = nc.crossJoin(broadcast(nc.agg(sum(col("nc")).as("n_train"))))
+      .withColumn("prior_sc", expr(
+        "CAST(round(ln(CAST(nc AS DOUBLE) / CAST(n_train AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .select(col("cls"), col("prior_sc"))
+
+    val testTf = toks.filter(!col("is_train"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val tokSc = testTf
+      .crossJoin(broadcast(prior.select(col("cls"))))
+      .join(broadcast(model), Seq("cls", "tok"), "left")
+      .join(broadcast(lp0), Seq("cls"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("tf") * coalesce(col("lp"), col("lp0"))).as("tok_sc"))
+
+    val testDocs = tagged.filter(!col("is_train"))
+      .select(col(idCol), col(classCol).as("true_cls"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("cls"))
+    testDocs
+      .crossJoin(broadcast(prior))
+      .join(tokSc, Seq(idCol, "cls"), "left")
+      .withColumn("score", col("prior_sc") + coalesce(col("tok_sc"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_cls"), col("cls").as("pred_cls"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** α = 1/2 temperature mix report: per source, total docs, the
     * deterministic acceptance threshold, kept count, and kept share in
     * integer basis points. The acceptance coin is the doc-id md5 byte

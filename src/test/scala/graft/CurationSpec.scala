@@ -117,6 +117,59 @@ class CurationSpec extends SparkSpec {
   }
 
   // ─────────────────────────────────────────────────────────────────
+  // Naive Bayes classifier
+  // ─────────────────────────────────────────────────────────────────
+
+  test("nbConfusion: disjoint-vocabulary classes classify held-out docs perfectly") {
+    // two classes with disjoint vocab — any smoothing level must still
+    // put every held-out doc on the diagonal
+    val docs = (0 until 100).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta gamma alpha beta", "A")
+      else (i.toLong, "delta epsilon zeta delta epsilon", "B")
+    }.toDF("doc_id", "text", "cls")
+    val conf = Curation.nbConfusion(docs, "doc_id", "text", "cls")
+      .as[(String, String, Long)].collect().toSeq
+    conf.foreach { case (t, p, _) => p shouldBe t } // pure diagonal
+    conf.map(_._3).sum should be > 0L               // a held-out set exists
+  }
+
+  test("nbConfusion: exact score ties break lexicographically and survive repartitioning") {
+    // both classes have IDENTICAL token distributions and equal priors →
+    // every held-out doc is an exact integer tie; prediction must be the
+    // lexicographically first class, on any partition layout
+    val docs = (0 until 200).map { i =>
+      (i.toLong, "same words every time", if (i % 2 == 0) "x" else "y")
+    }.toDF("doc_id", "text", "cls")
+    val c1 = Curation.nbConfusion(docs, "doc_id", "text", "cls")
+      .as[(String, String, Long)].collect().toSet
+    c1.foreach { case (_, p, _) => p shouldBe "x" } // tie → first class
+    val c2 = Curation.nbConfusion(docs.repartition(13), "doc_id", "text", "cls")
+      .as[(String, String, Long)].collect().toSet
+    c2 shouldBe c1
+  }
+
+  test("nbConfusion: unseen held-out tokens fall back to the smoothed zero-count, not a dropped row") {
+    // a token that never occurs in ANY training doc (only on held-out
+    // docs) must not erase the doc — it scores via lp0. Training
+    // membership is doc-id-md5 determined, so plant the unseen token on
+    // every doc: it reaches training iff some train doc has it — here no
+    // doc has it in train text but all test docs do, via a marker only
+    // when the doc's own md5 byte >= 204 (exactly the held-out set).
+    val b204 = (0 until 300).map { i =>
+      val h  = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"nb:$i".getBytes("UTF-8"))
+      val b  = (h(0).toInt & 0xff)
+      val txt = if (b >= 204) "qqq zzz unseen unseen" else "alpha beta gamma"
+      (i.toLong, txt, if (i % 2 == 0) "A" else "B")
+    }
+    val docs = b204.toDF("doc_id", "text", "cls")
+    val conf = Curation.nbConfusion(docs, "doc_id", "text", "cls")
+      .as[(String, String, Long)].collect().toSeq
+    val heldOut = b204.count(_._2.startsWith("qqq")).toLong
+    conf.map(_._3).sum shouldBe heldOut // every held-out doc classified
+  }
+
+  // ─────────────────────────────────────────────────────────────────
   // α-temperature mixing
   // ─────────────────────────────────────────────────────────────────
 
