@@ -4432,6 +4432,30 @@ object Queries {
             |SELECT true_cls, cls AS pred_cls, CAST(count(*) AS BIGINT) AS n
             |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin))
 
+  private val qKnSurprisal = Q(
+    "q_kn_surprisal",
+    "Kneser–Ney bigram LM surprisal per doc (d=3/4 exact rational, model-confined log2) — the CCNet perplexity filter",
+    (s, d) => graft.functions.Quality.knBigramSurprisal(t(s, d).documents, "doc_id", "text"),
+    Some(raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            |  FROM documents WHERE length(trim(text)) > 0
+            |    AND len(string_split_regex(trim(text), '\s+')) >= 2),
+            |bg AS (SELECT doc_id, toks[g.i] AS v, toks[g.i+1] AS w
+            |  FROM tk CROSS JOIN LATERAL
+            |    (SELECT unnest(generate_series(1, len(toks)-1)) AS i) g),
+            |cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS cvw FROM bg GROUP BY 1, 2),
+            |cv AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv,
+            |    CAST(count(*) AS BIGINT) AS n1v FROM cvw GROUP BY 1),
+            |n1w AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM cvw GROUP BY 1),
+            |nbt AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM cvw),
+            |model AS (SELECT v, w,
+            |    CAST(round(-log2(
+            |      CAST((4*cvw - 3)*nbt + 3*n1v*n1w AS DOUBLE)
+            |      / CAST(4*cv*nbt AS DOUBLE)) * 1000000) AS BIGINT) AS sc
+            |  FROM cvw JOIN cv USING (v) JOIN n1w USING (w) CROSS JOIN nbt)
+            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            |  CAST(sum(sc) AS BIGINT) // (CAST(count(*) AS BIGINT) * 10000) AS avg_kn_cb
+            |FROM bg JOIN model USING (v, w) GROUP BY 1""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -4462,5 +4486,5 @@ object Queries {
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify)
+    qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal)
 }

@@ -145,4 +145,59 @@ object Quality {
         col("ok_words") && col("ok_word_len") && col("ok_alpha") && col("ok_stop"))
       .drop("sum_len", "n_alpha")
   }
+
+  /** Kneser–Ney bigram LM surprisal per document — the CCNet/KenLM
+    * perplexity-filter signal (Wenzek et al. LREC'20 §3.3), one n-gram
+    * order up from the unigram `q_lm_surprisal`.
+    *
+    * Interpolated KN with absolute discount d = 3/4 (Chen & Goodman
+    * 1999 eq. 15), scored in-sample so every scored bigram has
+    * c(vw) ≥ 1 and the max(·,0) and unseen branches vanish:
+    *
+    *   P(w|v) = (c(vw) − d)/c(v) + d·N₁₊(v·)/c(v) · N₁₊(·w)/N₁₊(··)
+    *          = [(4·c(vw) − 3)·N₁₊(··) + 3·N₁₊(v·)·N₁₊(·w)]
+    *            / [4·c(v)·N₁₊(··)]
+    *
+    * — an exact int64 rational (d = 3/4 multiplies through), so the
+    * only float ops are the one division and one log2, both confined
+    * to the MODEL: each bigram type's surprisal is rounded to int64
+    * micro-bits exactly once (O(bigram types) roundings, vocab- not
+    * corpus-scale), and per-doc scoring is a pure integer sum —
+    * bit-identical cross-engine like [[Curation.nbConfusion]]'s argmax.
+    *
+    * Scale shape: bigrams are a map-side array transform (no
+    * positional self-join); counts are two keyed aggregations; the
+    * model joins back on (v, w) — broadcast at bounded vocab,
+    * shuffle-join at web vocab (the int64 rational needs headroom:
+    * 4·c(v)·N₁₊(··) must stay < 2^63 — restate in log-space doubles
+    * past ~10^9 contexts).
+    *
+    * Output: (idCol, n_bigrams, avg_kn_cb) — mean bigram surprisal in
+    * integer centibits, floor division; docs with < 2 tokens carry no
+    * bigram and are excluded.
+    */
+  def knBigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS v, toks[i+1] AS w))")).as("b"))
+      .select(col(idCol), col("b.v").as("v"), col("b.w").as("w"))
+    val cvw = bg.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+    val cv  = cvw.groupBy(col("v"))
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+    val n1w = cvw.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+    val nbt = cvw.agg(count(lit(1)).as("nbt"))
+    val model = cvw.join(cv, "v").join(n1w, "w").crossJoin(broadcast(nbt))
+      .withColumn("sc", expr(
+        """CAST(round(-log2(
+          |  CAST((4*cvw - 3)*nbt + 3*n1v*n1w AS DOUBLE)
+          |  / CAST(4*cv*nbt AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin))
+      .select(col("v"), col("w"), col("sc"))
+    bg.join(model, Seq("v", "w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sc")).as("sum_sc"))
+      .withColumn("avg_kn_cb", expr("sum_sc DIV (n_bigrams * 10000)"))
+      .select(col(idCol), col("n_bigrams"), col("avg_kn_cb"))
+  }
 }

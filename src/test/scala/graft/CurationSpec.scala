@@ -170,6 +170,54 @@ class CurationSpec extends SparkSpec {
   }
 
   // ─────────────────────────────────────────────────────────────────
+  // Kneser–Ney bigram LM surprisal
+  // ─────────────────────────────────────────────────────────────────
+
+  test("knBigramSurprisal matches an independent scalar KN evaluation (d=3/4)") {
+    import graft.functions.Quality
+    val corpus = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c d e"),
+      (3L, "b a c a d a"),
+      (4L, "e d c b a"),
+      (5L, "x"))          // single token: no bigram, excluded
+    // scalar KN: P(w|v) = ((4·cvw−3)·nbt + 3·n1v·n1w) / (4·cv·nbt)
+    val bgs = corpus.flatMap { case (id, t) =>
+      val ts = t.split(" "); ts.zip(ts.drop(1)).map(p => (id, p._1, p._2))
+    }
+    val cvw = bgs.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size.toLong }
+    val cv  = cvw.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val n1v = cvw.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val n1w = cvw.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val nbt = cvw.size.toLong
+    val sc  = cvw.map { case ((v, w), c) =>
+      val num = (4 * c - 3) * nbt + 3 * n1v(v) * n1w(w)
+      val den = 4 * cv(v) * nbt
+      (v, w) -> math.round(-(math.log(num.toDouble / den.toDouble) / math.log(2.0)) * 1000000)
+    }
+    val exp = bgs.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map(b => sc((b._2, b._3))).sum
+      id -> ((bs.size.toLong, s / (bs.size.toLong * 10000)))
+    }
+    val got = Quality.knBigramSurprisal(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got shouldBe exp
+  }
+
+  test("knBigramSurprisal: formulaic text scores lower than rare-transition text") {
+    import graft.functions.Quality
+    // doc 1 repeats the corpus's dominant bigram; doc 2 takes one-off
+    // transitions — the perplexity-filter axis (low = boilerplate)
+    val corpus = (0 until 20).map(i => (i.toLong, "the quick fox the quick fox")) ++
+      Seq((100L, "fox the fox quick the the"), (101L, "quick fox the quick fox the"))
+    val got = Quality.knBigramSurprisal(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    got(0L) should be < got(100L)
+    // every bigram seen once in-sample still gets a finite positive score
+    got.values.foreach(_ should be > 0L)
+  }
+
+  // ─────────────────────────────────────────────────────────────────
   // α-temperature mixing
   // ─────────────────────────────────────────────────────────────────
 
