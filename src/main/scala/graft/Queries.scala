@@ -4456,6 +4456,59 @@ object Queries {
             |  CAST(sum(sc) AS BIGINT) // (CAST(count(*) AS BIGINT) * 10000) AS avg_kn_cb
             |FROM bg JOIN model USING (v, w) GROUP BY 1""".stripMargin))
 
+  private val qDedupEval = Q(
+    "q_dedup_eval",
+    "detector evaluation: MinHash-LSH candidate precision/recall vs exact Jaccard ground truth, one row",
+    (s, d) => {
+      // "measure, don't guess" for the dedup stage itself: on the bounded
+      // ground-truth corpus, how much of the exact-Jaccard≥0.8 pair set
+      // do the 16-hash/4-band candidates recover (recall), and how much
+      // of the candidate set is real (precision)? The band S-curve's
+      // 50%-collision point is (1/4)^(1/4) ≈ 0.71, so τ = 0.8 sits on the
+      // high-recall side — the observable the sweep query q_band_sweep
+      // tunes toward. Truth is quadratic-over-a-CONSTANT (doc_id < 500,
+      // same bound as q_dedup_jaccard); candidates are the production
+      // equi-join path.
+      val docs  = t(s, d).documents.filter(col("doc_id") < 500)
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val cand = Dedup.minhashCandidates(
+        docs, "doc_id", "text", MinhashHashes, MinhashBands, maxBucket = 0)
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("precision_bp",
+          expr("CASE WHEN n_cand > 0 THEN (n_hit * 10000) DIV n_cand ELSE 0 END"))
+        .withColumn("recall_bp",
+          expr("CASE WHEN n_true > 0 THEN (n_hit * 10000) DIV n_true ELSE 0 END"))
+    },
+    Some(s"""WITH toks AS (${sqlDocToks(500)}),
+            |${sqlMinhashSigs(MinhashHashes)},
+            |bands AS (
+            |${sqlMinhashBands(MinhashHashes, MinhashBands)}
+            |),
+            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+            |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+            |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |    CAST(count(*) AS BIGINT) AS common
+            |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |truth AS (SELECT doc_a, doc_b FROM c
+            |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+            |  WHERE common / (sa.nt + sb.nt - common) >= 0.8),
+            |hit AS (SELECT * FROM cand JOIN truth USING (doc_a, doc_b)),
+            |m AS (SELECT
+            |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+            |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+            |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+            |SELECT n_true, n_cand, n_hit,
+            |  CASE WHEN n_cand > 0 THEN (n_hit * 10000) // n_cand ELSE 0 END AS precision_bp,
+            |  CASE WHEN n_true > 0 THEN (n_hit * 10000) // n_true ELSE 0 END AS recall_bp
+            |FROM m""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -4486,5 +4539,5 @@ object Queries {
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal)
+    qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval)
 }

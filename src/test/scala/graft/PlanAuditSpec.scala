@@ -54,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // (the r9 fixed-offset collision fix)
     "q_neardup_banded", "q_band_sweep", "q_dedup_order",
     "q_bm25_topk",        // one-row corpus totals crossed into the tf table
-    "q_domain_mix_alpha") // one-row n_min frame crossed into the thresholds
+    "q_domain_mix_alpha", // one-row n_min frame crossed into the thresholds
+    "q_dedup_eval")       // three one-row metric frames crossed into one report row
   private val broadcastSmallSideFanOuts = Set(
     // nested loop over a TINY broadcast side, linear in the big side:
     // brute-force kNN probes a handful of broadcast query vectors per
