@@ -176,23 +176,26 @@ object Curation {
     *
     * Output: (true_cls, pred_cls, n) confusion counts.
     */
-  def nbConfusion(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      classCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tagged = docs.withColumn("is_train",
-      md5Byte("nb:", col(idCol).cast("string")) < 204)
-    val toks = tagged.select(col(idCol), col(classCol).as("true_cls"),
-      col("is_train"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    val trainToks = toks.filter(col("is_train"))
+  /** Trained NB model: `tokLp` = (cls, tok, lp) per-(class, token)
+    * log-probs in int64 micro-units; `clsStats` = (cls, lp0, prior_sc)
+    * — the smoothed zero-count fallback and class prior. Both are
+    * vocab-/class-scale (never corpus-scale), so they broadcast and
+    * persist as tiny tables.
+    */
+  final case class NbModel(tokLp: DataFrame, clsStats: DataFrame)
 
-    val cnt = trainToks.groupBy(col("true_cls").as("cls"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+  /** Fit the multinomial NB model (add-1 smoothing) on a training
+    * frame. All ln() roundings happen here — O(V·C) + C of them, each
+    * to int64 micro-units — so downstream scoring is pure integer
+    * arithmetic (see [[nbConfusion]]).
+    */
+  def nbFit(train: DataFrame, textCol: String, classCol: String): NbModel = {
+    val toks = train.select(col(classCol).as("cls"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val cnt = toks.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cnt"))
     val tot = cnt.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
-    val v   = trainToks.agg(countDistinct(col("tok")).as("v"))
-    val model = cnt.join(tot, "cls").crossJoin(broadcast(v))
+    val v   = toks.agg(countDistinct(col("tok")).as("v"))
+    val tokLp = cnt.join(tot, "cls").crossJoin(broadcast(v))
       .withColumn("lp", expr(
         "CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)) * 1000000) AS BIGINT)"))
       .select(col("cls"), col("tok"), col("lp"))
@@ -200,33 +203,73 @@ object Curation {
       .withColumn("lp0", expr(
         "CAST(round(ln(1.0 / CAST(tot + v AS DOUBLE)) * 1000000) AS BIGINT)"))
       .select(col("cls"), col("lp0"))
-    val nc = tagged.filter(col("is_train"))
-      .groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("nc"))
+    val nc = train.groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("nc"))
     val prior = nc.crossJoin(broadcast(nc.agg(sum(col("nc")).as("n_train"))))
       .withColumn("prior_sc", expr(
         "CAST(round(ln(CAST(nc AS DOUBLE) / CAST(n_train AS DOUBLE)) * 1000000) AS BIGINT)"))
       .select(col("cls"), col("prior_sc"))
+    NbModel(tokLp, prior.join(lp0, "cls").select("cls", "lp0", "prior_sc"))
+  }
 
-    val testTf = toks.filter(!col("is_train"))
+  /** Persist / load an [[NbModel]] as two parquet tables under `dir`
+    * (`tok_lp/`, `cls_stats/`) — the offline half of the streaming
+    * classify path ([[graft.streaming.Pipelines.nbClassifyIngest]]);
+    * a retrain overwrites both atomically enough for per-trigger
+    * re-reads (each trigger reads one consistent model or the next).
+    */
+  def writeNbModel(m: NbModel, dir: String): Unit = {
+    m.tokLp.write.mode("overwrite").parquet(s"$dir/tok_lp")
+    m.clsStats.write.mode("overwrite").parquet(s"$dir/cls_stats")
+  }
+
+  def readNbModel(spark: org.apache.spark.sql.SparkSession, dir: String): NbModel =
+    NbModel(spark.read.parquet(s"$dir/tok_lp"), spark.read.parquet(s"$dir/cls_stats"))
+
+  /** Classify docs against a trained model: (idCol, pred_cls, score_sc)
+    * — argmax class per doc with the lexicographic tie-break, score in
+    * int64 micro-units. Map-side ×C fan-out over the broadcast class
+    * frame; unseen tokens fall back to the class's smoothed zero-count.
+    */
+  def nbPredict(
+      docs: DataFrame,
+      model: NbModel,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val testTf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
     val tokSc = testTf
-      .crossJoin(broadcast(prior.select(col("cls"))))
-      .join(broadcast(model), Seq("cls", "tok"), "left")
-      .join(broadcast(lp0), Seq("cls"))
+      .crossJoin(broadcast(model.clsStats.select(col("cls"))))
+      .join(broadcast(model.tokLp), Seq("cls", "tok"), "left")
+      .join(broadcast(model.clsStats.select(col("cls"), col("lp0"))), Seq("cls"))
       .groupBy(col(idCol), col("cls"))
       .agg(sum(col("tf") * coalesce(col("lp"), col("lp0"))).as("tok_sc"))
-
-    val testDocs = tagged.filter(!col("is_train"))
-      .select(col(idCol), col(classCol).as("true_cls"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("cls"))
-    testDocs
-      .crossJoin(broadcast(prior))
+    docs.select(col(idCol))
+      .crossJoin(broadcast(model.clsStats.select(col("cls"), col("prior_sc"))))
       .join(tokSc, Seq(idCol, "cls"), "left")
       .withColumn("score", col("prior_sc") + coalesce(col("tok_sc"), lit(0L)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .groupBy(col("true_cls"), col("cls").as("pred_cls"))
+      .select(col(idCol), col("cls").as("pred_cls"), col("score").as("score_sc"))
+  }
+
+  def nbConfusion(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      classCol: String): DataFrame = {
+    val tagged = docs.withColumn("is_train",
+      md5Byte("nb:", col(idCol).cast("string")) < 204)
+    val model = nbFit(
+      tagged.filter(col("is_train")).select(col(idCol), col(textCol), col(classCol)),
+      textCol, classCol)
+    val heldOut = tagged.filter(!col("is_train"))
+    nbPredict(heldOut.select(col(idCol), col(textCol)), model, idCol, textCol)
+      .join(heldOut.select(col(idCol), col(classCol).as("true_cls")), idCol)
+      .groupBy(col("true_cls"), col("pred_cls"))
       .agg(count(lit(1)).as("n"))
   }
 

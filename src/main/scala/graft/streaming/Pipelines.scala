@@ -292,6 +292,43 @@ object Pipelines {
       }
   }
 
+  /** Streaming NB classification ingest — the classifier analog of
+    * [[dsirScoreIngest]]'s persisted-model split (the CCNet production
+    * shape: a quality/domain classifier sits IN the ingest path and
+    * labels every arriving document). The model is trained offline
+    * ([[graft.functions.Curation.nbFit]] → `writeNbModel`); each
+    * micro-batch is classified against it map-side (broadcast V·C
+    * model, ×C fan-out, integer-exact argmax) and written to its own
+    * `preds/batch=<id>` partition.
+    *
+    * REPLAY SAFETY: prediction is a pure function of (batch, model)
+    * and each batch overwrites only its own directory, so a replayed
+    * batch is a no-op. The model is re-read per trigger, so an offline
+    * retrain is picked up at the next one — predictions never mix two
+    * models within a batch.
+    */
+  def nbClassifyIngest(
+      docs: DataFrame,
+      modelDir: String,
+      stateDir: String,
+      checkpoint: String,
+      id: String = "doc_id",
+      text: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Curation
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val model = Curation.readNbModel(spark, modelDir)
+        Curation.nbPredict(batch, model, id, text)
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/preds/batch=$batchId")
+        ()
+      }
+  }
+
   /** Streaming IVF-PQ index maintenance — the ANN analog of
     * [[dsirScoreIngest]]'s persisted-model split: the coarse centroids
     * and PQ codebooks are trained ONCE offline

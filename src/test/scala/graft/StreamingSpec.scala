@@ -539,6 +539,54 @@ class StreamingSpec extends SparkSpec {
     scores() shouldBe got
   }
 
+  test("nbClassifyIngest: micro-batches classify against the persisted model, equal to the batch path") {
+    import graft.functions.Curation
+    val in       = memStream[(Long, String)]
+    val state    = tmpDir("nb_state")
+    val modelDir = tmpDir("nb_model")
+    // offline training: two classes with mostly-disjoint vocab
+    val train = Seq(
+      (100L, "alpha beta alpha gamma", "A"),
+      (101L, "alpha beta beta gamma", "A"),
+      (102L, "x y z w", "B"),      // same token mass as class A, so the
+      (103L, "x z w y", "B")       // two lp0 fallbacks are equal
+    ).toDF("doc_id", "text", "cls")
+    Curation.writeNbModel(Curation.nbFit(train, "text", "cls"), modelDir)
+
+    val batch0 = Seq((1L, "alpha beta gamma"), (2L, "x y z"))
+    val batch1 = Seq((3L, "entirely unseen tokens"))
+    val q = Pipelines.nbClassifyIngest(
+      in.toDF().toDF("doc_id", "text"), modelDir, state, tmpDir("nb_ckpt")).start()
+    try {
+      in.addData(batch0: _*)
+      q.processAllAvailable()
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def preds() = spark.read.parquet(s"$state/preds")
+      .select("doc_id", "pred_cls", "score_sc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = preds()
+    // identical semantics to the batch scorer over the union of batches
+    val model = Curation.readNbModel(spark, modelDir)
+    val expected = Curation.nbPredict(
+      (batch0 ++ batch1).toDF("doc_id", "text"), model, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    got shouldBe expected
+    // the vocabularies separate cleanly
+    got.find(_._1 == 1L).get._2 shouldBe "A"
+    got.find(_._1 == 2L).get._2 shouldBe "B"
+    // doc 3 is all-unseen: both classes score via lp0 only — the exact
+    // tie must break to the lexicographically first class
+    got.find(_._1 == 3L).get._2 shouldBe "A"
+    // REPLAY SAFETY: re-firing batch 0 against the same model overwrites
+    // its own partition with identical rows
+    Curation.nbPredict(batch0.toDF("doc_id", "text"), model, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$state/preds/batch=0")
+    preds() shouldBe got
+  }
+
   test("ivfPqIngest: streamed batches extend the persisted index; accumulation == monolithic build") {
     import graft.functions.Similarity
     def mkVec(i: Long): Array[Double] = {
