@@ -38,17 +38,12 @@ object Curation {
   // BM25 retrieval scoring
   // ─────────────────────────────────────────────────────────────────
 
-  /** Okapi BM25 top-k retrieval over a document table, k1 = 1.2,
-    * b = 0.75, Lucene's non-negative idf ln(1 + (N−df+0.5)/(df+0.5)).
+  /** Okapi BM25 retrieval, k1 = 1.2, b = 0.75, Lucene's non-negative
+    * idf ln(1 + (N−df+0.5)/(df+0.5)). Split index/search below;
+    * [[bm25TopK]] is the one-plan composition.
     *
-    * Scale shape: one explode + two keyed aggregations (doc lengths,
-    * term frequencies), a broadcast of the ≤|terms| df rows and the
-    * one-row corpus totals, and a TakeOrderedAndProject for the top-k —
-    * no shuffle carries more than one row per (doc, matched term).
-    * Scoring touches only docs containing a query term (the inner tf
-    * join), not the corpus.
-    *
-    * Exactness: with k1 = 6/5 and b = 3/4, multiplying the tf
+    * Exactness (shared by every entry point): with k1 = 6/5 and b =
+    * 3/4, multiplying the tf
     * saturation term through by 20·T (T = corpus token count, N = doc
     * count, dl = doc length, avgdl = T/N) gives an exact int64
     * rational:
@@ -66,21 +61,57 @@ object Curation {
     * Output: (idCol, score_sc) — score in ten-thousandths — ordered by
     * (score desc, id) with a total-order tie-break, limited to k.
     */
-  def bm25TopK(
+  /** BM25 corpus statistics — the persistable index half: `df` is the
+    * ALL-token document-frequency table (vocab-scale), `tot` the one-row
+    * (n_docs, t_toks) totals. Production builds this once per corpus
+    * snapshot ([[writeBm25Index]], the [[NbModel]] idiom) and serves
+    * every query from it; [[bm25TopK]] composes build + search in one
+    * plan as the self-contained demo.
+    */
+  final case class Bm25Index(df: DataFrame, tot: DataFrame)
+
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val df = toks.distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tot = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    Bm25Index(df, tot)
+  }
+
+  def writeBm25Index(ix: Bm25Index, dir: String): Unit = {
+    ix.df.write.mode("overwrite").parquet(s"$dir/df")
+    ix.tot.write.mode("overwrite").parquet(s"$dir/tot")
+  }
+
+  def readBm25Index(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index =
+    Bm25Index(spark.read.parquet(s"$dir/df"), spark.read.parquet(s"$dir/tot"))
+
+  /** Search half: ONE corpus scan computes each doc's length and its
+    * query-term tfs in the same per-doc aggregate (conditional sums,
+    * unpivoted map-side by `stack`); df rows for the query terms and
+    * the totals broadcast from the index. Scoring touches only docs
+    * containing a query term.
+    */
+  def bm25Search(
       docs: DataFrame,
+      ix: Bm25Index,
       idCol: String,
       textCol: String,
       terms: Seq[String],
       k: Int): DataFrame = {
     val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    val dl   = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val tot  = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
-    val tf = toks.filter(col("tok").isin(terms: _*))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.join(dl, idCol)
-      .join(broadcast(df), "tok")
-      .crossJoin(broadcast(tot))
+    val tfCols = terms.map(t =>
+      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val stackArgs = terms.map(t => s"'$t', tf_$t").mkString(", ")
+    val tf = perDoc
+      .select(col(idCol), col("dl"),
+        expr(s"stack(${terms.size}, $stackArgs) AS (tok, tf)"))
+      .filter(col("tf") > 0)
+    tf.join(broadcast(ix.df.filter(col("tok").isin(terms: _*))), "tok")
+      .crossJoin(broadcast(ix.tot))
       .withColumn("contrib", expr(
         """CAST(round(
           |  ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
@@ -92,6 +123,14 @@ object Curation {
       .orderBy(col("score_sc").desc, col(idCol))
       .limit(k)
   }
+
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int): DataFrame =
+    bm25Search(docs, bm25Index(docs, idCol, textCol), idCol, textCol, terms, k)
 
   // ─────────────────────────────────────────────────────────────────
   // Dedup-aware (leakage-free) splitting

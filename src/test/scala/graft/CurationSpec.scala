@@ -79,6 +79,19 @@ class CurationSpec extends SparkSpec {
     (s2 - s1) should be > (s3 - s2) // concave in tf: diminishing returns
   }
 
+  test("bm25Search over a persisted index equals the one-plan composition") {
+    val df  = tinyCorpus.toDF("doc_id", "text")
+    val dir = tmpDir("bm25_ix")
+    Curation.writeBm25Index(Curation.bm25Index(df, "doc_id", "text"), dir)
+    val viaIndex = Curation.bm25Search(df, Curation.readBm25Index(spark, dir),
+        "doc_id", "text", Seq("dup", "spark", "window"), 10)
+      .as[(Long, Long)].collect().toSeq
+    val composed = Curation.bm25TopK(df, "doc_id", "text",
+        Seq("dup", "spark", "window"), 10)
+      .as[(Long, Long)].collect().toSeq
+    viaIndex shouldBe composed
+  }
+
   // ─────────────────────────────────────────────────────────────────
   // Leakage-free split
   // ─────────────────────────────────────────────────────────────────

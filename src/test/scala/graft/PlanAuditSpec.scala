@@ -55,7 +55,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_neardup_banded", "q_band_sweep", "q_dedup_order",
     "q_bm25_topk",        // one-row corpus totals crossed into the tf table
     "q_domain_mix_alpha", // one-row n_min frame crossed into the thresholds
-    "q_dedup_eval")       // three one-row metric frames crossed into one report row
+    "q_dedup_eval",       // three one-row metric frames crossed into one report row
+    "q_kn_surprisal")     // one-row bigram-type total crossed into the KN model
   private val broadcastSmallSideFanOuts = Set(
     // nested loop over a TINY broadcast side, linear in the big side:
     // brute-force kNN probes a handful of broadcast query vectors per
