@@ -259,6 +259,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bm25Search over a persisted index reads the corpus ONCE") {
+    // the index/search split's claim: with df + totals persisted, the
+    // query-time plan touches the documents table exactly once (the tf
+    // scan) — everything else comes from the tiny index parquet
+    import graft.functions.Curation
+    withGraftSession { s =>
+      val docs = Tables(s, "/root/testdata/sf0.001").documents
+      val dir  = java.nio.file.Files.createTempDirectory("bm25_audit").toString
+      Curation.writeBm25Index(Curation.bm25Index(docs, "doc_id", "text"), dir)
+      val plan = Curation.bm25Search(docs, Curation.readBm25Index(s, dir),
+          "doc_id", "text", Seq("dup", "spark"), 10)
+        .queryExecution.executedPlan.toString
+      "documents\\.parquet".r.findAllIn(plan).size shouldBe 1
+      plan should include("BroadcastExchange") // index rows ship broadcast
+    }
+  }
+
   test("Dsir.trainAndScore reads the corpus ONCE (ReusedExchange on the compact table)") {
     // the one-scan variant's claim: λ aggregation and per-doc scoring
     // both consume the compact per-(doc, bucket, uni) exchange, which
