@@ -4509,6 +4509,36 @@ object Queries {
             |  CASE WHEN n_true > 0 THEN (n_hit * 10000) // n_true ELSE 0 END AS recall_bp
             |FROM m""".stripMargin))
 
+  private val qJlProject = Q(
+    "q_jl_project",
+    "Johnson–Lindenstrauss ±1 projection 64→16 dims: per-pair distance-preservation ratio, exact integers",
+    (s, d) => Similarity.jlDistanceReport(
+      t(s, d).embeddings, "vec_id", "embedding", k = 16, maxId = 12),
+    Some(raw"""WITH q AS (SELECT vec_id, pos,
+            |    CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS qv
+            |  FROM (SELECT vec_id,
+            |      unnest(generate_series(0, len(embedding)-1)) AS pos,
+            |      unnest(embedding) AS v
+            |    FROM embeddings WHERE vec_id < 12)),
+            |kk AS (SELECT unnest(generate_series(0, 15)) AS kdim),
+            |p AS (SELECT vec_id, kdim,
+            |    CAST(sum(qv * (CASE WHEN ascii(substr(md5(
+            |      'rp:' || CAST(pos AS VARCHAR) || ':' || CAST(kdim AS VARCHAR)),
+            |      1, 1)) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS y
+            |  FROM q CROSS JOIN kk GROUP BY 1, 2),
+            |dx AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |    CAST(sum((a.qv-b.qv)*(a.qv-b.qv)) AS BIGINT) AS dx2
+            |  FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id < b.vec_id
+            |  GROUP BY 1, 2),
+            |dy AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |    CAST(sum((a.y-b.y)*(a.y-b.y)) AS BIGINT) AS dy2
+            |  FROM p a JOIN p b ON a.kdim = b.kdim AND a.vec_id < b.vec_id
+            |  GROUP BY 1, 2)
+            |SELECT id_a, id_b,
+            |  CASE WHEN dx2 = 0 THEN 10000
+            |       ELSE (dy2 * 10000) // (16 * dx2) END AS ratio_bp
+            |FROM dx JOIN dy USING (id_a, id_b)""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -4539,5 +4569,5 @@ object Queries {
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval)
+    qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject)
 }

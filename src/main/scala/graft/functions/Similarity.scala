@@ -183,6 +183,79 @@ object Similarity {
     */
   def quantized(v: Column): Column = transform(v, x => round(x * lit(1000000.0)))
 
+  // ───────────────────────────────────────────────────────────────────
+  // Johnson–Lindenstrauss ±1 random projection
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Deterministic ±1 projection sign for (input dim `pos`, output dim
+    * `kdim`): parity of the first md5 hex char of "rp:pos:kdim" — the
+    * Achlioptas (2003) database-friendly J–L matrix with the catalog's
+    * standard engine-independent coin (no RNG state, any engine
+    * reproduces the matrix from the formula alone).
+    */
+  def jlSign(pos: Column, kdim: Column): Column = {
+    val h = md5(concat(lit("rp:"), pos.cast("string"), lit(":"), kdim.cast("string")))
+    when(ascii(substring(h, 1, 1)) % 2 === 0, 1L).otherwise(-1L)
+  }
+
+  /** J–L random projection of an embedding column to `k` dims: each
+    * output coordinate is Σ_pos qv·sign(pos, kdim) over the vector's
+    * EXACT milli-unit quantization (round(x·1000) — coarse enough that
+    * every downstream squared distance stays far inside int64, and the
+    * oracle quantizes identically so exactness is preserved
+    * end-to-end). E‖y_a − y_b‖² = k·‖x_a − x_b‖², so pairwise geometry
+    * survives at 1/4 the dimensions — the cheap front-end for LSH /
+    * dedup over high-dim embeddings.
+    *
+    * Scale shape: pure map-side ×k fan-out (sequence explode) + one
+    * (id, kdim)-keyed partial aggregation — no joins, no model state,
+    * embarrassingly parallel at any corpus size.
+    *
+    * Output: (idCol, kdim, y) — k rows per vector, y in exact int64.
+    */
+  def jlProject(vecs: DataFrame, id: String, vec: String, k: Int): DataFrame =
+    vecs
+      .select(col(id), posexplode(toDouble(col(vec))).as(Seq("pos", "v")))
+      .withColumn("qv", round(col("v") * 1000).cast("long"))
+      .withColumn("kdim", explode(expr(s"sequence(0, ${k - 1})")))
+      .groupBy(col(id), col("kdim"))
+      .agg(sum(col("qv") * jlSign(col("pos"), col("kdim"))).as("y"))
+
+  /** J–L quality report over a bounded pair set: for every pair with
+    * both ids < `maxId`, the ratio ‖y_a−y_b‖² / (k·‖x_a−x_b‖²) in
+    * integer basis points (≈10000 when the projection preserves the
+    * pair's distance). Exact integer arithmetic end-to-end — the
+    * squared distances are sums of squared int64 differences in both
+    * engines.
+    */
+  def jlDistanceReport(
+      vecs: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      maxId: Long): DataFrame = {
+    val bounded = vecs.filter(col(id) < maxId)
+    val q = bounded
+      .select(col(id), posexplode(toDouble(col(vec))).as(Seq("pos", "v")))
+      .withColumn("qv", round(col("v") * 1000).cast("long"))
+      .select(col(id), col("pos"), col("qv"))
+    val dx = q.select(col(id).as("id_a"), col("pos"), col("qv").as("qa"))
+      .join(q.select(col(id).as("id_b"), col("pos"), col("qv").as("qb")), Seq("pos"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("dx2"))
+    val p = jlProject(bounded, id, vec, k)
+    val dy = p.select(col(id).as("id_a"), col("kdim"), col("y").as("ya"))
+      .join(p.select(col(id).as("id_b"), col("kdim"), col("y").as("yb")), Seq("kdim"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dy2"))
+    dx.join(dy, Seq("id_a", "id_b"))
+      .withColumn("ratio_bp",
+        expr(s"CASE WHEN dx2 = 0 THEN 10000 ELSE (dy2 * 10000) DIV ($k * dx2) END"))
+      .select(col("id_a"), col("id_b"), col("ratio_bp"))
+  }
+
   /** Deterministic Lloyd k-means over the quantized embedding space —
     * trains the IVF coarse quantizer that [[ivfKnnCosine]] searches with.
     *

@@ -231,6 +231,51 @@ class CurationSpec extends SparkSpec {
   }
 
   // ─────────────────────────────────────────────────────────────────
+  // Johnson–Lindenstrauss projection
+  // ─────────────────────────────────────────────────────────────────
+
+  private def jlSignScala(pos: Int, kdim: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$pos:$kdim".getBytes("UTF-8"))
+    val hex = "%02x".format(h(0) & 0xff).charAt(0)
+    if (hex.toInt % 2 == 0) 1L else -1L
+  }
+
+  test("jlProject matches an independent scalar evaluation of the md5 sign matrix") {
+    import graft.functions.Similarity
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f, 2.0f)),
+      (1L, Array(0.0f, 1.5f, -1.0f, 0.5f)))
+    val got = Similarity.jlProject(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    for ((id, v) <- vecs; kd <- 0 until 3) {
+      val exp = v.zipWithIndex.map { case (x, pos) =>
+        math.round(x.toDouble * 1000) * jlSignScala(pos, kd)
+      }.sum
+      got((id, kd)) shouldBe exp
+    }
+  }
+
+  test("jlDistanceReport: pairwise ratios concentrate near 10000bp; identical vectors hit the guard") {
+    import graft.functions.Similarity
+    // deterministic pseudo-random vectors + one exact duplicate pair
+    val vecs = (0L until 10L).map { i =>
+      i -> Array.tabulate(64)(d => (((i * 131 + d * 31) % 97).toFloat - 48) / 48f)
+    } :+ (10L -> Array.tabulate(64)(d => (((0 * 131 + d * 31) % 97).toFloat - 48) / 48f))
+    val rep = Similarity.jlDistanceReport(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 16, maxId = 11)
+      .as[(Long, Long, Long)].collect()
+    rep.length shouldBe 55 // C(11,2)
+    // the duplicate pair (0, 10): dx2 = 0 → guard returns exactly 10000
+    rep.find(r => r._1 == 0L && r._2 == 10L).get._3 shouldBe 10000L
+    // J–L concentration: the mean ratio over all pairs sits near 1
+    val mean = rep.map(_._3).sum / rep.length
+    mean should be >= 8000L
+    mean should be <= 12000L
+  }
+
+  // ─────────────────────────────────────────────────────────────────
   // α-temperature mixing
   // ─────────────────────────────────────────────────────────────────
 
