@@ -4539,6 +4539,48 @@ object Queries {
             |       ELSE (dy2 * 10000) // (16 * dx2) END AS ratio_bp
             |FROM dx JOIN dy USING (id_a, id_b)""".stripMargin))
 
+  /** MaxMatch tokenizer knobs (shared Spark/oracle). */
+  private val MaxMatchK   = 200
+  private val MaxMatchLen = 4
+
+  private val qMaxmatchTokenize = Q(
+    "q_maxmatch_tokenize",
+    "WordPiece-style greedy longest-match tokenizer: frequency-induced vocab, codegen'd fold walk",
+    (s, d) => graft.functions.MaxMatch.tokenizeCounts(
+      t(s, d).documents, "doc_id", "text", MaxMatchK, MaxMatchLen),
+    Some(raw"""WITH RECURSIVE toks AS (SELECT doc_id,
+            |    unnest(string_split_regex(trim(text), '\s+')) AS w
+            |  FROM documents WHERE length(trim(text)) > 0),
+            |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+            |pos AS (SELECT w, f, unnest(generate_series(1, length(w))) AS p FROM wf),
+            |chars AS (SELECT DISTINCT substr(w, p, 1) AS gram FROM pos),
+            |topg AS (SELECT gram FROM (
+            |    SELECT substr(w, p, len) AS gram, sum(f) AS cnt
+            |    FROM (SELECT w, f, p,
+            |        unnest(generate_series(2, least($MaxMatchLen, length(w) - p + 1))) AS len
+            |      FROM pos WHERE length(w) - p + 1 >= 2)
+            |    GROUP BY 1)
+            |  ORDER BY cnt DESC, gram LIMIT $MaxMatchK),
+            |vocab AS (SELECT DISTINCT gram FROM
+            |  (SELECT gram FROM chars UNION ALL SELECT gram FROM topg)),
+            |bl AS (SELECT w, p, max(len) AS bl FROM (
+            |    SELECT w, p,
+            |      unnest(generate_series(1, least($MaxMatchLen, length(w) - p + 1))) AS len
+            |    FROM pos) c
+            |  JOIN vocab v ON substr(c.w, c.p, c.len) = v.gram
+            |  GROUP BY 1, 2),
+            |seg AS (
+            |  SELECT w, 1 AS p, 0 AS n FROM wf
+            |  UNION ALL
+            |  SELECT s.w, s.p + b.bl, s.n + 1
+            |  FROM seg s JOIN bl b ON b.w = s.w AND b.p = s.p),
+            |pieces AS (SELECT s.w, CAST(s.n AS BIGINT) AS n_pieces
+            |  FROM seg s JOIN (SELECT w, length(w) AS len FROM wf) wl ON wl.w = s.w
+            |  WHERE s.p = wl.len + 1)
+            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+            |FROM toks JOIN pieces USING (w) GROUP BY 1""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -4569,5 +4611,6 @@ object Queries {
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject)
+    qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
+    qMaxmatchTokenize)
 }
