@@ -4581,6 +4581,42 @@ object Queries {
             |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces
             |FROM toks JOIN pieces USING (w) GROUP BY 1""".stripMargin))
 
+  private val qCdcDedup = Q(
+    "q_cdc_dedup",
+    "content-defined chunking dedup: Rabin-style low-bit boundary mask as a pure sliding-window expression",
+    (s, d) => Dedup.cdcDedupStats(t(s, d).documents, "text"),
+    Some(raw"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+            |cs AS (SELECT doc_id, text,
+            |    unnest(generate_series(1, length(text))) AS i FROM d),
+            |g AS (SELECT doc_id, text, i,
+            |    (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 2654435761) % 256 AS gv
+            |  FROM cs),
+            |h AS (SELECT doc_id, text, i,
+            |    (gv
+            |     + 2  * coalesce(lag(gv, 1) OVER w, 0)
+            |     + 4  * coalesce(lag(gv, 2) OVER w, 0)
+            |     + 8  * coalesce(lag(gv, 3) OVER w, 0)
+            |     + 16 * coalesce(lag(gv, 4) OVER w, 0)
+            |     + 32 * coalesce(lag(gv, 5) OVER w, 0)) % 64 AS h6
+            |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+            |b AS (SELECT doc_id, text, i AS bp FROM h
+            |  WHERE h6 = 0 OR i = length(text)),
+            |ck AS (SELECT doc_id,
+            |    substr(text,
+            |      coalesce(lag(bp) OVER (PARTITION BY doc_id ORDER BY bp), 0) + 1,
+            |      bp - coalesce(lag(bp) OVER (PARTITION BY doc_id ORDER BY bp), 0)) AS chunk
+            |  FROM b),
+            |pc AS (SELECT md5(chunk) AS chash, CAST(count(*) AS BIGINT) AS n,
+            |    CAST(min(length(chunk)) AS BIGINT) AS clen
+            |  FROM ck GROUP BY 1)
+            |SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+            |  CAST(count(*) AS BIGINT) AS n_distinct,
+            |  CAST(sum(n * clen) AS BIGINT) AS bytes_total,
+            |  CAST(sum(clen) AS BIGINT) AS bytes_distinct,
+            |  (CAST(sum(n * clen) AS BIGINT) - CAST(sum(clen) AS BIGINT)) * 10000
+            |    // CAST(sum(n * clen) AS BIGINT) AS dup_bytes_bp
+            |FROM pc""".stripMargin))
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -4612,5 +4648,5 @@ object Queries {
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
-    qMaxmatchTokenize)
+    qMaxmatchTokenize, qCdcDedup)
 }

@@ -121,6 +121,13 @@ object NativeExpressions {
     */
   def winnowFp(tokens: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFp(GraftBridge.expression(tokens), k, w))
+
+  /** Content-defined (Rabin-style) chunk list of a string column: one
+    * O(len) pass, boundaries where the trailing-window rolling hash ≡ 0
+    * mod 2^maskBits (see [[CdcChunks]]).
+    */
+  def cdcChunks(text: Column, maskBits: Int): Column =
+    GraftBridge.column(CdcChunks(GraftBridge.expression(text), maskBits))
 }
 
 /** dot(a, b) = Σ a(i)·b(i), sequential order, over array<double>.
