@@ -4581,31 +4581,40 @@ object Queries {
             |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces
             |FROM toks JOIN pieces USING (w) GROUP BY 1""".stripMargin))
 
+  /** Shared CDC-chunk CTE chain (`d` … `ck`): `ck` = (doc_id, chunk)
+    * for every non-empty document — the oracle mirror of
+    * [[graft.functions.expressions.CdcChunks]]' sequential Gear scan in
+    * its equivalent sliding-window form (low-bit mask ⇒ only the
+    * trailing 6 code points matter ⇒ lag windows).
+    */
+  private val sqlCdcChunkCtes: String =
+    raw"""d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |cs AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text))) AS i FROM d),
+        |g AS (SELECT doc_id, text, i,
+        |    (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 2654435761) % 256 AS gv
+        |  FROM cs),
+        |h AS (SELECT doc_id, text, i,
+        |    (gv
+        |     + 2  * coalesce(lag(gv, 1) OVER w, 0)
+        |     + 4  * coalesce(lag(gv, 2) OVER w, 0)
+        |     + 8  * coalesce(lag(gv, 3) OVER w, 0)
+        |     + 16 * coalesce(lag(gv, 4) OVER w, 0)
+        |     + 32 * coalesce(lag(gv, 5) OVER w, 0)) % 64 AS h6
+        |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |b AS (SELECT doc_id, text, i AS bp FROM h
+        |  WHERE h6 = 0 OR i = length(text)),
+        |ck AS (SELECT doc_id,
+        |    substr(text,
+        |      coalesce(lag(bp) OVER (PARTITION BY doc_id ORDER BY bp), 0) + 1,
+        |      bp - coalesce(lag(bp) OVER (PARTITION BY doc_id ORDER BY bp), 0)) AS chunk
+        |  FROM b)""".stripMargin
+
   private val qCdcDedup = Q(
     "q_cdc_dedup",
     "content-defined chunking dedup: Rabin-style low-bit boundary mask as a pure sliding-window expression",
     (s, d) => Dedup.cdcDedupStats(t(s, d).documents, "text"),
-    Some(raw"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
-            |cs AS (SELECT doc_id, text,
-            |    unnest(generate_series(1, length(text))) AS i FROM d),
-            |g AS (SELECT doc_id, text, i,
-            |    (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 2654435761) % 256 AS gv
-            |  FROM cs),
-            |h AS (SELECT doc_id, text, i,
-            |    (gv
-            |     + 2  * coalesce(lag(gv, 1) OVER w, 0)
-            |     + 4  * coalesce(lag(gv, 2) OVER w, 0)
-            |     + 8  * coalesce(lag(gv, 3) OVER w, 0)
-            |     + 16 * coalesce(lag(gv, 4) OVER w, 0)
-            |     + 32 * coalesce(lag(gv, 5) OVER w, 0)) % 64 AS h6
-            |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
-            |b AS (SELECT doc_id, text, i AS bp FROM h
-            |  WHERE h6 = 0 OR i = length(text)),
-            |ck AS (SELECT doc_id,
-            |    substr(text,
-            |      coalesce(lag(bp) OVER (PARTITION BY doc_id ORDER BY bp), 0) + 1,
-            |      bp - coalesce(lag(bp) OVER (PARTITION BY doc_id ORDER BY bp), 0)) AS chunk
-            |  FROM b),
+    Some(raw"""WITH $sqlCdcChunkCtes,
             |pc AS (SELECT md5(chunk) AS chash, CAST(count(*) AS BIGINT) AS n,
             |    CAST(min(length(chunk)) AS BIGINT) AS clen
             |  FROM ck GROUP BY 1)
@@ -4616,6 +4625,27 @@ object Queries {
             |  (CAST(sum(n * clen) AS BIGINT) - CAST(sum(clen) AS BIGINT)) * 10000
             |    // CAST(sum(n * clen) AS BIGINT) AS dup_bytes_bp
             |FROM pc""".stripMargin))
+
+  private val qCdcIncremental = Q(
+    "q_cdc_incremental",
+    "incremental CDC dedup: batch chunks vs the persisted corpus chunk store, per-doc new-byte report",
+    (s, d) => {
+      val docs   = t(s, d).documents
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batch  = docs.filter(col("doc_id") >= 400)
+      Dedup.cdcIncremental(
+        batch, Dedup.cdcChunkTable(corpus, "doc_id", "text"), "doc_id", "text")
+    },
+    Some(raw"""WITH $sqlCdcChunkCtes,
+            |pc AS (SELECT doc_id, md5(chunk) AS ch,
+            |    CAST(length(chunk) AS BIGINT) AS clen FROM ck),
+            |corpus AS (SELECT DISTINCT ch FROM pc WHERE doc_id < 400),
+            |batch AS (SELECT * FROM pc WHERE doc_id >= 400)
+            |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+            |  CAST(sum(CASE WHEN c.ch IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_chunks,
+            |  CAST(sum(b.clen) AS BIGINT) AS bytes,
+            |  CAST(sum(CASE WHEN c.ch IS NULL THEN b.clen ELSE 0 END) AS BIGINT) AS new_bytes
+            |FROM batch b LEFT JOIN corpus c ON b.ch = c.ch GROUP BY 1""".stripMargin))
 
   /** Full catalog. */
   val all: Seq[Q] = Seq(
@@ -4648,5 +4678,5 @@ object Queries {
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
-    qMaxmatchTokenize, qCdcDedup)
+    qMaxmatchTokenize, qCdcDedup, qCdcIncremental)
 }

@@ -612,4 +612,41 @@ object Dedup {
         sum(col("clen")).as("bytes_distinct"))
       .withColumn("dup_bytes_bp",
         expr("(bytes_total - bytes_distinct) * 10000 DIV bytes_total"))
+
+  /** (idCol, ch, clen) chunk-instance table: one row per CDC chunk
+    * occurrence, keyed by the chunk's md5 — the persistable chunk-store
+    * index ([[fingerprintTable]]'s idiom at sub-document granularity).
+    */
+  def cdcChunkTable(df: DataFrame, id: String, text: String): DataFrame =
+    cdcChunks(df.filter(length(col(text)) > 0), text)
+      .select(col(id), explode(col("chunks")).as("chunk"))
+      .select(col(id), md5(col("chunk")).as("ch"),
+        length(col("chunk")).cast("long").as("clen"))
+
+  /** Incremental CDC dedup: per batch document, how many of its chunks
+    * (and bytes) already exist in the corpus chunk store. A batch doc
+    * that is byte-identical to a corpus doc reports new_bytes = 0; an
+    * edited near-dup reports only its changed neighborhood as new —
+    * sub-document dedup granularity that doc-hash incremental dedup
+    * ([[incrementalDedupAgainst]]) can't see.
+    *
+    * Scale shape: `corpusChunks` is the persisted index (only its
+    * distinct `ch` projection is read); per-batch cost is chunking the
+    * batch map-side + ONE hash join on the 32-char chunk key —
+    * ∝ |batch| + matched index rows, never corpus text.
+    */
+  def cdcIncremental(
+      batch: DataFrame,
+      corpusChunks: DataFrame,
+      id: String,
+      text: String): DataFrame =
+    cdcChunkTable(batch, id, text)
+      .join(corpusChunks.select(col("ch")).distinct()
+        .withColumn("seen", lit(1)), Seq("ch"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new_chunks"),
+        sum(col("clen")).as("bytes"),
+        sum(when(col("seen").isNull, col("clen")).otherwise(0L)).as("new_bytes"))
 }

@@ -96,6 +96,30 @@ class CdcSpec extends SparkSpec {
     r.getLong(4) shouldBe (bytesTotal - bytesDistinct) * 10000 / bytesTotal
   }
 
+  test("cdcIncremental: identical batch doc reports zero new bytes, edited doc only its neighborhood") {
+    val base = (1 to 60)
+      .map(i => s"sentence number $i carries a few distinct words along")
+      .mkString(" ")
+    val edited = base.replace("number 30", "number thirty")
+    val corpus = Seq((1L, base), (2L, "some other corpus document text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                       // byte-identical → nothing new
+      (11L, edited),                     // near-dup → only the edit region new
+      (12L, "a never seen before body")) // novel → everything new
+      .toDF("doc_id", "text")
+    val store = Dedup.cdcChunkTable(corpus, "doc_id", "text")
+    val got = Dedup.cdcIncremental(batch, store, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    got(10L)._2 shouldBe 0L                    // n_new_chunks
+    got(10L)._4 shouldBe 0L                    // new_bytes
+    got(11L)._2 should be > 0L
+    got(11L)._4 should be < (edited.length.toLong / 2) // edit stays local
+    got(12L)._2 shouldBe got(12L)._1           // all chunks new
+    got(12L)._4 shouldBe "a never seen before body".length.toLong
+  }
+
   test("empty text yields an empty chunk array and is excluded from stats") {
     val df = Seq((1L, "")).toDF("doc_id", "text")
     val chunks = Dedup.cdcChunks(df, "text")
