@@ -329,6 +329,66 @@ object Pipelines {
       }
   }
 
+  /** Streaming CDC chunk-store maintenance — the sub-document analog of
+    * [[dedupIngest]]: each micro-batch is content-defined-chunked
+    * map-side, classified against the chunk store so far
+    * ([[graft.functions.Dedup.cdcIncremental]] — per-doc new-vs-seen
+    * chunks and bytes land in `<stateDir>/report/batch=<id>`), and the
+    * batch's NOVEL distinct chunks are appended to the store at
+    * `<stateDir>/chunks/batch=<id>` so the next batch dedups against
+    * them without ever re-reading corpus text.
+    *
+    * Per-trigger work is O(batch): chunking shuffles nothing, the store
+    * contributes only its (ch, clen) key table to one hash join, and
+    * per-batch Overwrite partitions make a replayed batch rewrite
+    * itself. Same crashed-attempt guard as [[dedupIngest]]: only store
+    * partitions with `batch < batchId` count as corpus, else a replay
+    * would match its own half-written chunks and empty the partition.
+    */
+  def cdcIngest(
+      docs: DataFrame,
+      stateDir: String,
+      checkpoint: String,
+      id: String = "doc_id",
+      text: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Dedup
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(stateDir), spark.sessionState.newHadoopConf())
+        val storePath = new org.apache.hadoop.fs.Path(s"$stateDir/chunks")
+        def emptyStore = Dedup.cdcChunkTable(batch.limit(0), id, text)
+          .select(col("ch"), col("clen"))
+        val store =
+          if (!fs.exists(storePath)) emptyStore
+          else
+            try spark.read.parquet(storePath.toString)
+              .filter(col("batch") < batchId).select(col("ch"), col("clen"))
+            catch {
+              case _: org.apache.spark.sql.AnalysisException => emptyStore
+            }
+        batch.persist()
+        try {
+          Dedup.cdcIncremental(batch, store, id, text)
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/report/batch=$batchId")
+          // novel distinct chunks only — seen chunks already live in an
+          // earlier partition, and duplicate store rows would inflate
+          // every later batch's join
+          Dedup.cdcChunkTable(batch, id, text)
+            .groupBy(col("ch")).agg(min(col("clen")).as("clen"))
+            .join(store.select(col("ch")), Seq("ch"), "left_anti")
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/chunks/batch=$batchId")
+        } finally batch.unpersist()
+        ()
+      }
+  }
+
   /** Streaming IVF-PQ index maintenance — the ANN analog of
     * [[dsirScoreIngest]]'s persisted-model split: the coarse centroids
     * and PQ codebooks are trained ONCE offline

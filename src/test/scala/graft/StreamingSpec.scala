@@ -486,6 +486,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcIngest: chunk store grows with novel chunks only; identical doc reports zero new bytes") {
+    import graft.functions.Dedup
+    val in = memStream[(Long, String)]
+    val state = tmpDir("cdc_state")
+    val base = (1 to 60)
+      .map(i => s"sentence number $i carries a few distinct words along")
+      .mkString(" ")
+    val q = Pipelines
+      .cdcIngest(in.toDF().toDF("doc_id", "text"), state, tmpDir("cdc_ckpt"))
+      .start()
+    try {
+      in.addData((1L, base), (2L, "a short second document"))
+      q.processAllAvailable()
+      // batch 0: empty store — every chunk and byte is new
+      val r0 = spark.read.parquet(s"$state/report/batch=0")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      r0(1L)._1 shouldBe r0(1L)._2 // n_chunks == n_new_chunks
+      r0(1L)._3 shouldBe r0(1L)._4 // bytes == new_bytes
+
+      in.addData(
+        (3L, base),                                          // identical to doc 1
+        (4L, base.replace("number 30", "number thirty")),    // edited near-dup
+        (5L, "an entirely novel third body"))                // novel
+      q.processAllAvailable()
+      val r1 = spark.read.parquet(s"$state/report/batch=1")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      r1(3L)._2 shouldBe 0L // identical → no new chunks
+      r1(3L)._4 shouldBe 0L
+      r1(4L)._2 should be > 0L
+      r1(4L)._4 should be < r1(4L)._3 / 2 // edit stays local
+      r1(5L)._2 shouldBe r1(5L)._1
+
+      // streamed report == the batch cdcIncremental path over the same split
+      val corpus = Seq((1L, base), (2L, "a short second document")).toDF("doc_id", "text")
+      val b1 = Seq(
+        (3L, base),
+        (4L, base.replace("number 30", "number thirty")),
+        (5L, "an entirely novel third body")).toDF("doc_id", "text")
+      val expected = Dedup.cdcIncremental(
+        b1, Dedup.cdcChunkTable(corpus, "doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      r1 shouldBe expected
+
+      // the store holds each chunk hash exactly once across partitions
+      val store = spark.read.parquet(s"$state/chunks").select("ch")
+        .collect().map(_.getString(0))
+      store.length shouldBe store.distinct.length
+    } finally q.stop()
+  }
+
   test("dsirScoreIngest: micro-batches score against the persisted dense λ, equal to the batch path") {
     import graft.functions.Dsir
     val in     = memStream[(Long, String)]
