@@ -135,6 +135,34 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_cdc_dedup chunks map-side: the only shuffles are the chunk-key and final-row aggs") {
+    // the CDC scale claim: chunking 100 TB is a narrow projection (the
+    // one-pass native expression) + explode — nothing may shuffle below
+    // the chunk-hash aggregate, and the whole plan carries exactly two
+    // exchanges (partial→final chunk agg, single-row report agg)
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_cdc_dedup").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should include("graft_cdc_chunks")
+      "Exchange".r.findAllIn(plan).length shouldBe 2
+      plan should not include "BroadcastExchange"
+    }
+  }
+
+  test("q_maxmatch_tokenize broadcasts the induced vocab into the piece-match join") {
+    // the MaxMatch scale claim: the vocab (K grams + alphabet) is
+    // broadcast-sized by construction — the per-(word, position, len)
+    // candidate join must be a BroadcastHashJoin, never a shuffle of
+    // the candidate grid on the gram key
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_maxmatch_tokenize").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should include("BroadcastHashJoin")
+    }
+  }
+
   test("q_median's selection windows run over the histogram, not the corpus") {
     // the exact-median scale claim: the only per-group single-task work
     // may be the window over the aggregated (lang, n_chars) histogram —
