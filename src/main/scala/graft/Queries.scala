@@ -2864,6 +2864,121 @@ object Queries {
             |    // n_exact AS err_bp
             |FROM x JOIN kmv USING (lang)""".stripMargin))
 
+  private val HllP = 8 // 2^8 = 256 registers; raw regime needs n > 5m/2 = 640
+
+  private val qHllDistinct = Q(
+    "q_hll_distinct",
+    "HyperLogLog distinct-count sketch per language vs exact (raw regime, float-free estimator)",
+    (s, d) => {
+      import graft.functions.expressions.{HyperLogLog, NativeExpressions}
+      // the constant-size distinct counter every warehouse ships as
+      // approx_count_distinct, over per-language token-BIGRAM
+      // vocabularies (~900 per lang — inside the raw-estimator regime
+      // n > 5m/2 where no linear-counting float branch is needed).
+      // Scale shape vs countDistinct: the sketch is 256 bytes per
+      // group regardless of vocabulary size and partials merge by
+      // element-wise max, so the distinct-key set itself never
+      // shuffles — one map-side pass plus a 256-long combine. The
+      // exact count (which DOES shuffle the keys) rides along as the
+      // estimator-quality report; V (zero registers) makes the
+      // small-range branch point observable.
+      val bg = t(s, d).documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"), TF.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), " +
+            "i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2)))"))
+          .as("b"))
+      bg.groupBy(col("lang"))
+        .agg(
+          countDistinct(col("b")).as("n_exact"),
+          NativeExpressions.hll(col("b"), HllP).as("regs"))
+        .withColumn("hll_est", HyperLogLog.estimate("regs", HllP))
+        .withColumn("v_zero", HyperLogLog.zeroRegisters("regs"))
+        .withColumn("err_bp",
+          expr("(abs(hll_est - n_exact) * 10000) DIV n_exact"))
+        .select("lang", "n_exact", "hll_est", "v_zero", "err_bp")
+    },
+    Some {
+      import graft.functions.expressions.{HyperLogLog => H}
+      val m = 1 << HllP
+      val q = 60 - HllP
+      // rebuild the register table: distinct bigrams -> (register, max
+      // rank); absent registers hold rank 0 and contribute 2^q each to
+      // the harmonic sum, V = m - #present (present regs have rank >= 1)
+      raw"""WITH tk AS (SELECT lang, string_split_regex(trim(text), '\s+') AS tk
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |bg AS (SELECT DISTINCT lang, tk[i] || ' ' || tk[i + 1] AS b
+           |  FROM tk CROSS JOIN LATERAL unnest(range(1, len(tk))) AS t(i)
+           |  WHERE len(tk) >= 2),
+           |hb AS (SELECT lang, b, ${H.sqlBase("b")} AS base FROM bg),
+           |regs AS (SELECT lang, ${H.sqlRegister("base", HllP)} AS j,
+           |    max(${H.sqlRank("base", HllP)}) AS r
+           |  FROM hb GROUP BY 1, 2),
+           |harm AS (SELECT lang,
+           |    CAST(sum(${H.sqlHarmonicTerm("r", HllP)}) AS BIGINT)
+           |      + ($m - CAST(count(*) AS BIGINT)) * ${1L << q} AS s,
+           |    $m - CAST(count(*) AS BIGINT) AS v_zero
+           |  FROM regs GROUP BY 1),
+           |x AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM bg GROUP BY 1)
+           |SELECT x.lang, n_exact, ${H.sqlEstimate("s", HllP)} AS hll_est,
+           |  v_zero,
+           |  (abs(${H.sqlEstimate("s", HllP)} - n_exact) * 10000) // n_exact AS err_bp
+           |FROM x JOIN harm USING (lang)""".stripMargin
+    })
+
+  /** The fixed blocklist of [[qBlocklistFilter]] — shared verbatim by the
+    * Spark side (automaton alphabet) and the oracle (VALUES list). A mix
+    * of two-word phrases that DO occur in the testdata vocabulary, one
+    * self-overlapping phrase ("a a" — overlapping occurrences must all
+    * count), one single word, and one phrase that can never match.
+    */
+  private val Blocklist: Seq[String] = Seq(
+    "scan slow", "table table", "a a", "fast merge",
+    "slow filter", "spark", "big vector", "review bomb")
+
+  private val qBlocklistFilter = Q(
+    "q_blocklist_filter",
+    "Aho-Corasick blocklist filter: per-doc phrase hit counts + C4-style drop verdict in one pass",
+    (s, d) => {
+      import graft.functions.expressions.NativeExpressions
+      // the C4 badlist step at engine speed: K phrases, ONE automaton
+      // pass per document (O(len + matches), not K rlike scans), per-
+      // phrase counts for rule observability, and the drop verdict as
+      // column algebra over the count array. Map-side only — no join,
+      // no shuffle; the phrase list rides inside the expression (at
+      // production K it is a broadcast-sized literal either way).
+      t(s, d).documents
+        .select(col("doc_id"),
+          NativeExpressions.multiMatch(col("text"), Blocklist).as("counts"))
+        .select(col("doc_id"),
+          expr("aggregate(counts, CAST(0 AS BIGINT), (a, c) -> a + c)")
+            .as("n_hits"),
+          expr("aggregate(counts, CAST(0 AS BIGINT), " +
+            "(a, c) -> a + CASE WHEN c > 0 THEN 1 ELSE 0 END)")
+            .as("n_phrases"))
+        .withColumn("kept", col("n_hits") === 0L)
+    },
+    Some {
+      // a phrase's count = number of start positions i with
+      // substr(text, i, len(p)) = p — exactly the automaton's
+      // every-end-position-fires semantics, overlaps included
+      val values = Blocklist.map(p => s"('${p}')").mkString(", ")
+      raw"""WITH ph AS (SELECT * FROM (VALUES $values) AS v(p)),
+           |occ AS (SELECT d.doc_id, p.p, CAST(count(*) AS BIGINT) AS c
+           |  FROM documents d, ph p,
+           |    LATERAL unnest(range(1, length(d.text) + 1)) AS t(i)
+           |  WHERE substr(d.text, CAST(i AS INT), length(p.p)) = p.p
+           |  GROUP BY 1, 2)
+           |SELECT d.doc_id,
+           |  coalesce(CAST(sum(c) AS BIGINT), 0) AS n_hits,
+           |  coalesce(CAST(count(c) AS BIGINT), 0) AS n_phrases,
+           |  coalesce(CAST(sum(c) AS BIGINT), 0) = 0 AS kept
+           |FROM documents d LEFT JOIN occ USING (doc_id)
+           |GROUP BY 1""".stripMargin
+    })
+
   private val qCurriculum = Q(
     "q_curriculum",
     "curriculum binning: quality-decile buckets from sketch thresholds, per-bin token budget",
@@ -4669,7 +4784,8 @@ object Queries {
     qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,
     qMinhashCluster,
     qBoilerplate, qVocabGrowth, qFertility, qUnicodeNfc,
-    qKmvDistinct, qCurriculum, qSemanticDedup, qClusterBalance,
+    qKmvDistinct, qHllDistinct, qBlocklistFilter, qCurriculum, qSemanticDedup,
+    qClusterBalance,
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,

@@ -34,11 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object MaxMatch {
 
-  /** (w, f) distinct-word frequency table of `docs(textCol)`. */
+  /** (w, f) distinct-word frequency table of `docs(textCol)`,
+    * lineage-truncated ([[Bpe.wordTable]]'s idiom): four downstream
+    * branches read it (char vocab, gram grid, best-length grid, piece
+    * join) — without the checkpoint each would re-run the corpus
+    * explode + word agg.
+    */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(eager = false)
 
   /** The induced piece vocabulary: all single chars ∪ top-`k` n-grams
     * (2..`maxLen`) by weighted count desc, gram asc. One column `gram`.

@@ -115,6 +115,15 @@ object NativeExpressions {
     GraftBridge.column(
       CountMin(GraftBridge.expression(c), depth, width).toAggregateExpression())
 
+  /** HyperLogLog distinct-count sketch aggregate over a string column:
+    * `2^p` max-rank registers as array<int>, mergeable by element-wise
+    * max; raw-regime estimates via [[HyperLogLog.estimate]] (see
+    * [[HyperLogLog]]).
+    */
+  def hll(c: Column, p: Int): Column =
+    GraftBridge.column(
+      HyperLogLog(GraftBridge.expression(c), p).toAggregateExpression())
+
   /** Winnowing (MOSS) fingerprints of an array<string> token column:
     * sorted distinct selected k-gram hashes, one per w-window of the
     * gram hash sequence, rightmost-min tie rule (see [[WinnowFp]]).
@@ -128,6 +137,14 @@ object NativeExpressions {
     */
   def cdcChunks(text: Column, maskBits: Int): Column =
     GraftBridge.column(CdcChunks(GraftBridge.expression(text), maskBits))
+
+  /** Aho–Corasick multi-pattern counter over a string column: per-phrase
+    * occurrence counts (overlapping included) as array<bigint> aligned
+    * with `phrases`, one O(len + matches) pass per row regardless of the
+    * phrase count (see [[MultiMatch]]).
+    */
+  def multiMatch(text: Column, phrases: Seq[String]): Column =
+    GraftBridge.column(MultiMatch(GraftBridge.expression(text), phrases))
 }
 
 /** dot(a, b) = Σ a(i)·b(i), sequential order, over array<double>.

@@ -237,4 +237,64 @@ class SketchSpec extends SparkSpec {
       CountMin.baseHash(x) shouldBe want
     }
   }
+
+  // --- HyperLogLog ---
+
+  import graft.functions.expressions.HyperLogLog
+
+  private def hllRegs(df: org.apache.spark.sql.DataFrame): Array[Int] =
+    df.agg(NativeExpressions.hll(col("k"), 8).as("regs"))
+      .collect().head.getSeq[Int](0).toArray
+
+  /** Scalar model of the documented register semantics. */
+  private def modelRegs(keys: Seq[String]): Array[Int] = {
+    val regs = new Array[Int](256)
+    keys.foreach { k =>
+      val base = HyperLogLog.baseHash(k)
+      val j = (base % 256).toInt
+      val r = HyperLogLog.rankOf(base / 256, 52)
+      if (r > regs(j)) regs(j) = r
+    }
+    regs
+  }
+
+  test("hll registers match the scalar model and ignore duplicates") {
+    val keys = (0 until 800).map(i => s"key-$i")
+    val withDups = (keys ++ keys ++ keys.take(100)).toDF("k")
+    hllRegs(withDups) shouldBe modelRegs(keys)
+  }
+
+  test("hll registers are partition-invariant (mergeable by max)") {
+    val df = (0 until 2000).map(i => s"v$i").toDF("k")
+    val one = hllRegs(df.repartition(1))
+    hllRegs(df.repartition(13)) shouldBe one
+    hllRegs(df.repartition(32)) shouldBe one
+  }
+
+  test("hll of a union equals element-wise max of the parts") {
+    val a = (0 until 900).map(i => s"a$i")
+    val b = (500 until 1400).map(i => s"a$i") // overlaps a
+    val union = hllRegs((a ++ b).distinct.toDF("k"))
+    val merged = modelRegs(a).zip(modelRegs(b)).map { case (x, y) => math.max(x, y) }
+    union shouldBe merged
+  }
+
+  test("hll raw estimate lands within 4 sigma in its regime") {
+    // sigma = 1.04/sqrt(256) = 6.5%; raw regime needs n > 5m/2 = 640
+    for (n <- Seq(1000, 5000, 20000)) {
+      val df = (0 until n).map(i => s"item-$i-$n").toDF("k")
+      val est = df.agg(NativeExpressions.hll(col("k"), 8).as("regs"))
+        .withColumn("est", HyperLogLog.estimate("regs", 8))
+        .select("est").collect().head.getLong(0)
+      math.abs(est - n).toDouble / n should be < 0.26
+    }
+  }
+
+  test("hll zero-register count matches the register array") {
+    val df = (0 until 300).map(i => s"z$i").toDF("k")
+    val row = df.agg(NativeExpressions.hll(col("k"), 8).as("regs"))
+      .withColumn("v", HyperLogLog.zeroRegisters("regs"))
+      .select("regs", "v").collect().head
+    row.getLong(1) shouldBe row.getSeq[Int](0).count(_ == 0).toLong
+  }
 }
