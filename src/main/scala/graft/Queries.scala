@@ -4696,6 +4696,61 @@ object Queries {
             |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces
             |FROM toks JOIN pieces USING (w) GROUP BY 1""".stripMargin))
 
+  private val qUnigramTokenize = Q(
+    "q_unigram_tokenize",
+    "unigram-LM (SentencePiece) tokenizer: Viterbi-optimal segmentation under integer surprisal scores",
+    (s, d) => graft.functions.Unigram.tokenizeCounts(
+      t(s, d).documents, "doc_id", "text", MaxMatchK, MaxMatchLen),
+    // the Viterbi backward induction mirrors as a recursive CTE whose
+    // rows carry the same growing best-cost list the Spark fold builds;
+    // the packed cost (surp*1024 + 1) makes one min() resolve the
+    // (total surprisal, piece count) tie-break identically in both
+    // engines — zero floats anywhere
+    Some(raw"""WITH RECURSIVE toks AS (SELECT doc_id,
+            |    unnest(string_split_regex(trim(text), '\s+')) AS w
+            |  FROM documents WHERE length(trim(text)) > 0),
+            |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+            |pos AS (SELECT w, f, unnest(generate_series(1, length(w))) AS p FROM wf),
+            |g AS (SELECT substr(w, CAST(p AS INT), CAST(len AS INT)) AS gram, f FROM (
+            |    SELECT w, f, p,
+            |      unnest(generate_series(1, least($MaxMatchLen, length(w) - p + 1))) AS len
+            |    FROM pos)),
+            |gc AS (SELECT gram, CAST(sum(f) AS BIGINT) AS cnt FROM g GROUP BY 1),
+            |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM gc),
+            |vs AS (SELECT gram,
+            |    (CAST(length(bin(t)) - length(bin(cnt)) AS BIGINT) * 1024 + 1) AS cost
+            |  FROM (SELECT gram FROM gc WHERE length(gram) = 1
+            |        UNION
+            |        SELECT gram FROM (SELECT gram FROM gc WHERE length(gram) >= 2
+            |                          ORDER BY cnt DESC, gram LIMIT $MaxMatchK)) v
+            |  JOIN gc USING (gram), tot),
+            |mt AS (SELECT c.w, c.p,
+            |    list({'len': c.len, 'cost': v.cost} ORDER BY c.len) AS cands
+            |  FROM (SELECT w, p,
+            |      unnest(generate_series(1, least($MaxMatchLen, length(w) - p + 1))) AS len
+            |    FROM pos) c
+            |  JOIN vs v ON substr(c.w, CAST(c.p AS INT), CAST(c.len AS INT)) = v.gram
+            |  GROUP BY 1, 2),
+            |grid AS (SELECT w, CAST(length(w) AS BIGINT) AS L,
+            |    list(cands ORDER BY p) AS mt FROM mt GROUP BY 1, 2),
+            |dp AS (
+            |  SELECT w, L, mt, CAST(1 AS BIGINT) AS i, [CAST(0 AS BIGINT)] AS br
+            |  FROM grid
+            |  UNION ALL
+            |  SELECT w, L, mt, i + 1,
+            |    list_append(br, list_min(list_transform(mt[CAST(L + 1 - i AS INT)],
+            |      c -> c.cost + br[CAST(i - c.len + 1 AS INT)])))
+            |  FROM dp WHERE i <= L),
+            |pieces AS (SELECT w, br[CAST(L + 1 AS INT)] // 1024 AS surp_bits,
+            |    br[CAST(L + 1 AS INT)] % 1024 AS n_pieces
+            |  FROM dp WHERE i = L + 1)
+            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+            |  CAST(sum(surp_bits) AS BIGINT) AS surp_bits,
+            |  (CAST(sum(surp_bits) AS BIGINT) * 100) // CAST(sum(n_pieces) AS BIGINT)
+            |    AS avg_piece_cb
+            |FROM toks JOIN pieces USING (w) GROUP BY 1""".stripMargin))
+
   /** Shared CDC-chunk CTE chain (`d` … `ck`): `ck` = (doc_id, chunk)
     * for every non-empty document — the oracle mirror of
     * [[graft.functions.expressions.CdcChunks]]' sequential Gear scan in
@@ -4794,5 +4849,5 @@ object Queries {
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
-    qMaxmatchTokenize, qCdcDedup, qCdcIncremental)
+    qMaxmatchTokenize, qUnigramTokenize, qCdcDedup, qCdcIncremental)
 }

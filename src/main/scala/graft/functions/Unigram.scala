@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (Kudo, ACL'18 — the SentencePiece
+  * `unigram` model): segmentation picks the GLOBALLY cheapest piece
+  * sequence under per-piece surprisal scores, not the local
+  * longest-match of [[MaxMatch]] — the model BERT's WordPiece
+  * inference approximates and the one modern LLM tokenizers
+  * (T5/Llama/Gemma SentencePiece configs) actually run.
+  *
+  * Three parts, all pure DataFrame plans:
+  *
+  *  1. '''Seed model''' ([[vocabScored]]): the [[MaxMatch.vocab]]
+  *     frequency-induced piece set (all single chars ∪ top-K n-grams —
+  *     so segmentation never dead-ends), each scored with its corpus
+  *     surprisal in whole bits: `surp(g) = bitlen(T) − bitlen(cnt(g))`
+  *     — the same exact-integer log2 as `q_lm_surprisal`, so both
+  *     engines score identically (Kudo seeds from substring
+  *     frequencies the same way, §3.2).
+  *
+  *  2. '''Viterbi DP''' ([[wordViterbi]]): per distinct word, backward
+  *     induction `best[p] = min over vocab pieces g at p of
+  *     cost(g) + best[p + len(g)]` with the packed integer cost
+  *     `cost(g) = surp(g)·1024 + 1` — the low 10 bits COUNT pieces, so
+  *     one `min` resolves the (total surprisal, piece count)
+  *     lexicographic tie-break and the optimum is unique-valued on
+  *     both engines with zero floats. The inherently sequential
+  *     recursion runs as ONE `aggregate` fold per word over its
+  *     per-position candidate grid (state = the growing `best` array,
+  *     positions visited right to left) — no UDF, no driver loop;
+  *     the DuckDB oracle mirrors it with a recursive CTE carrying the
+  *     same growing list.
+  *
+  *  3. '''Doc rollup''' ([[tokenizeCounts]]): docs join the per-word
+  *     results and aggregate — corpus-scale work is one token explode
+  *     + one doc-keyed agg.
+  *
+  * Scale shape (100 TB): identical to [[MaxMatch]] — everything
+  * per-word runs on the DISTINCT word table (vocab-scale; every
+  * occurrence of a word segments identically), the scored vocab is
+  * broadcast, and the DP grid is O(len · maxPieceLen) cells per
+  * distinct word. Whole-word dedup is what makes Viterbi affordable:
+  * the DP never touches the corpus.
+  */
+object Unigram {
+
+  /** (gram, cost) scored piece vocabulary: all single chars ∪ top-`k`
+    * n-grams (2..`maxLen`) by weighted count desc / gram asc (the
+    * [[MaxMatch.vocab]] total order), with the packed Viterbi cost
+    * `surp·1024 + 1`. T counts every (1..maxLen)-gram occurrence
+    * weighted by word frequency — the denominator of the seed model.
+    */
+  def vocabScored(words: DataFrame, k: Int, maxLen: Int): DataFrame = {
+    val pos = words.select(col("w"), col("f"),
+      explode(sequence(lit(1), length(col("w")))).as("p"))
+    val grams = pos
+      .select(col("w"), col("f"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(maxLen), length(col("w")) - col("p") + 1))).as("len"))
+      .select(expr("substring(w, p, len)").as("gram"), col("f"))
+    val gc  = grams.groupBy(col("gram")).agg(sum(col("f")).as("cnt"))
+    val tot = gc.agg(sum(col("cnt")).as("t"))
+    val chars = gc.filter(length(col("gram")) === 1).select(col("gram"))
+    val topg = gc.filter(length(col("gram")) >= 2)
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+      .select(col("gram"))
+    chars.unionByName(topg).distinct()
+      .join(gc, Seq("gram"))
+      .crossJoin(broadcast(tot))
+      .select(col("gram"),
+        ((length(expr("bin(t)")) - length(expr("bin(cnt)"))).cast("long") *
+          1024L + 1L).as("cost"))
+  }
+
+  /** (w, surp_bits, n_pieces): globally-optimal segmentation cost per
+    * distinct word under the packed scores — `best[1] DIV 1024` is the
+    * minimal total surprisal, `best[1] % 1024` the piece count of the
+    * fewest-pieces optimum (unique by the packed tie-break).
+    * `vocabDf` must be [[vocabScored]] output (single-char coverage
+    * guarantees a candidate at every position).
+    */
+  def wordViterbi(words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame = {
+    // the packed low-bits piece counter needs n_pieces <= len < 1024;
+    // fail LOUDLY on absurd tokens rather than silently mis-packing
+    val guarded = words.withColumn("w",
+      when(length(col("w")) < 1024, col("w"))
+        .otherwise(raise_error(concat(
+          lit("unigram viterbi: token of length "), length(col("w")),
+          lit(" >= 1024 — packed (surprisal, pieces) cost would overflow")))))
+    val pos = guarded.select(col("w"),
+      explode(sequence(lit(1), length(col("w")))).as("p"))
+    // per-position candidate lists: every vocab piece starting at p
+    val mt = pos
+      .select(col("w"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(maxLen), length(col("w")) - col("p") + 1))).as("len"))
+      .join(broadcast(vocabDf), expr("substring(w, p, len)") === col("gram"))
+      .groupBy(col("w"), col("p"))
+      .agg(collect_list(struct(col("len"), col("cost"))).as("cands"))
+    val grid = mt
+      .groupBy(col("w"))
+      .agg(array_sort(collect_list(struct(col("p"), col("cands")))).as("a"))
+      .select(col("w"), transform(col("a"), x => x.getField("cands")).as("mt"))
+    // backward induction as one fold: iteration i handles position
+    // p = L+1-i; the state array `br` holds best[L+1], best[L], …
+    // appended right to left, so best[p+len] sits at index
+    // size(br) - len + 1 (1-based) — candidates always hit a computed
+    // entry because len >= 1
+    grid.select(col("w"),
+      aggregate(
+        sequence(lit(1), size(col("mt"))),
+        array(lit(0L)),
+        (br, i) => concat(br, array(array_min(transform(
+          element_at(col("mt"), size(col("mt")) + 1 - i),
+          c => c.getField("cost") +
+            element_at(br, size(br) - c.getField("len") + 1))))),
+        br => element_at(br, -1)).as("best1"))
+      .select(col("w"),
+        expr("best1 DIV 1024").as("surp_bits"),
+        expr("best1 % 1024").as("n_pieces"))
+  }
+
+  /** Full composition: seed model from `docs`, Viterbi-segment the
+    * distinct words, report per-document (n_tokens, n_pieces,
+    * surp_bits, avg_piece_cb) — the unigram-LM counterpart of
+    * [[MaxMatch.tokenizeCounts]]'s fertility surface, plus the model
+    * cost axis (avg piece surprisal in exact centibits).
+    */
+  def tokenizeCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxLen: Int): DataFrame = {
+    val words = MaxMatch.wordTable(docs, textCol)
+    val seg = wordViterbi(words, vocabScored(words, k, maxLen), maxLen)
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .join(seg, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("surp_bits")).as("surp_bits"))
+      .withColumn("avg_piece_cb", expr("(surp_bits * 100) DIV n_pieces"))
+  }
+}

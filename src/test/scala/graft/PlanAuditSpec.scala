@@ -56,7 +56,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_bm25_topk",        // one-row corpus totals crossed into the tf table
     "q_domain_mix_alpha", // one-row n_min frame crossed into the thresholds
     "q_dedup_eval",       // three one-row metric frames crossed into one report row
-    "q_kn_surprisal")     // one-row bigram-type total crossed into the KN model
+    "q_kn_surprisal",     // one-row bigram-type total crossed into the KN model
+    // one-row gram-count total crossed into the piece surprisal scores
+    "q_unigram_tokenize")
   private val broadcastSmallSideFanOuts = Set(
     // nested loop over a TINY broadcast side, linear in the big side:
     // brute-force kNN probes a handful of broadcast query vectors per
@@ -157,6 +159,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // the candidate grid on the gram key
     withGraftSession { s =>
       val q = Queries.all.find(_.name == "q_maxmatch_tokenize").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should include("BroadcastHashJoin")
+    }
+  }
+
+  test("q_unigram_tokenize broadcasts the scored vocab into the DP-grid join") {
+    // the Unigram scale claim, same shape as MaxMatch's: the scored
+    // vocab is broadcast-sized by construction, so the per-(word,
+    // position, len) candidate join is a BroadcastHashJoin and the
+    // Viterbi fold runs on the distinct-word table — the plan must
+    // never shuffle the candidate grid on the gram key
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_unigram_tokenize").get
       val plan = q.spark(s, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       plan should include("BroadcastHashJoin")
