@@ -4751,6 +4751,110 @@ object Queries {
             |    AS avg_piece_cb
             |FROM toks JOIN pieces USING (w) GROUP BY 1""".stripMargin))
 
+  /** The shared seed-model + Viterbi-DP + walk CTE chain of the unigram
+    * oracles, parameterized by the score table name so the refit oracle
+    * can run it twice (seed model `vs`, refit model `vs2`). Emits
+    * `seg$sfx` = (w, pieces list). The walk reconstructs the ACTUAL
+    * optimal segmentation: at each position the longest candidate
+    * achieving `cost + best[p+len] = best[p]` — [[graft.functions
+    * .Unigram.wordPieces]]' tie rule verbatim.
+    */
+  private def sqlUnigramWalkCtes(sfx: String, scoreCte: String): String =
+    raw"""mt$sfx AS (SELECT c.w, c.p,
+         |    list({'len': c.len, 'cost': v.cost} ORDER BY c.len) AS cands
+         |  FROM (SELECT w, p,
+         |      unnest(generate_series(1, least($MaxMatchLen, length(w) - p + 1))) AS len
+         |    FROM pos) c
+         |  JOIN $scoreCte v ON substr(c.w, CAST(c.p AS INT), CAST(c.len AS INT)) = v.gram
+         |  GROUP BY 1, 2),
+         |grid$sfx AS (SELECT w, CAST(length(w) AS BIGINT) AS L,
+         |    list(cands ORDER BY p) AS mt FROM mt$sfx GROUP BY 1, 2),
+         |dp$sfx AS (
+         |  SELECT w, L, mt, CAST(1 AS BIGINT) AS i, [CAST(0 AS BIGINT)] AS br
+         |  FROM grid$sfx
+         |  UNION ALL
+         |  SELECT w, L, mt, i + 1,
+         |    list_append(br, list_min(list_transform(mt[CAST(L + 1 - i AS INT)],
+         |      c -> c.cost + br[CAST(i - c.len + 1 AS INT)])))
+         |  FROM dp$sfx WHERE i <= L),
+         |dpf$sfx AS (SELECT w, L, mt, br FROM dp$sfx WHERE i = L + 1),
+         |walk$sfx AS (
+         |  SELECT w, L, mt, br, CAST(1 AS BIGINT) AS p,
+         |    CAST([] AS STRUCT(pp BIGINT, ll BIGINT)[]) AS ps
+         |  FROM dpf$sfx
+         |  UNION ALL
+         |  SELECT w, L, mt, br, p + ch, list_append(ps, {'pp': p, 'll': ch})
+         |  FROM (
+         |    SELECT w, L, mt, br, p, ps,
+         |      list_max(list_transform(
+         |        list_filter(mt[CAST(p AS INT)],
+         |          c -> c.cost + br[CAST(L + 2 - (p + c.len) AS INT)]
+         |               = br[CAST(L + 2 - p AS INT)]),
+         |        c -> c.len)) AS ch
+         |    FROM walk$sfx WHERE p <= L) t),
+         |seg$sfx AS (SELECT w,
+         |    list_transform(ps, x -> substr(w, CAST(x.pp AS INT), CAST(x.ll AS INT))) AS pieces
+         |  FROM walk$sfx WHERE p = L + 1)""".stripMargin
+
+  private val qUnigramRefit = Q(
+    "q_unigram_refit",
+    "unigram-LM hard-EM refit: usage-fitted piece scores, pruned vocab, per-round corpus cost",
+    (s, d) => graft.functions.Unigram.refitStats(
+      t(s, d).documents, "text", MaxMatchK, MaxMatchLen),
+    Some(raw"""WITH RECURSIVE toks AS (SELECT doc_id,
+            |    unnest(string_split_regex(trim(text), '\s+')) AS w
+            |  FROM documents WHERE length(trim(text)) > 0),
+            |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+            |pos AS (SELECT w, f, unnest(generate_series(1, length(w))) AS p FROM wf),
+            |g AS (SELECT substr(w, CAST(p AS INT), CAST(len AS INT)) AS gram, f FROM (
+            |    SELECT w, f, p,
+            |      unnest(generate_series(1, least($MaxMatchLen, length(w) - p + 1))) AS len
+            |    FROM pos)),
+            |gc AS (SELECT gram, CAST(sum(f) AS BIGINT) AS cnt FROM g GROUP BY 1),
+            |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM gc),
+            |vs AS (SELECT gram,
+            |    (CAST(length(bin(t)) - length(bin(cnt)) AS BIGINT) * 1024 + 1) AS cost
+            |  FROM (SELECT gram FROM gc WHERE length(gram) = 1
+            |        UNION
+            |        SELECT gram FROM (SELECT gram FROM gc WHERE length(gram) >= 2
+            |                          ORDER BY cnt DESC, gram LIMIT $MaxMatchK)) v
+            |  JOIN gc USING (gram), tot),
+            |${sqlUnigramWalkCtes("", "vs")},
+            |su AS (SELECT s.w, wf.f, unnest(s.pieces) AS gram
+            |  FROM seg s JOIN wf USING (w)),
+            |used AS (SELECT gram, CAST(sum(f) AS BIGINT) AS cnt FROM su GROUP BY 1),
+            |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM used),
+            |m2 AS (SELECT v.gram, CAST(coalesce(u.cnt, 1) AS BIGINT) AS cnt
+            |  FROM (SELECT gram FROM vs) v LEFT JOIN used u USING (gram)
+            |  WHERE u.cnt IS NOT NULL OR length(v.gram) = 1),
+            |vs2 AS (SELECT gram,
+            |    (CAST(length(bin(t)) - length(bin(cnt)) AS BIGINT) * 1024 + 1) AS cost
+            |  FROM m2, tot2),
+            |${sqlUnigramWalkCtes("2", "vs2")},
+            |su2 AS (SELECT s.w, wf.f, unnest(s.pieces) AS gram
+            |  FROM seg2 s JOIN wf USING (w)),
+            |c0 AS (SELECT s.w, s.f,
+            |    CAST(sum(v.cost // 1024) AS BIGINT) AS w_bits,
+            |    CAST(count(*) AS BIGINT) AS w_pieces
+            |  FROM su s JOIN vs v USING (gram) GROUP BY 1, 2),
+            |c1 AS (SELECT s.w, s.f,
+            |    CAST(sum(v.cost // 1024) AS BIGINT) AS w_bits,
+            |    CAST(count(*) AS BIGINT) AS w_pieces
+            |  FROM su2 s JOIN vs2 v USING (gram) GROUP BY 1, 2),
+            |r0 AS (SELECT 0 AS round,
+            |    (SELECT CAST(count(*) AS BIGINT) FROM vs) AS model_pieces,
+            |    (SELECT CAST(count(DISTINCT gram) AS BIGINT) FROM su) AS pieces_used,
+            |    CAST(sum(f * w_bits) AS BIGINT) AS corpus_bits,
+            |    CAST(sum(f * w_pieces) AS BIGINT) AS corpus_pieces
+            |  FROM c0),
+            |r1 AS (SELECT 1 AS round,
+            |    (SELECT CAST(count(*) AS BIGINT) FROM vs2) AS model_pieces,
+            |    (SELECT CAST(count(DISTINCT gram) AS BIGINT) FROM su2) AS pieces_used,
+            |    CAST(sum(f * w_bits) AS BIGINT) AS corpus_bits,
+            |    CAST(sum(f * w_pieces) AS BIGINT) AS corpus_pieces
+            |  FROM c1)
+            |SELECT * FROM r0 UNION ALL SELECT * FROM r1""".stripMargin))
+
   /** Shared CDC-chunk CTE chain (`d` … `ck`): `ck` = (doc_id, chunk)
     * for every non-empty document — the oracle mirror of
     * [[graft.functions.expressions.CdcChunks]]' sequential Gear scan in
@@ -4849,5 +4953,5 @@ object Queries {
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
-    qMaxmatchTokenize, qUnigramTokenize, qCdcDedup, qCdcIncremental)
+    qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental)
 }

@@ -123,6 +123,120 @@ object Unigram {
         expr("best1 % 1024").as("n_pieces"))
   }
 
+  /** (w, f, pieces): the ACTUAL Viterbi segmentation per distinct word
+    * — each piece as a string, in order. Two folds: the backward
+    * induction of [[wordViterbi]] kept as the FULL best array, then a
+    * forward walk that at each position picks, among candidates
+    * achieving the optimum (`cost(g) + best[p+len] = best[p]`), the
+    * LONGEST — a total order, so both engines reconstruct the
+    * identical segmentation. Feeds the hard-EM M-step ([[refitStats]]).
+    */
+  def wordPieces(words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame = {
+    val pos = words.select(col("w"), col("f"),
+      explode(sequence(lit(1), length(col("w")))).as("p"))
+    val mt = pos
+      .select(col("w"), col("f"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(maxLen), length(col("w")) - col("p") + 1))).as("len"))
+      .join(broadcast(vocabDf), expr("substring(w, p, len)") === col("gram"))
+      .groupBy(col("w"), col("f"), col("p"))
+      .agg(collect_list(struct(col("len"), col("cost"))).as("cands"))
+    val grid = mt
+      .groupBy(col("w"), col("f"))
+      .agg(array_sort(collect_list(struct(col("p"), col("cands")))).as("a"))
+      .select(col("w"), col("f"),
+        transform(col("a"), x => x.getField("cands")).as("mt"))
+    val withBest = grid.select(col("w"), col("f"), col("mt"),
+      aggregate(
+        sequence(lit(1), size(col("mt"))),
+        array(lit(0L)),
+        (br, i) => concat(br, array(array_min(transform(
+          element_at(col("mt"), size(col("mt")) + 1 - i),
+          c => c.getField("cost") +
+            element_at(br, size(br) - c.getField("len") + 1)))))).as("br"))
+    // forward walk: br has L+1 entries, best[p] = br[L+2-p]; at each
+    // visited position keep the longest optimum-achieving candidate
+    val walked = withBest.select(col("w"), col("f"),
+      aggregate(
+        sequence(lit(1), size(col("mt"))),
+        struct(lit(1).as("p"),
+          array().cast("array<struct<p:int,len:int>>").as("ps")),
+        (st, i) => {
+          val p      = st.getField("p")
+          val bestP  = element_at(col("br"), size(col("br")) + 1 - p)
+          val chosen = array_max(transform(
+            filter(element_at(col("mt"), p),
+              c => c.getField("cost") + element_at(col("br"),
+                size(col("br")) + 1 - (p + c.getField("len"))) === bestP),
+            c => c.getField("len")))
+          when(i === p,
+            struct(
+              (p + chosen).as("p"),
+              concat(st.getField("ps"),
+                array(struct(p.as("p"), chosen.as("len")))).as("ps")))
+            .otherwise(st)
+        },
+        st => st.getField("ps")).as("ps"))
+    walked
+      .withColumn("pieces",
+        expr("transform(ps, x -> substring(w, x.p, x.len))"))
+      .select(col("w"), col("f"), col("pieces"))
+  }
+
+  /** Hard-EM refit (Kudo §3.2's EM step, Viterbi flavor): segment under
+    * the seed model, re-estimate piece scores from ACTUAL usage
+    * (M-step: cnt₂ = freq-weighted times used; unused multi-grams are
+    * PRUNED — SentencePiece's shrink step; single chars always survive
+    * with a smoothed count of 1 so coverage never breaks), re-segment,
+    * and report one row per round: pieces in the model, pieces used,
+    * corpus cost in bits, corpus piece count. The observable: the
+    * usage-fitted model never costs more than the seed on the corpus
+    * it was fitted to.
+    */
+  def refitStats(docs: DataFrame, textCol: String, k: Int, maxLen: Int): DataFrame = {
+    val words = MaxMatch.wordTable(docs, textCol)
+    val seed  = vocabScored(words, k, maxLen)
+      .localCheckpoint(eager = false) // read by round 0 stats + segmentation
+    val seg0 = wordPieces(words, seed, maxLen)
+      .localCheckpoint(eager = false) // read by usage recount + round-0 stats
+    // M-step: usage-weighted piece counts; keep unused single chars at
+    // count 1 (coverage), prune unused multi-grams
+    val used = seg0
+      .select(col("f"), explode(col("pieces")).as("gram"))
+      .groupBy(col("gram")).agg(sum(col("f")).as("cnt"))
+    val tot2 = used.agg(sum(col("cnt")).as("t"))
+    val model2 = seed.select(col("gram"))
+      .join(used, Seq("gram"), "left")
+      .filter(col("cnt").isNotNull || length(col("gram")) === 1)
+      .select(col("gram"), coalesce(col("cnt"), lit(1L)).as("cnt"))
+      .crossJoin(broadcast(tot2))
+      .select(col("gram"),
+        ((length(expr("bin(t)")) - length(expr("bin(cnt)"))).cast("long") *
+          1024L + 1L).as("cost"))
+    val seg1 = wordPieces(words, model2, maxLen)
+    def stats(round: Int, model: DataFrame, seg: DataFrame): DataFrame = {
+      // corpus cost: Σ_w f(w) · Σ_{piece uses} surp(piece) — recompute
+      // from the pieces array against the model so the number reflects
+      // the model that PRODUCED the segmentation
+      val wordCost = seg.select(col("w"), col("f"), explode(col("pieces")).as("gram"))
+        .join(model, Seq("gram"))
+        .groupBy(col("w"), col("f"))
+        .agg(
+          sum(expr("cost DIV 1024")).as("w_bits"),
+          count(lit(1)).as("w_pieces"))
+      val agg = wordCost.agg(
+        sum(col("f") * col("w_bits")).as("corpus_bits"),
+        sum(col("f") * col("w_pieces")).as("corpus_pieces"))
+      val nUsed = seg.select(explode(col("pieces")).as("g"))
+        .agg(countDistinct(col("g")).as("pieces_used"))
+      val nModel = model.agg(count(lit(1)).as("model_pieces"))
+      agg.crossJoin(broadcast(nModel)).crossJoin(broadcast(nUsed))
+        .select(lit(round).as("round"), col("model_pieces"),
+          col("pieces_used"), col("corpus_bits"), col("corpus_pieces"))
+    }
+    stats(0, seed, seg0).unionByName(stats(1, model2, seg1))
+  }
+
   /** Full composition: seed model from `docs`, Viterbi-segment the
     * distinct words, report per-document (n_tokens, n_pieces,
     * surp_bits, avg_piece_cb) — the unigram-LM counterpart of

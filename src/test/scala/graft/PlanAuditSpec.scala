@@ -58,7 +58,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_dedup_eval",       // three one-row metric frames crossed into one report row
     "q_kn_surprisal",     // one-row bigram-type total crossed into the KN model
     // one-row gram-count total crossed into the piece surprisal scores
-    "q_unigram_tokenize")
+    "q_unigram_tokenize",
+    // one-row totals (gram count, model size, pieces used) crossed into
+    // the per-round report rows
+    "q_unigram_refit")
   private val broadcastSmallSideFanOuts = Set(
     // nested loop over a TINY broadcast side, linear in the big side:
     // brute-force kNN probes a handful of broadcast query vectors per

@@ -99,6 +99,46 @@ class UnigramSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("hard-EM refit never raises corpus cost and prunes unused pieces") {
+    val docs = (0 until 80).map { i =>
+      (i.toLong, Seq("abab", "abc", "cab", "ba")(i % 4) + " " +
+        Seq("aa", "bb", "abba")(i % 3))
+    }.toDF("doc_id", "text")
+    val rows = Unigram.refitStats(docs, "text", 30, 4)
+      .orderBy("round").collect()
+    rows.length shouldBe 2
+    val (r0, r1) = (rows(0), rows(1))
+    // usage-fitted scores can only cheapen the corpus they were fit on
+    r1.getLong(3) should be <= r0.getLong(3)   // corpus_bits
+    // the seed carries never-used top-K grams; refit prunes them
+    r1.getLong(1) should be < r0.getLong(1)    // model_pieces
+    // pruning keeps every single char: round-1 model >= alphabet size
+    val alphabet = docs.select(explode(split(regexp_replace(
+      concat_ws("", col("text")), " ", ""), "")).as("c"))
+      .filter(org.apache.spark.sql.functions.length(col("c")) > 0)
+      .distinct().count()
+    r1.getLong(1) should be >= alphabet
+  }
+
+  test("wordPieces reconstructs segmentations consistent with wordViterbi") {
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 80).map { _ =>
+      (0 until (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }.distinct
+    val wf = words.map((_, 1L)).toDF("w", "f")
+    val scored = Unigram.vocabScored(wf, 30, 4)
+    val counts = Unigram.wordViterbi(wf, scored, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val pieces = Unigram.wordPieces(wf, scored, 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    words.foreach { w =>
+      withClue(s"word $w: ") {
+        pieces(w).mkString("") shouldBe w      // lossless
+        pieces(w).size.toLong shouldBe counts(w) // same optimum
+      }
+    }
+  }
+
   test("token length guard rejects absurd words loudly") {
     val big = "x" * 1200
     val ex = intercept[Exception] {
