@@ -610,6 +610,44 @@ object Queries {
             |FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             |WHERE common / (sa.nt + sb.nt - common) >= 0.9""".stripMargin))
 
+  private val PrefixTbp = 9000L // Jaccard >= 0.9 in basis points
+
+  private val qSetsimPrefix = Q(
+    "q_setsim_prefix",
+    "prefix-filtering set-similarity join (PPJoin): exact Jaccard pairs with NO all-pairs stage",
+    (s, d) =>
+      // candidates are an equi-join on each doc's (1-t)-fraction
+      // rare-token prefix, with completeness guaranteed by the prefix
+      // lemma (contrast the LSH generators, which trade recall for the
+      // same bound). Input bounded like the other exhaustive-exact
+      // queries: the synthetic corpus draws every doc from ONE 31-token
+      // vocabulary, so J >= 0.9 pairs are DENSE (7% of all pairs) and
+      // the true output itself is quadratic — a corpus property, not a
+      // plan property; real corpora have sparse high-Jaccard structure
+      Dedup.prefixFilterPairs(
+        t(s, d).documents.filter(col("doc_id") < 2000), "doc_id", "text", PrefixTbp),
+    Some(
+      raw"""WITH toks AS (${sqlDocToks(2000)}),
+           |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+           |pfx AS (SELECT doc_id, tok FROM (
+           |    SELECT t.doc_id, t.tok, s.nt,
+           |      row_number() OVER (PARTITION BY t.doc_id
+           |                         ORDER BY d.df ASC, t.tok ASC) AS rn
+           |    FROM toks t JOIN dfreq d USING (tok) JOIN sz s USING (doc_id))
+           |  WHERE rn <= nt - (nt * $PrefixTbp + 9999) // 10000 + 1),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+           |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
+           |  FROM cand c
+           |  JOIN toks ta ON ta.doc_id = c.doc_a
+           |  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  (common * 10000) // (sa.nt + sb.nt - common) AS jaccard_bp
+           |FROM common JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+           |WHERE (common * 10000) // (sa.nt + sb.nt - common) >= $PrefixTbp""".stripMargin))
+
   private val MinhashHashes = 16
   private val MinhashBands  = 4
 
@@ -4927,7 +4965,8 @@ object Queries {
     qRegexClean, qHtmlUnescape, qReaggTopk, qFmtProject, qCondLabel, qFilterCount,
     qArgmaxLatest, qUnionSummary, qPricing, qJoinBroadcast, qJoinSemiAnti,
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
-    qDedupMinhash, qMinhashEst, qDedupSimhash, qKnnCosine, qEmbedNearDup, qNearDupBanded,
+    qDedupMinhash, qMinhashEst, qDedupSimhash, qSetsimPrefix, qKnnCosine,
+    qEmbedNearDup, qNearDupBanded,
     qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,

@@ -158,6 +158,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Prefix-filtering set-similarity join (Chaudhuri et al. ICDE'06;
+    * the PPJoin family, Xiao et al. WWW'08) — the EXACT counterpart to
+    * the catalog's LSH candidate generators: every pair with Jaccard ≥
+    * t is guaranteed found (no false negatives, unlike MinHash/SimHash
+    * banding), yet the join never touches all pairs. The lemma: order
+    * tokens by a global total order (document frequency asc, token asc
+    * — rare first) and keep each doc's first `|d| − ⌈t·|d|⌉ + 1` tokens
+    * as its PREFIX; two sets with J ≥ t must overlap in ≥ 1 prefix
+    * token, so the candidate join is an equi-join on prefix tokens
+    * only. Rare-first ordering is what bounds the buckets: hot
+    * (boilerplate) tokens sort LAST and rarely enter prefixes, so
+    * candidate volume concentrates on discriminative tokens — the same
+    * end the LSH paths buy with frequency caps, here with zero recall
+    * loss.
+    *
+    * Returns (doc_a, doc_b, jaccard_bp) for pairs with exact Jaccard ≥
+    * `thresholdBp`/10000 over distinct whitespace tokens — integer bp
+    * end-to-end, so both engines agree bit-for-bit.
+    *
+    * Scale shape: the frequency table and per-doc ordering shuffle
+    * (doc, tok) pairs twice (df join, doc window); the candidate join
+    * carries ONLY prefix tokens (≤ (1−t)·|d| + 1 per doc — at t=0.9
+    * one-tenth of the token volume); the verify re-joins the candidate
+    * pairs' token sets. No all-pairs stage anywhere.
+    */
+  def prefixFilterPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      thresholdBp: Long): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"thresholdBp must be in (0, 10000], got $thresholdBp")
+    val toks = explodedDistinctTokens(df, id, text)
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy(col(id)).agg(count(lit(1)).as("nt"))
+    // per-doc rare-first order; prefix size |d| - ceil(t*|d|) + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("df").asc, col("tok").asc)
+    val prefix = toks
+      .join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, Seq(id))
+      .filter(col("rn") <=
+        expr(s"nt - (nt * $thresholdBp + 9999) DIV 10000 + 1"))
+      .select(col(id), col("tok"))
+    val cand = prefix.select(col(id).as("doc_a"), col("tok"))
+      .join(prefix.select(col(id).as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verify on candidates only
+    val common = cand
+      .join(toks.select(col(id).as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col(id).as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.select(col(id).as("doc_a"), col("nt").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col(id).as("doc_b"), col("nt").as("nb"))), Seq("doc_b"))
+      .withColumn("jaccard_bp",
+        expr("(common * 10000) DIV (na + nb - common)"))
+      .filter(col("jaccard_bp") >= thresholdBp)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+  }
+
   /** SimHash bit width used by [[simhashExpr]]. */
   val SimhashBits = 32
 

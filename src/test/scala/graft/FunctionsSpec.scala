@@ -122,6 +122,38 @@ class FunctionsSpec extends SparkSpec {
     pairs shouldBe Array((1L, 2L))
   }
 
+  test("prefixFilterPairs == exhaustive jaccardPairs (completeness, no false negatives)") {
+    // random docs over a 12-token vocab: dense similarity structure,
+    // the adversarial case for candidate generation
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 12).map(i => s"t$i")
+    val rdocs = (0 until 120).map { i =>
+      (i.toLong, (0 until (4 + rnd.nextInt(9)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (tbp <- Seq(7000L, 9000L, 10000L)) {
+      val exact = Dedup.jaccardPairs(rdocs, "doc_id", "text", tbp / 10000.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pfx = Dedup.prefixFilterPairs(rdocs, "doc_id", "text", tbp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"tbp=$tbp: ") { pfx shouldBe exact }
+    }
+  }
+
+  test("prefix filtering prunes: candidate join carries less than all pairs") {
+    // docs sharing no rare token should never meet in the candidate
+    // join; with distinct rare heads the prefix join is far below
+    // n*(n-1)/2 — observable via the verified-pair count at tbp where
+    // nothing passes
+    val sparse = (0 until 40).map { i =>
+      (i.toLong, s"u$i v$i common1 common2 common3")
+    }.toDF("doc_id", "text")
+    // every pair shares 3/7 tokens (J=3/7 ~ 0.43 < 0.9) and prefixes
+    // are the unique u_i/v_i heads, so NO pair survives — and none
+    // should even be candidates (disjoint prefixes)
+    Dedup.prefixFilterPairs(sparse, "doc_id", "text", 9000L).count() shouldBe 0L
+  }
+
   test("minhashCandidates includes identical docs; candidates ⊇ high-jaccard pairs") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
