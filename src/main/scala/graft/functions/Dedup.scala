@@ -181,7 +181,9 @@ object Dedup {
     * (doc, tok) pairs twice (df join, doc window); the candidate join
     * carries ONLY prefix tokens (≤ (1−t)·|d| + 1 per doc — at t=0.9
     * one-tenth of the token volume); the verify re-joins the candidate
-    * pairs' token sets. No all-pairs stage anywhere.
+    * pairs' token sets. No all-pairs stage anywhere. Two further
+    * PPJoin filters cut the verify volume without touching the result
+    * (both are sound upper-bound pruners — see [[prefixCandidates]]).
     */
   def prefixFilterPairs(
       df: DataFrame,
@@ -191,22 +193,8 @@ object Dedup {
     require(thresholdBp > 0 && thresholdBp <= 10000,
       s"thresholdBp must be in (0, 10000], got $thresholdBp")
     val toks = explodedDistinctTokens(df, id, text)
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sizes = toks.groupBy(col(id)).agg(count(lit(1)).as("nt"))
-    // per-doc rare-first order; prefix size |d| - ceil(t*|d|) + 1
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(id)).orderBy(col("df").asc, col("tok").asc)
-    val prefix = toks
-      .join(dfreq, Seq("tok"))
-      .withColumn("rn", row_number().over(w))
-      .join(sizes, Seq(id))
-      .filter(col("rn") <=
-        expr(s"nt - (nt * $thresholdBp + 9999) DIV 10000 + 1"))
-      .select(col(id), col("tok"))
-    val cand = prefix.select(col(id).as("doc_a"), col("tok"))
-      .join(prefix.select(col(id).as("doc_b"), col("tok")), Seq("tok"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = prefixCandidates(toks, sizes, id, thresholdBp)
     // exact verify on candidates only
     val common = cand
       .join(toks.select(col(id).as("doc_a"), col("tok")), Seq("doc_a"))
@@ -220,6 +208,67 @@ object Dedup {
         expr("(common * 10000) DIV (na + nb - common)"))
       .filter(col("jaccard_bp") >= thresholdBp)
       .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+  }
+
+  /** Candidate stage of [[prefixFilterPairs]] — (doc_a, doc_b) pairs
+    * that survive the prefix join plus PPJoin's two sound pruners
+    * (Xiao et al. WWW'08 §3; both only ever REMOVE pairs whose exact
+    * Jaccard provably falls below t, so the verified result is
+    * unchanged):
+    *
+    *  - length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb); pairs
+    *    with mismatched sizes drop before the pair ever materializes.
+    *  - positional filter: let the FIRST shared prefix token sit at
+    *    doc-local sorted positions (pa, pb). Every doc-local position
+    *    sequence is order-isomorphic to the shared global (df, tok)
+    *    order, so no common token can precede it (an earlier common
+    *    token would lie inside both prefixes — contradiction with
+    *    "first"). Hence overlap ≤ 1 + min(na−pa, nb−pb), and the pair
+    *    survives only if that bound reaches the required overlap
+    *    α = ⌈t·(na+nb)/(1+t)⌉ (from J = O/(na+nb−O) ≥ t).
+    *
+    * Exposed `private[graft]` so specs can observe candidate-volume
+    * pruning directly instead of inferring it from the verified output.
+    */
+  private[graft] def prefixCandidates(
+      toks: DataFrame,
+      sizes: DataFrame,
+      id: String,
+      thresholdBp: Long): DataFrame = {
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc rare-first order; prefix size |d| - ceil(t*|d|) + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("df").asc, col("tok").asc)
+    val prefix = toks
+      .join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, Seq(id))
+      .filter(col("rn") <=
+        expr(s"nt - (nt * $thresholdBp + 9999) DIV 10000 + 1"))
+      .select(col(id), col("tok"), col("rn"), col("nt"))
+    prefix
+      .select(col(id).as("doc_a"), col("tok"),
+        col("rn").as("pa"), col("nt").as("na"))
+      .join(
+        prefix.select(col(id).as("doc_b"), col("tok"),
+          col("rn").as("pb"), col("nt").as("nb")),
+        Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter — applied on the raw matches, before the pair agg
+      .filter(least(col("na"), col("nb")) * 10000 >=
+        lit(thresholdBp) * greatest(col("na"), col("nb")))
+      .groupBy("doc_a", "doc_b")
+      // first shared prefix token: minimal (pa, pb) — minimal pa and
+      // minimal pb coincide because doc-local order mirrors global order
+      .agg(
+        min(struct(col("pa"), col("pb"))).as("m"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
+      // positional filter: 1 + min(na-pa, nb-pb) >= ceil(t(na+nb)/(1+t))
+      .filter(
+        lit(1) + least(col("na") - col("m.pa"), col("nb") - col("m.pb")) >=
+          expr(s"(($thresholdBp * (na + nb)) + ${10000 + thresholdBp} - 1)" +
+            s" DIV ${10000 + thresholdBp}"))
+      .select("doc_a", "doc_b")
   }
 
   /** SimHash bit width used by [[simhashExpr]]. */

@@ -154,6 +154,50 @@ class FunctionsSpec extends SparkSpec {
     Dedup.prefixFilterPairs(sparse, "doc_id", "text", 9000L).count() shouldBe 0L
   }
 
+  test("PPJoin positional filter prunes prefix-colliding pairs below threshold") {
+    // two 20-token docs: 2 unique heads each + 18 shared fillers.
+    // Sorted rare-first, prefix size = 20 - ceil(0.9*20) + 1 = 3, so
+    // both prefixes end on the first shared filler (position 3).
+    // Positional bound: 1 + min(17, 17) = 18 < required overlap
+    // alpha = ceil(0.9*40/1.9) = 19 -> the pair must be pruned even
+    // though the prefixes DO collide (J = 18/22 ~ 0.82 < 0.9, so the
+    // verified result is unchanged: empty).
+    val fill = (1 to 18).map(i => f"fill$i%02d").mkString(" ")
+    val docs2 = Seq(
+      (0L, s"aa0 ab0 $fill"),
+      (1L, s"ba1 bb1 $fill")).toDF("doc_id", "text")
+    val toks = Dedup.explodedDistinctTokens(docs2, "doc_id", "text")
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    // prefixes genuinely collide (shared filler tokens exist)
+    toks.groupBy("tok").count().filter(col("count") === 2).count() shouldBe 18L
+    Dedup.prefixCandidates(toks, sizes, "doc_id", 9000L).count() shouldBe 0L
+    Dedup.prefixFilterPairs(docs2, "doc_id", "text", 9000L).count() shouldBe 0L
+  }
+
+  test("PPJoin length filter prunes size-mismatched pairs sharing a rare token") {
+    // 5-token and 50-token docs sharing the token that sorts FIRST in
+    // both prefixes ("aashared" — doc 2 lifts every filler's df to 2 so
+    // the tie breaks on token text): the prefix join matches on it, but
+    // J >= 0.9 needs 0.9*50 <= 5 — impossible, so the length filter
+    // drops the (0,1) pair before the pair agg
+    val long = (1 to 49).map(i => f"l$i%02d").mkString(" ")
+    val fills = (1 to 4).map(i => s"s$i").mkString(" ")
+    val docs2 = Seq(
+      (0L, s"aashared $fills"),
+      (1L, s"aashared $long"),
+      (2L, s"$fills $long")).toDF("doc_id", "text")
+    val toks = Dedup.explodedDistinctTokens(docs2, "doc_id", "text")
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    // prefix collision is real: at a permissive threshold the (0,1)
+    // pair IS a candidate...
+    Dedup.prefixCandidates(toks, sizes, "doc_id", 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) should contain ((0L, 1L))
+    // ...at t=0.9 the length filter kills exactly it; (1,2) remains —
+    // correctly, since J(1,2) = 49/54 ~ 0.907 >= 0.9 (l-token overlap)
+    Dedup.prefixCandidates(toks, sizes, "doc_id", 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L))
+  }
+
   test("minhashCandidates includes identical docs; candidates ⊇ high-jaccard pairs") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
