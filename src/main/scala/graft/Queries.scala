@@ -3487,6 +3487,53 @@ object Queries {
            |GROUP BY 1, 2, 3, 4, n_docs
            |HAVING count(*) >= $PmiMinPair""".stripMargin))
 
+  private val TrIters   = 3
+  private val TrTeleport = (10000L - graft.functions.Graph.DefaultDampingBp) *
+    graft.functions.Graph.DefaultScale / 10000L
+
+  private val qTextrank = Q(
+    "q_textrank",
+    "TextRank keyword centrality: fixed-point PageRank over the adjacent-token co-occurrence graph",
+    (s, d) =>
+      // word-graph centrality (Mihalcea & Tarau EMNLP'04) as corpora
+      // use for keyword extraction / quality priors. All integer
+      // fixed-point (ranks ×10⁶, damping in bp, DIV floors) so the
+      // 3-iteration recurrence replays bit-exactly in the oracle's
+      // unrolled CTEs. Edge build is one linear shingle pass; each
+      // iteration is a node-id equi-join + re-agg over the vocab-sized
+      // edge table.
+      graft.functions.Graph.pageRank(
+        graft.functions.Graph.textRankEdges(t(s, d).documents, "doc_id", "text"),
+        TrIters)
+        .select(col("node").as("tok"), col("rk").as("rank_fp")),
+    Some {
+      val d = graft.functions.Graph.DefaultDampingBp
+      val iter = (k: Int) =>
+        raw"""i$k AS (SELECT ew.dst AS node,
+             |    CAST(sum((r.rk * ew.w) // ew.wout) AS BIGINT) AS infl
+             |  FROM ew JOIN r${k - 1} r ON r.node = ew.src GROUP BY 1),
+             |r$k AS (SELECT n.node,
+             |    CAST($TrTeleport + ($d * COALESCE(i.infl, 0)) // 10000 AS BIGINT) AS rk
+             |  FROM nodes n LEFT JOIN i$k i USING (node))""".stripMargin
+      raw"""WITH tk AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |bg AS (SELECT toks[g.i] AS a, toks[g.i+1] AS b FROM tk
+           |  CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, len(toks)-1)) AS i) g
+           |  WHERE toks[g.i] <> toks[g.i+1]),
+           |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+           |    SELECT a AS src, b AS dst FROM bg
+           |    UNION ALL SELECT b AS src, a AS dst FROM bg)
+           |  GROUP BY 1, 2),
+           |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+           |ew AS (SELECT e.src, e.dst, e.w, ow.wout FROM e JOIN ow USING (src)),
+           |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT node, CAST(${graft.functions.Graph.DefaultScale} AS BIGINT) AS rk
+           |  FROM nodes),
+           |${(1 to TrIters).map(iter).mkString(",\n")}
+           |SELECT node AS tok, rk AS rank_fp FROM r$TrIters""".stripMargin
+    })
+
   private val qScd2History = Q(
     "q_scd2_history",
     "SCD2 history build: versioned records with end-version and currency from two snapshots",
@@ -4986,7 +5033,7 @@ object Queries {
     qClusterBalance,
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
-    qWinnowCandidates, qPmiColloc, qScd2History, qSpanScrub, qKmvOverlap,
+    qWinnowCandidates, qPmiColloc, qTextrank, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qGlobalShuffle,
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
