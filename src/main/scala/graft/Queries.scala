@@ -3487,6 +3487,32 @@ object Queries {
            |GROUP BY 1, 2, 3, 4, n_docs
            |HAVING count(*) >= $PmiMinPair""".stripMargin))
 
+  private val SuffixMaxDoc = 500L
+
+  private val qSuffixArray = Q(
+    "q_suffix_array",
+    "distributed suffix array (prefix doubling): dense suffix ranks, oracle = brute suffix sort",
+    (s, d) =>
+      // the exact-substring-dedup index (Lee et al. ACL'22) built in
+      // log(maxLen) equi-join/agg rounds without materializing a single
+      // suffix; the oracle sorts the actual suffix strings — the
+      // quadratic-memory brute force the operator exists to avoid —
+      // over the same bounded slice (input bound per the
+      // exhaustive-ground-truth convention; the operator itself is
+      // linear-carry and unbounded)
+      graft.functions.Suffix.suffixRanks(
+        t(s, d).documents.filter(col("doc_id") < SuffixMaxDoc),
+        "doc_id", "text"),
+    Some(
+      raw"""WITH p AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+           |    substr(text, g.i) AS suf
+           |  FROM documents CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, length(text))) AS i) g
+           |  WHERE doc_id < $SuffixMaxDoc AND length(text) >= 1)
+           |SELECT doc_id, pos,
+           |  CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) - 1 AS srank
+           |FROM p""".stripMargin))
+
   private val TrIters   = 3
   private val TrTeleport = (10000L - graft.functions.Graph.DefaultDampingBp) *
     graft.functions.Graph.DefaultScale / 10000L
@@ -5033,7 +5059,7 @@ object Queries {
     qClusterBalance,
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
-    qWinnowCandidates, qPmiColloc, qTextrank, qScd2History, qSpanScrub, qKmvOverlap,
+    qWinnowCandidates, qPmiColloc, qTextrank, qSuffixArray, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qGlobalShuffle,
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,

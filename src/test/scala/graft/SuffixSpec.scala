@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Suffix
+
+/** Specs for the prefix-doubling suffix-array construction. */
+class SuffixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(docs: Seq[(Long, String)]): Map[(Long, Long), Long] =
+    Suffix.suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("banana: hand-computed suffix ranks") {
+    // suffixes sorted: a < ana < anana < banana < na < nana
+    ranks(Seq(1L -> "banana")) shouldBe Map(
+      (1L, 6L) -> 0L, (1L, 4L) -> 1L, (1L, 2L) -> 2L,
+      (1L, 1L) -> 3L, (1L, 5L) -> 4L, (1L, 3L) -> 5L)
+  }
+
+  test("cross-document: identical suffixes tie, prefixes sort before extensions") {
+    // suffixes: ab(1,1) b(1,2) abc(2,1) bc(2,2) c(2,3)
+    // sorted: ab(0) abc(1) b(2) bc(3) c(4) — "ab" < "abc" (proper
+    // prefix first), and ranks are dense ACROSS documents
+    ranks(Seq(1L -> "ab", 2L -> "abc")) shouldBe Map(
+      (1L, 1L) -> 0L, (2L, 1L) -> 1L, (1L, 2L) -> 2L,
+      (2L, 2L) -> 3L, (2L, 3L) -> 4L)
+    // byte-identical docs: every position ties with its twin
+    val r = ranks(Seq(1L -> "xyx", 2L -> "xyx"))
+    (1 to 3).foreach(p => r((1L, p.toLong)) shouldBe r((2L, p.toLong)))
+  }
+
+  test("matches brute-force suffix sort on random multi-doc corpora") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 24).map { i =>
+      (i.toLong,
+        (0 until (1 + rnd.nextInt(40)))
+          .map(_ => "abcd".charAt(rnd.nextInt(4))).mkString)
+    }
+    // expected: dense rank of the materialized suffixes, ties shared
+    val sufs = docs.flatMap { case (did, t) =>
+      (1 to t.length).map(p => (did, p.toLong, t.substring(p - 1)))
+    }
+    val order = sufs.map(_._3).distinct.sorted.zipWithIndex.toMap
+    val expected = sufs.map { case (did, p, s2) => (did, p) -> order(s2).toLong }.toMap
+    ranks(docs) shouldBe expected
+  }
+
+  test("empty and single-char documents") {
+    // empty doc contributes no positions; single chars rank by byte
+    ranks(Seq(1L -> "", 2L -> "b", 3L -> "a")) shouldBe Map(
+      (3L, 1L) -> 0L, (2L, 1L) -> 1L)
+  }
+}
