@@ -3513,6 +3513,46 @@ object Queries {
            |  CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) - 1 AS srank
            |FROM p""".stripMargin))
 
+  private val LcpCap = 64L
+
+  private val qSuffixLcp = Q(
+    "q_suffix_lcp",
+    "rank-adjacent LCP table from the suffix array: exact duplicated-span lengths",
+    (s, d) =>
+      // the dedup half of the Lee-et-al index: a span is duplicated at
+      // length >= L iff some adjacent pair here has lcp >= L. Spark
+      // computes the EXACT lcp from the kept doubling levels (never
+      // touching suffix strings); the output caps it at $LcpCap only so
+      // the oracle's brute-force per-character probe stays affordable —
+      // the cap is the operational span threshold, not an algorithm
+      // limit (uncapped exactness is spec-pinned vs Scala brute force)
+      graft.functions.Suffix.adjacentLcp(
+        t(s, d).documents.filter(col("doc_id") < SuffixMaxDoc),
+        "doc_id", "text")
+        .select(col("srank"), col("doc_a"), col("pos_a"), col("doc_b"),
+          col("pos_b"), least(col("lcp"), lit(LcpCap)).as("lcp_c")),
+    Some(
+      raw"""WITH p AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+           |    substr(text, g.i) AS suf
+           |  FROM documents CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, length(text))) AS i) g
+           |  WHERE doc_id < $SuffixMaxDoc AND length(text) >= 1),
+           |rk AS (SELECT doc_id, pos, suf,
+           |    CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) - 1 AS srank FROM p),
+           |rep AS (SELECT srank, doc_id, pos, suf FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY srank ORDER BY doc_id, pos) AS rn FROM rk)
+           |  WHERE rn = 1),
+           |pair AS (SELECT a.srank, a.doc_id AS doc_a, a.pos AS pos_a,
+           |    b.doc_id AS doc_b, b.pos AS pos_b, a.suf AS sa, b.suf AS sb
+           |  FROM rep a JOIN rep b ON b.srank = a.srank + 1)
+           |SELECT srank, doc_a, pos_a, doc_b, pos_b,
+           |  CAST(COALESCE(max(CASE WHEN substr(sa, 1, g.i) = substr(sb, 1, g.i)
+           |    THEN g.i END), 0) AS BIGINT) AS lcp_c
+           |FROM pair CROSS JOIN LATERAL
+           |  (SELECT unnest(generate_series(1, $LcpCap)) AS i) g
+           |GROUP BY 1, 2, 3, 4, 5""".stripMargin))
+
   private val TrIters   = 3
   private val TrTeleport = (10000L - graft.functions.Graph.DefaultDampingBp) *
     graft.functions.Graph.DefaultScale / 10000L
@@ -5059,7 +5099,7 @@ object Queries {
     qClusterBalance,
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
-    qWinnowCandidates, qPmiColloc, qTextrank, qSuffixArray, qScd2History, qSpanScrub, qKmvOverlap,
+    qWinnowCandidates, qPmiColloc, qTextrank, qSuffixArray, qSuffixLcp, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qGlobalShuffle,
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,

@@ -47,6 +47,44 @@ class SuffixSpec extends SparkSpec {
     ranks(docs) shouldBe expected
   }
 
+  private def lcps(docs: Seq[(Long, String)]): Map[Long, Long] =
+    Suffix.adjacentLcp(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+
+  test("banana: hand-computed adjacent LCPs") {
+    // sorted distinct suffixes: a ana anana banana na nana
+    // adjacent LCPs:            1   3     0      0   2
+    lcps(Seq(1L -> "banana")) shouldBe Map(
+      0L -> 1L, 1L -> 3L, 2L -> 0L, 3L -> 0L, 4L -> 2L)
+  }
+
+  test("adjacentLcp matches brute-force LCP on random multi-doc corpora") {
+    val rnd = new scala.util.Random(41)
+    val docs = (0 until 20).map { i =>
+      (i.toLong,
+        (0 until (1 + rnd.nextInt(30)))
+          .map(_ => "abc".charAt(rnd.nextInt(3))).mkString)
+    }
+    def bruteLcp(s2: String, t2: String): Long =
+      s2.zip(t2).takeWhile { case (x, y) => x == y }.size.toLong
+    val sorted = docs.flatMap { case (_, t) =>
+      (1 to t.length).map(p => t.substring(p - 1))
+    }.distinct.sorted
+    val expected = sorted.zip(sorted.tail).zipWithIndex
+      .map { case ((a, b), i) => i.toLong -> bruteLcp(a, b) }.toMap
+    lcps(docs) shouldBe expected
+  }
+
+  test("duplicated spans surface as adjacent LCP >= span length; disjoint corpora stay at 0") {
+    // the Lee-et-al criterion: the 8-char span shared by two docs MUST
+    // show up as an adjacent pair with lcp >= 8 (any suffixes between
+    // the two span-suffixes share the same prefix)
+    val shared = lcps(Seq(1L -> "xxABCDEFGHyy", 2L -> "zzABCDEFGHww"))
+    shared.values.max should be >= 8L
+    // character-disjoint docs share nothing: every adjacent lcp is 0
+    lcps(Seq(1L -> "abcd", 2L -> "efgh")).values.toSet shouldBe Set(0L)
+  }
+
   test("empty and single-char documents") {
     // empty doc contributes no positions; single chars rank by byte
     ranks(Seq(1L -> "", 2L -> "b", 3L -> "a")) shouldBe Map(
