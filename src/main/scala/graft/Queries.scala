@@ -3951,10 +3951,13 @@ object Queries {
       // the deterministic stand-in for the paper's random resample).
       // The weight table is materialized ONCE (it is consumed by the
       // histogram and both kept-branches; without the cut the plan
-      // re-runs the two-pass scoring three times). It is 4 longs per
-      // pool doc — on a real cluster this is the persisted output of
-      // q_dsir_weight that selection reads back.
-      val scored = dsirScored(s, d).localCheckpoint(eager = false)
+      // re-runs the two-pass scoring three times). EAGER: a lazy
+      // checkpoint still re-ran the scoring once per reaching subtree —
+      // the broadcast branches each start computing the not-yet-cached
+      // RDD (the q_unigram_refit defect, Unigram.refitStats). It is 4
+      // longs per pool doc — on a real cluster this is the persisted
+      // output of q_dsir_weight that selection reads back.
+      val scored = dsirScored(s, d).localCheckpoint(eager = true)
       val hist = scored.groupBy(col("dsir_bits")).agg(
         count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
       val wOrd = Window.partitionBy(lit(1)).orderBy(col("dsir_bits").desc)

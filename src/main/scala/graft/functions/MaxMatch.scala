@@ -44,7 +44,11 @@ object MaxMatch {
     docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .localCheckpoint(eager = false)
+      // EAGER: consumers reach this through broadcast subtrees (the
+      // induced vocab is broadcast into the piece-match join), and a
+      // lazy checkpoint re-runs the corpus explode once per reaching
+      // broadcast branch (the Unigram.refitStats defect)
+      .localCheckpoint(eager = true)
 
   /** The induced piece vocabulary: all single chars ∪ top-`k` n-grams
     * (2..`maxLen`) by weighted count desc, gram asc. One column `gram`.

@@ -194,11 +194,21 @@ object Unigram {
     * it was fitted to.
     */
   def refitStats(docs: DataFrame, textCol: String, k: Int, maxLen: Int): DataFrame = {
+    // Every multiply-referenced intermediate is checkpointed EAGERLY.
+    // Lazy (eager=false) checkpoints looked equivalent but were a ~40×
+    // wall-clock defect at vocab diversity (measured 65 s vs ~10 s at
+    // 45k distinct words, sf1): the final union plan reaches seed/seg0
+    // through several independent broadcast/exchange subtrees, and each
+    // starts computing the not-yet-cached RDD — the expensive
+    // vocab+Viterbi lineage re-runs once per reaching subtree instead
+    // of once. Eager materialization pins each table before anything
+    // downstream references it.
     val words = MaxMatch.wordTable(docs, textCol)
+      .localCheckpoint(eager = true) // read by vocab induction + 2 segmentations
     val seed  = vocabScored(words, k, maxLen)
-      .localCheckpoint(eager = false) // read by round 0 stats + segmentation
+      .localCheckpoint(eager = true) // read by round 0 stats + segmentation
     val seg0 = wordPieces(words, seed, maxLen)
-      .localCheckpoint(eager = false) // read by usage recount + round-0 stats
+      .localCheckpoint(eager = true) // read by usage recount + round-0 stats
     // M-step: usage-weighted piece counts; keep unused single chars at
     // count 1 (coverage), prune unused multi-grams
     val used = seg0
@@ -213,7 +223,9 @@ object Unigram {
       .select(col("gram"),
         ((length(expr("bin(t)")) - length(expr("bin(cnt)"))).cast("long") *
           1024L + 1L).as("cost"))
+      .localCheckpoint(eager = true) // read by seg1 broadcast + round-1 stats
     val seg1 = wordPieces(words, model2, maxLen)
+      .localCheckpoint(eager = true) // read by round-1 cost + used-piece count
     def stats(round: Int, model: DataFrame, seg: DataFrame): DataFrame = {
       // corpus cost: Σ_w f(w) · Σ_{piece uses} surp(piece) — recompute
       // from the pieces array against the model so the number reflects
