@@ -22,6 +22,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // allow joins/aggregates to reuse a child partitioning that covers
+      // a SUBSET of the keys (e.g. iterative state kept hash(doc_id)
+      // while joining on (doc_id, pos)): Spark 4 defaults this to true
+      // purely as a skew conservatism; the engine's iterative operators
+      // ([[graft.functions.Suffix]], the LCP walk) partition on the
+      // high-cardinality document id where subset reuse is safe and
+      // saves one full shuffle per round — skewed single-key hotspots
+      // are still covered by AQE skew handling above
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // the driver's testdata writes event ts as parquet TIMESTAMP(NANOS)
       // which Spark otherwise refuses to read:

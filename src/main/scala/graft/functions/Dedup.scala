@@ -181,9 +181,12 @@ object Dedup {
     * (doc, tok) pairs twice (df join, doc window); the candidate join
     * carries ONLY prefix tokens (≤ (1−t)·|d| + 1 per doc — at t=0.9
     * one-tenth of the token volume); the verify re-joins the candidate
-    * pairs' token sets. No all-pairs stage anywhere. Two further
-    * PPJoin filters cut the verify volume without touching the result
-    * (both are sound upper-bound pruners — see [[prefixCandidates]]).
+    * pairs' token sets. No all-pairs stage anywhere, and no broadcast
+    * of any corpus-cardinality table: the per-doc `sizes` joins are
+    * plain doc-id equi-joins (AQE may still broadcast them when the
+    * RUNTIME size is genuinely small). Two further PPJoin filters cut
+    * the verify volume without touching the result (both are sound
+    * upper-bound pruners — see [[prefixCandidates]]).
     */
   def prefixFilterPairs(
       df: DataFrame,
@@ -201,9 +204,14 @@ object Dedup {
       .join(toks.select(col(id).as("doc_b"), col("tok")), Seq("doc_b", "tok"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
+    // NO broadcast hint on `sizes`: it is one row per corpus document,
+    // so a forced broadcast is a driver OOM at production doc counts.
+    // Plain equi-joins let AQE pick broadcast only when the actual
+    // runtime size is small (bounded catalog inputs) and shuffle at
+    // scale — both keyed on doc id, the same key `common` already has.
     common
-      .join(broadcast(sizes.select(col(id).as("doc_a"), col("nt").as("na"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col(id).as("doc_b"), col("nt").as("nb"))), Seq("doc_b"))
+      .join(sizes.select(col(id).as("doc_a"), col("nt").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(id).as("doc_b"), col("nt").as("nb")), Seq("doc_b"))
       .withColumn("jaccard_bp",
         expr("(common * 10000) DIV (na + nb - common)"))
       .filter(col("jaccard_bp") >= thresholdBp)

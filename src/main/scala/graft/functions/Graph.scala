@@ -53,39 +53,75 @@ object Graph {
     * Scale shape: the edge table joins the rank table on `src` (hash
     * shuffle on node id) and re-aggregates on `dst` per iteration —
     * 2 shuffles × iters, each carrying one long per edge. Rank state is
-    * one row per node. No driver-side state: `iters` is a plan-unroll
-    * count (small by design — centrality consumers use 3-20
-    * iterations), not a convergence loop, so the optimized plan stays
-    * a DAG of `iters` join+agg stages with the static edge side reused.
-    * Overflow headroom: needs max-rank · max-weight < 2⁶³; rank mass is
-    * bounded by n_nodes·scale, so vocab-sized graphs (≤10⁹ weight,
-    * ≤10⁷·scale rank) sit 4 orders of magnitude inside the bound.
+    * one row per node. The static sides (weighted edges, node list) are
+    * materialized ONCE before the loop, and each iteration's rank table
+    * is cut with an eagerly-materialized local checkpoint (the
+    * [[Clustering]]/[[Bpe]] lineage discipline: predecessor freed as
+    * soon as the successor lands, so the loop-carried plan is a
+    * CONSTANT-size `LogicalRDD`-rooted tree at ANY iteration count —
+    * production centrality runs use 3-20 iterations, and the spec pins
+    * flatness at 16+ via the `onRound` probe). Overflow headroom:
+    * needs max-rank · max-weight < 2⁶³; rank mass is bounded by
+    * n_nodes·scale, so vocab-sized graphs (≤10⁹ weight, ≤10⁷·scale
+    * rank) sit 4 orders of magnitude inside the bound.
     */
   def pageRank(
       edges: DataFrame,
       iters: Int,
       dampingBp: Long = DefaultDampingBp,
-      scale: Long = DefaultScale): DataFrame = {
+      scale: Long = DefaultScale,
+      onRound: RoundProbe = NoProbe): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftBridge.localCheckpointHandle
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingBp >= 0 && dampingBp <= 10000,
       s"dampingBp must be in [0, 10000], got $dampingBp")
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val ew = edges.join(outw, Seq("src"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // static sides once — without the checkpoint every unrolled
+    // iteration re-evaluates edge preparation (ADVICE r9)
+    val (ew, ewRdd) = localCheckpointHandle(edges.join(outw, Seq("src")))
+    val (nodes, nodesRdd) = localCheckpointHandle(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct())
     val teleport = ((10000L - dampingBp) * scale) / 10000L
-    var ranks = nodes.select(col("node"), lit(scale).as("rk"))
-    for (_ <- 1 to iters) {
+    var (ranks, ranksRdd) =
+      localCheckpointHandle(nodes.select(col("node"), lit(scale).as("rk")))
+    for (i <- 1 to iters) {
+      val t0 = System.nanoTime()
       val inflow = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("(rk * w) DIV wout").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
+      val next = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampingBp * coalesce(inflow, 0L)) DIV 10000")).as("rk"))
+      val probeNodes = if (onRound eq NoProbe) 0 else planNodes(next)
+      val h = localCheckpointHandle(next)
+      ranksRdd.unpersist(blocking = false)
+      ranks = h._1
+      ranksRdd = h._2
+      onRound(i, (System.nanoTime() - t0) / 1000000L, probeNodes)
     }
+    // the returned table is lineage-cut: the static sides are no longer
+    // referenced and can be freed immediately
+    ewRdd.unpersist(blocking = false)
+    nodesRdd.unpersist(blocking = false)
     ranks
+  }
+
+  /** Per-iteration probe `(iter, wallMillis, planNodes)`: `planNodes`
+    * is the optimized-plan node count of the iteration's rank update
+    * BEFORE its lineage cut — the flatness contract (spec-pinned at
+    * 16+ iterations) is that it is CONSTANT, i.e. iteration N never
+    * re-plans or replays iterations 1..N−1.
+    */
+  type RoundProbe = (Int, Long, Int) => Unit
+  val NoProbe: RoundProbe = (_, _, _) => ()
+
+  private def planNodes(df: DataFrame): Int = {
+    var n = 0
+    df.queryExecution.optimizedPlan.foreach(_ => n += 1)
+    n
   }
 
   /** TextRank word graph: undirected co-occurrence edges over ADJACENT

@@ -1,9 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed suffix-array construction by prefix doubling
   * (Manber & Myers, SIAM J. Comput. 1993; the sort/rank formulation used
@@ -20,45 +19,90 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * aggregation (k8s/spark-apps/kafka-spark-configmap.yaml:106-199);
   * suffix indexing is part of the training-data extension surface.
   *
-  * Algorithm, entirely in equi-joins + aggregations (no suffix is ever
-  * materialized): rank every position by its first character, then
-  * ⌈log₂ maxLen⌉ doubling rounds — round k re-ranks positions by the
-  * pair (rank of s[p..p+k), rank of s[p+k..p+2k)), where the second
-  * component comes from a self-equi-join on (doc, pos+k) and positions
-  * past the end take a −1 sentinel (a proper prefix sorts before every
-  * extension, matching binary string order). After the final round two
-  * positions share a rank iff their suffixes are IDENTICAL — dense
-  * ranks over full suffix content, cross-document.
+  * Algorithm (no suffix is ever materialized): rank every position by
+  * its first TWO characters (2-gram alphabet is bounded by |alphabet|²,
+  * so its rank table is a broadcast, and the 2-char start drops one
+  * doubling round), then ~log₂ maxLen doubling rounds — round k
+  * re-ranks positions by the pair (rank of s[p..p+k), rank of
+  * s[p+k..p+2k)), where positions past the end take a −1 sentinel (a
+  * proper prefix sorts before every extension, matching binary string
+  * order). After the final round two positions share a rank iff their
+  * suffixes are IDENTICAL — dense ranks over full suffix content,
+  * cross-document.
   *
-  * The global dense rank each round reuses the catalog's
-  * bucket-plus-driver-prefix-sum shape (Sharding.globalOrder): distinct
-  * (r, r2) pairs bucket by `r DIV blockSize` (monotone in the pair
-  * order, so bucket boundaries are exact global-order boundaries),
-  * per-bucket window ranks are offset by the driver prefix sum of
-  * per-bucket distinct counts — never a single-partition sort over the
-  * data. Driver state per round is one ≤`buckets`-row count array; rank
-  * state is cut with an eagerly-materialized local checkpoint per round
+  * The constant factor is engineered around three facts:
+  *
+  *   - '''the shift lookup is a window, not a join.''' Positions are
+  *     consecutive 1..len within a document, so "rank k positions
+  *     ahead" is exactly `lead(r, k) OVER (PARTITION BY did ORDER BY
+  *     pos)` — one pipelined pass, no self-join, no shuffle at all once
+  *     the state is hash-partitioned by document id (the local
+  *     checkpoint preserves that partitioning via
+  *     `LogicalRDD.fromDataset`). Requires a document's positions to be
+  *     co-located — fine for bounded-length documents (the regime of
+  *     corpus dedup); a single multi-TB "document" would need the join
+  *     formulation instead.
+  *   - '''combine rounds are arithmetic.''' Doubling needs only
+  *     ORDER-ISOMORPHIC ranks, not dense ones, so while the domain
+  *     `dom` satisfies (dom+1)(dom+2) ≤ 2⁶³−1 (checked in BigInt on the
+  *     driver; the true 2-gram domain is probed once from the cached
+  *     init level so the first densify is deferred as long as
+  *     possible), the new rank is the pure map `r·(dom+2) + r2 + 2` —
+  *     consecutive combine rounds are chained windows in ONE stage.
+  *   - '''densify rounds are one action with in-plan offsets.''' When
+  *     the arithmetic would overflow (and on the final round, whose
+  *     output must be dense): pre-shuffle once on (r, r2) — shared by
+  *     the distinct AND the join-back — then distinct pairs bucket by
+  *     `r DIV blockSize` (monotone in the pair order, so bucket
+  *     boundaries are exact global-order boundaries), per-bucket window
+  *     ranks are offset by a prefix sum over the ≤`buckets`-row
+  *     per-bucket counts (a single-partition window over the bucket
+  *     aggregate — bounded by `buckets`, never by data) — no driver
+  *     collect, no recompute. The result is repartitioned back to the
+  *     document id to keep the zero-exchange window invariant.
+  *
+  * Driver state per round: the BigInt domain bound — nothing else.
+  * Dense state is cut with an eagerly-materialized local checkpoint
   * (the [[Clustering]] lineage discipline — predecessors freed as soon
   * as the successor lands, two snapshots resident regardless of round
   * count).
   *
-  * Scale shape: O(total chars) rows carried through ⌈log₂ maxLen⌉
-  * rounds of {1 equi-join on (doc,pos), 1 distinct, 1 bucketed window,
-  * 1 equi-join back} — every stage hash-partitioned, no all-pairs, no
-  * global sort. On a cluster swap the local checkpoint for a
+  * Scale shape: O(total chars) rows carried through ~log₂ maxLen
+  * rounds, each either {1 window pass} (combine) or {1 window pass,
+  * 1 distinct, 1 bucketed window, 1 equi-join back} (densify) — every
+  * stage hash-partitioned, no all-pairs, no global sort, no per-round
+  * driver barrier. On a cluster swap the local checkpoint for a
   * fault-tolerant `checkpoint()`.
   */
 object Suffix {
 
   import org.apache.spark.sql.graftbridge.GraftBridge.localCheckpointHandle
 
-  private final case class Level(
-      df: DataFrame, // (did, pos, r): rank of the prefix of length 2^j
-      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+  private val Prof = sys.env.contains("GRAFT_SUFFIX_PROF")
+  private def prof[A](label: => String)(f: => A): A =
+    if (!Prof) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
 
-  /** Runs the doubling rounds. `levels(j)` ranks length-2^j prefixes;
-    * the last level is the full-suffix rank. With `keepLevels = false`
-    * predecessors are freed as soon as their successor materializes.
+  private final case class Level(
+      df: DataFrame, // (did, pos, r): rank of the prefix of length `len`
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      len: Long)
+
+  private val MaxDom = BigInt(Long.MaxValue)
+
+  /** Runs the doubling rounds. `levels` ranks prefixes of length
+    * `level.len` (equal ranks iff equal length-`len` prefixes — combine
+    * levels are order-isomorphic, not dense, which is all the walk and
+    * the next round need); the last level is the full-suffix DENSE
+    * rank. With `keepLevels = false` only densify outputs materialize
+    * (combine windows chain lazily into the next densify) and
+    * predecessors are freed as soon as their successor lands; with
+    * `keepLevels = true` every level is checkpointed (the LCP walk
+    * reads each one) and a character-level (len = 1) table is prepended
+    * so the walk can decompose odd lengths.
     */
   private def build(
       docs: DataFrame,
@@ -67,56 +111,157 @@ object Suffix {
       buckets: Int,
       keepLevels: Boolean): Seq[Level] = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val spark = docs.sparkSession
     val base = docs.filter(length(col(text)) >= 1)
       .select(col(id).as("did"), col(text).as("txt"))
-    val chars0 = base
+    // hash-partition by document id ONCE; every window pass below runs
+    // exchange-free on this partitioning (preserved across checkpoints)
+    val posed = base
       .select(col("did"), explode(sequence(lit(1), length(col("txt")))).as("pos"),
         col("txt"))
-      .select(col("did"), col("pos").cast("long").as("pos"),
-        expr("substring(txt, pos, 1)").as("ch"))
-    // alphabet ranks: the one intentionally tiny single-partition window
-    // (distinct characters — bounded by the alphabet, not the corpus)
-    val alphabet = chars0.select(col("ch")).distinct()
-      .withColumn("r", dense_rank().over(Window.orderBy(col("ch")))
+      .select(col("did"), col("pos").cast("long").as("pos"), col("txt"))
+      .repartition(col("did"))
+    // gram ranks: the intentionally tiny single-partition windows
+    // (distinct 1/2-grams — bounded by the alphabet, not the corpus).
+    // When the walk needs BOTH the 1-gram and 2-gram levels they are
+    // materialized as two views over ONE checkpointed table (one
+    // action, one cached copy) — Level.df is just a projection.
+    val a2base = posed.select(expr("substring(txt, pos, 2)").as("g")).distinct()
+    def ranked2(df: DataFrame): DataFrame =
+      df.withColumn("r", dense_rank().over(Window.orderBy(col("g")))
         .cast("long") - 1)
-    val maxLenRow = base.agg(max(length(col("txt")))).head
-    val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getInt(0).toLong
-    val n = chars0.count() // rank domain bound: every round's ranks < n
-    val blockSize = n / buckets + 1
-    val init = localCheckpointHandle(
-      chars0.join(broadcast(alphabet), Seq("ch"))
-        .select(col("did"), col("pos"), col("r")))
-    var levels = Vector(Level(init._1, init._2))
-    var k = 1L
+    val init =
+      if (keepLevels) {
+        // the 1-gram alphabet is exactly the distinct first characters
+        // of the 2-gram alphabet (every position's 1-gram prefixes its
+        // 2-gram), so it derives from a2base's ALREADY-SHUFFLED output
+        // (tiny second distinct over ≤|alphabet|² rows, exchange reused)
+        val a1 = ranked2(a2base.select(expr("substring(g, 1, 1)").as("g"))
+          .distinct())
+          .select(col("g").as("g1"), col("r").as("r_1"))
+        val a2 = ranked2(a2base)
+          .select(col("g").as("g2"), col("r").as("r_2"))
+        prof("init12")(localCheckpointHandle(
+          posed.select(col("did"), col("pos"),
+            expr("substring(txt, pos, 1)").as("g1"),
+            expr("substring(txt, pos, 2)").as("g2"))
+            .join(broadcast(a1), Seq("g1"))
+            .join(broadcast(a2), Seq("g2"))
+            .select(col("did"), col("pos"), col("r_1"), col("r_2"))))
+      } else {
+        val a2 = ranked2(a2base)
+          .select(col("g").as("g2"), col("r").as("r_2"))
+        prof("init2")(localCheckpointHandle(
+          posed.select(col("did"), col("pos"),
+            expr("substring(txt, pos, 2)").as("g2"))
+            .join(broadcast(a2), Seq("g2"))
+            .select(col("did"), col("pos"), col("r_2"))))
+      }
+    val init2df =
+      init._1.select(col("did"), col("pos"), col("r_2").as("r"))
+    var levels =
+      if (keepLevels)
+        Vector(
+          Level(init._1.select(col("did"), col("pos"), col("r_1").as("r")),
+            init._2, 1L),
+          Level(init2df, init._2, 2L))
+      else Vector(Level(init2df, init._2, 2L))
+    // ONE tiny probe job over the cached init table: longest document
+    // (loop bound), total characters (the bound every densify round
+    // re-compresses ranks below), and the TRUE |2-grams| — deciding
+    // combine capacity off the real 2-gram domain instead of the safe
+    // bound n usually buys two extra combines before the first densify
+    val pr = prof("probe")(init._1.agg(
+      max(col("pos")), count(lit(1)), max(col("r_2"))).head)
+    val maxLen = if (pr.isNullAt(0)) 0L else pr.getLong(0)
+    val n = pr.getLong(1)
+    require(maxLen <= Int.MaxValue, "document length exceeds lead() range")
+    var dom: BigInt =
+      BigInt(if (pr.isNullAt(2)) 1L else math.max(pr.getLong(2) + 1L, 1L))
+    val byDoc = Window.partitionBy(col("did")).orderBy(col("pos"))
+    var cur = levels.last.df // lazily-chained state since the last checkpoint
+    var lastCp = levels.last.rdd
+    // combine levels not yet materialized, carried as named extra
+    // columns of `cur` until the next densify checkpoints them all in
+    // ONE action (each then becomes a projection view of that table)
+    var pending = Vector.empty[(String, Long)]
+    var curMaterialized = true
+    var k = 2L
     while (k < maxLen) {
-      val p = levels.last.df
-      // r2 = rank of the suffix k positions ahead (-1 past the end)
-      val shifted = p.select(col("did"), (col("pos") - k).as("pos"),
-        col("r").as("r2"))
-      val keyed = p.join(shifted, Seq("did", "pos"), "left")
-        .select(col("did"), col("pos"), col("r"),
-          coalesce(col("r2"), lit(-1L)).as("r2"))
-      val dPairs = keyed.select(col("r"), col("r2")).distinct()
-        .withColumn("bkt", expr(s"r DIV $blockSize"))
-      val counts = dPairs.groupBy(col("bkt")).count().collect()
-        .map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      val offRows = counts.map { case (b, c) => val o = acc; acc += c; Row(b, o) }
-      val offDf = spark.createDataFrame(
-        java.util.Arrays.asList(offRows: _*),
-        StructType(Seq(StructField("bkt", LongType), StructField("off", LongType))))
-      val ranked = dPairs.join(broadcast(offDf), Seq("bkt"))
-        .withColumn("nr", col("off") +
+      // r2 = rank of the prefix k positions ahead (-1 past the end):
+      // positions are consecutive within a document, so this is a pure
+      // window lead — no self-join
+      val keyed = cur.withColumn("r2",
+        coalesce(lead(col("r"), k.toInt).over(byDoc), lit(-1L)))
+      val isLast = 2 * k >= maxLen
+      val combined = (dom + 1) * (dom + 2)
+      // if `cur`'s top rank (prefix length k) is itself unmaterialized,
+      // keep it as a named pending column through this round
+      def carryCols: Seq[org.apache.spark.sql.Column] = {
+        val keep =
+          if (keepLevels && !curMaterialized) {
+            pending = pending :+ (s"rl$k", k)
+            Seq(col("r").as(s"rl$k"))
+          } else Nil
+        Seq(col("did"), col("pos")) ++ pending.dropRight(keep.size)
+          .map { case (nm, _) => col(nm) } ++ keep
+      }
+      if (!isLast && combined <= MaxDom) {
+        // combine: arithmetic order-isomorphic rank — one chained
+        // window pass. r2+2 ∈ [1, dom+1] < dom+2 ⇒ no carry collision.
+        val d = dom.toLong
+        dom = combined
+        cur = keyed.select(carryCols :+
+          (col("r") * (d + 2) + col("r2") + 2).as("r"): _*)
+        curMaterialized = false
+      } else {
+        // densify: one action, TWO real exchanges — offsets are
+        // in-plan, no driver collect. The single shuffle on `bkt` is
+        // shared by the distinct, the rank window, the offset
+        // aggregate AND the join-back (bkt is a monotone function of
+        // r, and subset co-partitioning is enabled in GraftSession, so
+        // every downstream op's clustering requirement is already
+        // satisfied by hash(bkt)).
+        val blockSize = ((dom / buckets) + 1).min(MaxDom).toLong
+        dom = BigInt(math.max(n, 1L))
+        val kb = keyed
+          .withColumn("bkt", expr(s"r DIV $blockSize"))
+          .repartition(col("bkt"))
+        val dPairs = kb.select(col("bkt"), col("r"), col("r2")).distinct()
+        val rk = dPairs.withColumn("rk",
           dense_rank().over(
             Window.partitionBy(col("bkt")).orderBy(col("r"), col("r2")))
-            .cast("long") - 1)
-        .select(col("r"), col("r2"), col("nr"))
-      val next = localCheckpointHandle(
-        keyed.join(ranked, Seq("r", "r2"))
-          .select(col("did"), col("pos"), col("nr").as("r")))
-      if (!keepLevels) levels.last.rdd.unpersist(blocking = false)
-      levels = levels :+ Level(next._1, next._2)
+            .cast("long"))
+        // per-bucket distinct-pair counts straight off the shared
+        // exchange (no dependence on the rank window, so the broadcast
+        // subtree never recomputes it)
+        val offs = kb.groupBy(col("bkt"))
+          .agg(count_distinct(col("r"), col("r2")).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy(col("bkt"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bkt"), col("off"))
+        val ranked = rk.join(broadcast(offs), Seq("bkt"))
+          .select(col("bkt"), col("r"), col("r2"),
+            (col("off") + col("rk") - 1).as("nr"))
+        val outCols = carryCols :+ col("nr").as("r")
+        val h = prof(s"densify k=$k")(localCheckpointHandle(
+          kb.join(ranked, Seq("bkt", "r", "r2"))
+            .select(outCols: _*)
+            .repartition(col("did"))))
+        if (!keepLevels) lastCp.unpersist(blocking = false)
+        // every pending combine level materialized with this action:
+        // emit each as a projection view of the one checkpointed table
+        levels = levels ++ pending.map { case (nm, len) =>
+          Level(h._1.select(col("did"), col("pos"), col(nm).as("r")),
+            h._2, len)
+        }
+        pending = Vector.empty
+        curMaterialized = true
+        cur = h._1.select(col("did"), col("pos"), col("r"))
+        levels = levels :+ Level(cur, h._2, 2 * k)
+        lastCp = h._2
+      }
       k *= 2
     }
     levels
@@ -146,16 +291,20 @@ object Suffix {
     * common prefix.
     *
     * LCP is computed from the KEPT doubling levels, never from suffix
-    * strings: walk j = top…0 and extend by 2^j exactly when both sides'
-    * level-j ranks at the current offsets exist and agree. Soundness of
-    * each step: equal level-j ranks with BOTH suffixes shorter than 2^j
-    * would force identical full suffixes (same srank — excluded), so
-    * agreement certifies 2^j further equal characters; conversely a
-    * remaining common prefix ≥ 2^j forces level-j agreement, so the
-    * greedy binary decomposition is exact. Each level is two broadcast-
-    * free equi-joins of the pair table against that level's rank table
-    * on (doc, pos+acc) — ⌈log₂ maxLen⌉ levels, pair count < distinct
-    * suffix count, everything hash-partitioned.
+    * strings: walk the levels top…1-gram and extend by `level.len`
+    * exactly when both sides' ranks at the current offsets exist and
+    * agree. Soundness of each step: equal level ranks with BOTH
+    * suffixes shorter than `len` would force identical full suffixes
+    * (same srank — excluded), so agreement certifies `len` further
+    * equal characters; conversely a remaining common prefix ≥ `len`
+    * forces level agreement, so the greedy decomposition over lengths
+    * {top…4, 2, 1} is exact (combine levels are order-isomorphic, and
+    * the walk only tests EQUALITY, which they preserve). Each level is
+    * two equi-joins of the pair table against that level's rank table
+    * on (doc, pos+acc) — ~log₂ maxLen levels, pair count < distinct
+    * suffix count, everything hash-partitioned; lineage is cut every
+    * few levels and levels are freed as soon as the walk state has
+    * materialized past them.
     */
   def adjacentLcp(
       docs: DataFrame,
@@ -174,16 +323,23 @@ object Suffix {
     var st = pairs.withColumn("acc", lit(0L))
     var stRdd: Option[org.apache.spark.rdd.RDD[
       org.apache.spark.sql.catalyst.InternalRow]] = None
-    // the top level (2^J >= maxLen) can never fire: agreement there
-    // needs either 2^J remaining equal chars (suffixes are shorter —
+    // the top level (len >= maxLen) can never fire: agreement there
+    // needs either `len` remaining equal chars (suffixes are shorter —
     // except two full-length identical docs, whose suffixes share a
     // rank and are excluded from pairs) or two equal truncated
     // remainders (identical suffixes, same exclusion). LCP <= maxLen-1
-    // is covered by powers 2^0..2^(J-1), so skip one walk round.
+    // is covered by the lengths {top/2, …, 2, 1}, so skip one walk
+    // round.
     val walkLevels =
       if (levels.size >= 2) levels.indices.dropRight(1) else levels.indices
+    var sinceCut = 0
+    // levels consumed since the last lineage cut: their checkpointed
+    // RDDs are unrecomputable, so they may only be freed once a
+    // DOWNSTREAM checkpoint has materialized the walk state past them
+    var pendingFree = List.empty[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
     for (j <- walkLevels.reverse) {
-      val ell = 1L << j
+      val ell = levels(j).len
       val la = levels(j).df.select(
         col("did").as("_dxa"), col("pos").as("_qxa"), col("r").as("_ra"))
       val lb = levels(j).df.select(
@@ -198,14 +354,27 @@ object Suffix {
             .otherwise(0L))
         .select(col("srank"), col("da"), col("pa"), col("db"), col("pb"),
           col("acc"))
-      // cut lineage per level: the walk would otherwise stack 2·levels
-      // joins into one plan; keep two pair-table snapshots resident
-      val h = localCheckpointHandle(stepped)
-      stRdd.foreach(_.unpersist(blocking = false))
-      st = h._1
-      stRdd = Some(h._2)
+      // cut lineage every FOURTH level (the walk would otherwise stack
+      // 2·levels joins into one plan; four levels = eight joins is a
+      // fine per-action depth and cuts the materialize jobs to a
+      // quarter)
+      sinceCut += 1
+      // the 1-gram and 2-gram levels are views over one shared cached
+      // table: only free an RDD once no LOWER (still-unconsumed) level
+      // references it
+      if (!levels.indices.take(j).exists(i => levels(i).rdd eq levels(j).rdd))
+        pendingFree ::= levels(j).rdd
+      if (sinceCut == 4 || j == walkLevels.head) {
+        val h = prof(s"walk j=$j")(localCheckpointHandle(stepped))
+        stRdd.foreach(_.unpersist(blocking = false))
+        st = h._1
+        stRdd = Some(h._2)
+        sinceCut = 0
+        pendingFree.foreach(_.unpersist(blocking = false))
+        pendingFree = Nil
+      } else st = stepped
     }
-    levels.foreach(_.rdd.unpersist(blocking = false))
+    levels.last.rdd.unpersist(blocking = false)
     st.select(col("srank"), col("da").as("doc_a"), col("pa").as("pos_a"),
       col("db").as("doc_b"), col("pb").as("pos_b"), col("acc").as("lcp"))
   }

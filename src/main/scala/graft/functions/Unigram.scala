@@ -131,22 +131,45 @@ object Unigram {
     * LONGEST — a total order, so both engines reconstruct the
     * identical segmentation. Feeds the hard-EM M-step ([[refitStats]]).
     */
-  def wordPieces(words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame = {
-    val pos = words.select(col("w"), col("f"),
+  def wordPieces(words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame =
+    wordPiecesFromGrid(pieceGrid(words, maxLen), vocabDf)
+
+  /** (w, f, p, len, gram) candidate grid of every vocab-length
+    * substring of every distinct word — the MODEL-INDEPENDENT half of
+    * [[wordPieces]]. [[refitStats]] materializes it once and re-joins
+    * each EM round's cost table by `gram` instead of rebuilding the
+    * explode+substring grid per round (the grid is the dominant cost
+    * of a segmentation pass). Carries the same <1024 length guard as
+    * [[wordViterbi]]: a longer token would silently bleed piece-count
+    * bits into the packed surprisal field downstream.
+    */
+  def pieceGrid(words: DataFrame, maxLen: Int): DataFrame = {
+    val guarded = words.withColumn("w",
+      when(length(col("w")) < 1024, col("w"))
+        .otherwise(raise_error(concat(
+          lit("unigram pieces: token of length "), length(col("w")),
+          lit(" >= 1024 — packed (surprisal, pieces) cost would overflow")))))
+    guarded.select(col("w"), col("f"),
       explode(sequence(lit(1), length(col("w")))).as("p"))
-    val mt = pos
       .select(col("w"), col("f"), col("p"),
         explode(sequence(lit(1),
           least(lit(maxLen), length(col("w")) - col("p") + 1))).as("len"))
-      .join(broadcast(vocabDf), expr("substring(w, p, len)") === col("gram"))
+      .select(col("w"), col("f"), col("p"), col("len"),
+        expr("substring(w, p, len)").as("gram"))
+  }
+
+  /** [[wordPieces]] over a prebuilt [[pieceGrid]]. */
+  def wordPiecesFromGrid(grid: DataFrame, vocabDf: DataFrame): DataFrame = {
+    val mt = grid
+      .join(broadcast(vocabDf), Seq("gram"))
       .groupBy(col("w"), col("f"), col("p"))
       .agg(collect_list(struct(col("len"), col("cost"))).as("cands"))
-    val grid = mt
+    val folded = mt
       .groupBy(col("w"), col("f"))
       .agg(array_sort(collect_list(struct(col("p"), col("cands")))).as("a"))
       .select(col("w"), col("f"),
         transform(col("a"), x => x.getField("cands")).as("mt"))
-    val withBest = grid.select(col("w"), col("f"), col("mt"),
+    val withBest = folded.select(col("w"), col("f"), col("mt"),
       aggregate(
         sequence(lit(1), size(col("mt"))),
         array(lit(0L)),
@@ -203,11 +226,15 @@ object Unigram {
     // vocab+Viterbi lineage re-runs once per reaching subtree instead
     // of once. Eager materialization pins each table before anything
     // downstream references it.
-    val words = MaxMatch.wordTable(docs, textCol)
-      .localCheckpoint(eager = true) // read by vocab induction + 2 segmentations
+    val words = MaxMatch.wordTable(docs, textCol) // checkpoints internally
     val seed  = vocabScored(words, k, maxLen)
       .localCheckpoint(eager = true) // read by round 0 stats + segmentation
-    val seg0 = wordPieces(words, seed, maxLen)
+    // the candidate grid (explode + substring — the dominant cost of a
+    // segmentation pass) is model-independent: build it ONCE and join
+    // each round's cost table by gram
+    val grid = pieceGrid(words, maxLen)
+      .localCheckpoint(eager = true) // read by BOTH segmentation rounds
+    val seg0 = wordPiecesFromGrid(grid, seed)
       .localCheckpoint(eager = true) // read by usage recount + round-0 stats
     // M-step: usage-weighted piece counts; keep unused single chars at
     // count 1 (coverage), prune unused multi-grams
@@ -224,7 +251,7 @@ object Unigram {
         ((length(expr("bin(t)")) - length(expr("bin(cnt)"))).cast("long") *
           1024L + 1L).as("cost"))
       .localCheckpoint(eager = true) // read by seg1 broadcast + round-1 stats
-    val seg1 = wordPieces(words, model2, maxLen)
+    val seg1 = wordPiecesFromGrid(grid, model2)
       .localCheckpoint(eager = true) // read by round-1 cost + used-piece count
     def stats(round: Int, model: DataFrame, seg: DataFrame): DataFrame = {
       // corpus cost: Σ_w f(w) · Σ_{piece uses} surp(piece) — recompute

@@ -33,6 +33,15 @@ object GraftBridge {
     * copy rows (they are reused mutable buffers), cut lineage, cache,
     * materialize eagerly.
     *
+    * The checkpointed DataFrame is built with `LogicalRDD.fromDataset`
+    * — the same call `Dataset.checkpoint` uses — so the executed plan's
+    * output PARTITIONING and ORDERING survive the lineage cut. An
+    * iterative operator that keeps its state hash-partitioned on a
+    * stable key (e.g. [[graft.functions.Suffix]] on the document id)
+    * therefore pays zero exchanges for per-round window/aggregate
+    * passes over that key; the old `internalCreateDataFrame` form
+    * erased the metadata and forced a re-shuffle every round.
+    *
     * The returned DataFrame is NOT recomputable once its RDD is
     * unpersisted (lineage was cut) — only unpersist a round after its
     * successor has been materialized and nothing else references it.
@@ -44,6 +53,8 @@ object GraftBridge {
     val rdd   = cd.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
     rdd.count()
-    (spark.internalCreateDataFrame(rdd, cd.schema), rdd)
+    val plan = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, cd, isStreaming = false)
+    (org.apache.spark.sql.classic.Dataset.ofRows(spark, plan), rdd)
   }
 }

@@ -49,6 +49,33 @@ class GraphSpec extends SparkSpec {
     leaves.foreach { l => r("hub") should be > r(l) }
   }
 
+  test("pageRank stays flat at 16+ iterations: constant loop-carried plan, no wall-time creep") {
+    // the production-iteration contract (BpeSpec's flatness idiom): each
+    // iteration's rank update must carry a CONSTANT-size plan — growth
+    // means iteration N replays 1..N−1 and per-iteration cost goes
+    // super-linear — and per-iteration wall time must not trend up
+    // (generous 3x early-median bound rides out shared-machine noise)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 40)
+    val edges = Graph.textRankEdges(docs, "doc_id", "text")
+    val rounds = Seq.newBuilder[(Int, Long, Int)]
+    val r = Graph.pageRank(edges, iters = 18,
+      onRound = (i, ms, nodes) => rounds += ((i, ms, nodes)))
+    r.count() should be > 0L
+    val rs = rounds.result()
+    rs should have size 18
+    // plan-size flatness: every iteration carries the same fixed shape
+    rs.map(_._3).distinct should have size 1
+    def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+    val early = median(rs.slice(2, 10).map(_._2))
+    val late  = median(rs.takeRight(6).map(_._2))
+    info(s"plan nodes/iter: ${rs.head._3}; per-iter ms " +
+      s"i1=${rs.head._2} early=$early late=$late max=${rs.map(_._2).max}")
+    withClue(s"early-median ${early}ms late-median ${late}ms: ") {
+      late should be <= math.max(early, 1L) * 3
+    }
+  }
+
   test("textRankEdges: adjacent-pair counts, symmetric, self-loops dropped") {
     val docs = Seq(
       (1L, "x y x x z"), // adjacencies: x-y, y-x, x-x (dropped), x-z

@@ -348,6 +348,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_setsim_prefix carries no broadcast hint on the per-doc sizes table") {
+    // the PPJoin verify stage joins a one-row-per-corpus-document sizes
+    // table: a FORCED broadcast there is a driver OOM at production doc
+    // counts (r9 verdict flag #2). The logical plan must carry no
+    // broadcast hint anywhere — AQE alone may demote the runtime join
+    // when the actual size is small, which is the correct adaptive
+    // behavior and not a hint
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_setsim_prefix").get
+      val logical = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan.toString
+      logical.toLowerCase should not include "broadcast"
+    }
+  }
+
   test("every catalog query plans without an unbounded nested-loop join") {
     withGraftSession { s =>
       Queries.all.foreach { q =>
