@@ -4590,6 +4590,55 @@ object Queries {
            |FROM c GROUP BY 1 ORDER BY score_sc DESC, doc_id LIMIT $Bm25K""".stripMargin
     })
 
+  /** Index snapshot bound for [[qBm25Indexed]]: the persisted index is
+    * built from docs below this id, the search corpus is EVERYTHING —
+    * stale-stats serving (index refreshed periodically while the corpus
+    * grows), the production regime the index/search split exists for.
+    * The oracle mirrors the snapshot index as CTEs, so a plan that
+    * silently rebuilt the index from the full corpus would
+    * hash-mismatch — the persisted path is genuinely oracle-observable.
+    */
+  private val Bm25SnapDoc = 400L
+
+  private val qBm25Indexed = Q(
+    "q_bm25_indexed",
+    "BM25 search served from a PERSISTED parquet index snapshot (stale-stats serving): corpus scanned once, df/totals read from the index",
+    (s, d) => {
+      val docs = t(s, d).documents
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_" +
+        new java.io.File(d).getName
+      Curation.writeBm25Index(
+        Curation.bm25Index(docs.filter(col("doc_id") < Bm25SnapDoc),
+          "doc_id", "text"), dir)
+      Curation.bm25Search(docs, Curation.readBm25Index(s, dir),
+        "doc_id", "text", Bm25Terms, Bm25K)
+    },
+    Some {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      raw"""WITH toks AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |ixdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks
+           |  WHERE doc_id < $Bm25SnapDoc GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS t_toks FROM ixdl),
+           |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |  FROM toks WHERE doc_id < $Bm25SnapDoc AND tok IN ($termList)
+           |  GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+           |  WHERE tok IN ($termList) GROUP BY 1, 2),
+           |c AS (SELECT tf.doc_id,
+           |    CAST(round(
+           |      ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
+           |      * (CAST(44*t_toks*tf AS DOUBLE)
+           |         / CAST(20*t_toks*tf + 6*t_toks + 18*dl*n_docs AS DOUBLE))
+           |      * 10000) AS BIGINT) AS contrib
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot)
+           |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_sc
+           |FROM c GROUP BY 1 ORDER BY score_sc DESC, doc_id LIMIT $Bm25K""".stripMargin
+    })
+
   private val qSplitLeakfree = Q(
     "q_split_leakfree",
     "dedup-aware train/val/test split: exact-dup groups assigned atomically by content-group hash",
@@ -5107,6 +5156,6 @@ object Queries {
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
+    qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental)
 }

@@ -54,6 +54,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // (the r9 fixed-offset collision fix)
     "q_neardup_banded", "q_band_sweep", "q_dedup_order",
     "q_bm25_topk",        // one-row corpus totals crossed into the tf table
+    "q_bm25_indexed",     // one-row persisted-index totals crossed into the tf table
     "q_domain_mix_alpha", // one-row n_min frame crossed into the thresholds
     "q_dedup_eval",       // three one-row metric frames crossed into one report row
     "q_kn_surprisal",     // one-row bigram-type total crossed into the KN model
@@ -320,6 +321,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
         .queryExecution.executedPlan.toString
       "documents\\.parquet".r.findAllIn(plan).size shouldBe 1
       plan should include("BroadcastExchange") // index rows ship broadcast
+    }
+  }
+
+  test("q_bm25_indexed serves from the persisted snapshot: one corpus scan, df from the index parquet") {
+    // the catalog form of the pin above: the indexed query must read
+    // documents exactly once (the tf/dl scan) and take df/totals from
+    // the index directory — a plan that rebuilt the index in-query
+    // would scan documents again (q_bm25_topk, the one-plan demo, scans
+    // it three times)
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_bm25_indexed").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      "documents\\.parquet".r.findAllIn(plan).size shouldBe 1
+      plan should include("graft_bm25_index_")
     }
   }
 
