@@ -4172,52 +4172,84 @@ object Queries {
   private val qIvfPqAnn = Q(
     "q_ivfpq_ann",
     "IVF-PQ ANN: PQ codes in IVF inverted lists, probe-limited ADC search (only probed cells scored)",
+    qIvfPqAnnSpark,
+    Some(ivfPqAnnOracle))
+
+  /** Shared Spark side of [[qIvfPqAnn]] / oracle of both IVF-PQ ANN
+    * entry points: [[qIvfPqIndexed]] trains the IDENTICAL
+    * (deterministic) model, so the persisted-index search must
+    * hash-match the same SQL bit-for-bit.
+    */
+  private def qIvfPqAnnSpark(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // the full IVF-PQ composition (Jégou et al. TPAMI'11 §V):
+    // q_pq_ann's ADC scoring pruned by q_knn_ivf's coarse cells.
+    // Corpus pass fuses cell assignment (broadcast-centroid argmax)
+    // with the shuffle-free PQ encode; each query routes to its 4
+    // most-similar cells and ADC-scores ONLY codes in those cells —
+    // the scored set is an equi-join on the cell id, never a
+    // full-corpus fan-out. Exact int64 ADC, ties by neighbor.
+    val e = t(s, d).embeddings
+    Similarity.ivfPqAnn(e.filter(col("vec_id") < 3), e, "vec_id", "embedding",
+      k = 10, dims = 64, numSub = PqM, codesPerSub = PqK, pqIters = PqIters,
+      numCells = IvfNumCells, nProbe = 4, ivfIters = 2)
+  }
+
+  private lazy val ivfPqAnnOracle: String = {
+    val dts = (0 until PqM).map { mm =>
+      val dist = (1 to PqSubDim)
+        .map(i => s"(q.sv$mm[$i]-c.cv[$i])*(q.sv$mm[$i]-c.cv[$i])")
+        .mkString(" + ")
+      s"""dt$mm AS (SELECT q.cid AS qid, c.code, $dist AS d
+         |  FROM (SELECT * FROM sub WHERE cid < 3) q, c${PqIters}m$mm c)""".stripMargin
+    }.mkString(",\n")
+    val fJoins = (1 until PqM)
+      .map(mm => s"JOIN f$mm ON f$mm.cid = f0.cid").mkString(" ")
+    val dtJoins = (1 until PqM)
+      .map(mm => s"JOIN dt$mm ON dt$mm.qid = dt0.qid AND dt$mm.code = f$mm.code")
+      .mkString("\n  ")
+    s"""WITH $sqlIvfCellCtes,
+       |$sqlPqCtes,
+       |pr AS (SELECT qid, cell FROM (
+       |  SELECT b.cid AS qid, c.cell,
+       |    row_number() OVER (PARTITION BY b.cid
+       |      ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS prn
+       |  FROM bn b, c2 c WHERE b.cid < 3) WHERE prn <= 4),
+       |$dts,
+       |adcs AS (SELECT dt0.qid, f0.cid AS neighbor_id,
+       |    CAST(${(0 until PqM).map(mm => s"dt$mm.d").mkString(" + ")} AS BIGINT) AS adc
+       |  FROM f0 $fJoins
+       |  JOIN af ON af.cid = f0.cid
+       |  JOIN pr ON pr.cell = af.cell
+       |  JOIN dt0 ON dt0.qid = pr.qid AND dt0.code = f0.code
+       |  $dtJoins)
+       |SELECT qid, neighbor_id, adc, rank FROM (
+       |  SELECT qid, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank
+       |  FROM adcs) WHERE rank <= 10""".stripMargin
+  }
+
+  private val qIvfPqIndexed = Q(
+    "q_ivfpq_indexed",
+    "IVF-PQ ANN served from a PERSISTED index (cell-partitioned parquet codes): probed cells pruned on disk",
     (s, d) => {
-      // the full IVF-PQ composition (Jégou et al. TPAMI'11 §V):
-      // q_pq_ann's ADC scoring pruned by q_knn_ivf's coarse cells.
-      // Corpus pass fuses cell assignment (broadcast-centroid argmax)
-      // with the shuffle-free PQ encode; each query routes to its 4
-      // most-similar cells and ADC-scores ONLY codes in those cells —
-      // the scored set is an equi-join on the cell id, never a
-      // full-corpus fan-out. Exact int64 ADC, ties by neighbor.
+      // the persisted-index serving path ([[graft.functions.Similarity
+      // .writeIvfPqIndex]]): codes live in cell=<id> parquet partitions
+      // and the probe stage's literal cell predicate becomes PHYSICAL
+      // partition pruning — unprobed cells are never read. Training is
+      // deterministic and identical to q_ivfpq_ann's, so the oracle is
+      // the SAME SQL: any silent divergence between the transient and
+      // persisted paths hash-mismatches.
       val e = t(s, d).embeddings
-      Similarity.ivfPqAnn(e.filter(col("vec_id") < 3), e, "vec_id", "embedding",
-        k = 10, dims = 64, numSub = PqM, codesPerSub = PqK, pqIters = PqIters,
-        numCells = IvfNumCells, nProbe = 4, ivfIters = 2)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+        new java.io.File(d).getName
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", dir,
+        dims = 64, numSub = PqM, codesPerSub = PqK, pqIters = PqIters,
+        numCells = IvfNumCells, ivfIters = 2)
+      Similarity.ivfPqAnnIndexed(e.filter(col("vec_id") < 3), dir,
+        "vec_id", "embedding", k = 10, nProbe = 4)
     },
-    Some {
-      val dts = (0 until PqM).map { mm =>
-        val dist = (1 to PqSubDim)
-          .map(i => s"(q.sv$mm[$i]-c.cv[$i])*(q.sv$mm[$i]-c.cv[$i])")
-          .mkString(" + ")
-        s"""dt$mm AS (SELECT q.cid AS qid, c.code, $dist AS d
-           |  FROM (SELECT * FROM sub WHERE cid < 3) q, c${PqIters}m$mm c)""".stripMargin
-      }.mkString(",\n")
-      val fJoins = (1 until PqM)
-        .map(mm => s"JOIN f$mm ON f$mm.cid = f0.cid").mkString(" ")
-      val dtJoins = (1 until PqM)
-        .map(mm => s"JOIN dt$mm ON dt$mm.qid = dt0.qid AND dt$mm.code = f$mm.code")
-        .mkString("\n  ")
-      s"""WITH $sqlIvfCellCtes,
-         |$sqlPqCtes,
-         |pr AS (SELECT qid, cell FROM (
-         |  SELECT b.cid AS qid, c.cell,
-         |    row_number() OVER (PARTITION BY b.cid
-         |      ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS prn
-         |  FROM bn b, c2 c WHERE b.cid < 3) WHERE prn <= 4),
-         |$dts,
-         |adcs AS (SELECT dt0.qid, f0.cid AS neighbor_id,
-         |    CAST(${(0 until PqM).map(mm => s"dt$mm.d").mkString(" + ")} AS BIGINT) AS adc
-         |  FROM f0 $fJoins
-         |  JOIN af ON af.cid = f0.cid
-         |  JOIN pr ON pr.cell = af.cell
-         |  JOIN dt0 ON dt0.qid = pr.qid AND dt0.code = f0.code
-         |  $dtJoins)
-         |SELECT qid, neighbor_id, adc, rank FROM (
-         |  SELECT qid, neighbor_id, adc,
-         |    row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank
-         |  FROM adcs) WHERE rank <= 10""".stripMargin
-    })
+    Some(ivfPqAnnOracle))
 
   /** Re-rank candidate multiple of [[qIvfPqRerank]] (k′ = factor × k),
     * one constant for the Spark call and the oracle's CTE chain.
@@ -5154,7 +5186,7 @@ object Queries {
     qWinnowCandidates, qPmiColloc, qTextrank, qSuffixArray, qSuffixLcp, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qGlobalShuffle,
     qDsirWeight, qDsirSelect,
-    qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqSweep,
+    qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental)

@@ -73,6 +73,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_semantic_dedup",  // same <=16-centroid broadcast assignment as IVF
     "q_cluster_balance", // same <=16-centroid broadcast assignment as IVF
     "q_ivfpq_ann",       // same <=16-centroid broadcast assignment + probe routing
+    "q_ivfpq_indexed",   // same probe routing over the persisted index
     "q_ivfpq_sweep",     // same <=16-centroid broadcast assignment + probe routing
     "q_ivfpq_rerank",    // composes q_ivfpq_ann's assignment + probe routing
     "q_ivfpq_residual",  // same assignment + probe routing over residual codes
@@ -321,6 +322,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
         .queryExecution.executedPlan.toString
       "documents\\.parquet".r.findAllIn(plan).size shouldBe 1
       plan should include("BroadcastExchange") // index rows ship broadcast
+    }
+  }
+
+  test("q_ivfpq_indexed prunes unprobed cells at the parquet partition level") {
+    // the persisted-index scale claim: the probe stage's literal cell
+    // predicate must reach the codes scan as a PARTITION filter (the
+    // codes tree is cell=<id>-partitioned), so unprobed inverted lists
+    // are never read off disk
+    withGraftSession { s =>
+      val q = Queries.all.find(_.name == "q_ivfpq_indexed").get
+      val plan = q.spark(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan should include regex "PartitionFilters: \\[[^\\]]*cell"
     }
   }
 
