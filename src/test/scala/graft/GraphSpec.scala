@@ -64,8 +64,20 @@ class GraphSpec extends SparkSpec {
     r.count() should be > 0L
     val rs = rounds.result()
     rs should have size 18
-    // plan-size flatness: every iteration carries the same fixed shape
-    rs.map(_._3).distinct should have size 1
+    // plan-size boundedness: the carried plan is PERIODIC with the
+    // checkpoint cadence (fully fused within a window, LogicalRDD root
+    // at each cut) — same iteration position in any window, same plan
+    // size, so no unbounded growth at any iteration count
+    val period = Graph.CheckpointEvery
+    val sizes = rs.map(_._3)
+    // steady state = from the first post-cut window on (window 1 alone
+    // builds from the inline edge base rather than a LogicalRDD root)
+    sizes.indices.foreach { i =>
+      if (i >= period && i + period < sizes.size)
+        withClue(s"iter ${i + 1} vs ${i + 1 + period}: ") {
+          sizes(i + period) shouldBe sizes(i)
+        }
+    }
     def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
     val early = median(rs.slice(2, 10).map(_._2))
     val late  = median(rs.takeRight(6).map(_._2))
