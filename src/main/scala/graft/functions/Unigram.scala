@@ -92,18 +92,24 @@ object Unigram {
           lit(" >= 1024 — packed (surprisal, pieces) cost would overflow")))))
     val pos = guarded.select(col("w"),
       explode(sequence(lit(1), length(col("w")))).as("p"))
-    // per-position candidate lists: every vocab piece starting at p
-    val mt = pos
+    // vocab-surviving candidate triples (p, len, cost), collected per
+    // word in ONE shuffle; the per-position candidate lists are rebuilt
+    // inside the row (O(len · maxLen) triples per word) — same shape as
+    // [[wordPiecesFromGrid]], which measured ~25% faster than the
+    // two-stage groupBy(w,p)→groupBy(w) restructure at sf10
+    val grid = pos
       .select(col("w"), col("p"),
         explode(sequence(lit(1),
           least(lit(maxLen), length(col("w")) - col("p") + 1))).as("len"))
       .join(broadcast(vocabDf), expr("substring(w, p, len)") === col("gram"))
-      .groupBy(col("w"), col("p"))
-      .agg(collect_list(struct(col("len"), col("cost"))).as("cands"))
-    val grid = mt
       .groupBy(col("w"))
-      .agg(array_sort(collect_list(struct(col("p"), col("cands")))).as("a"))
-      .select(col("w"), transform(col("a"), x => x.getField("cands")).as("mt"))
+      .agg(collect_list(struct(col("p"), col("len"), col("cost"))).as("tp"))
+      .select(col("w"),
+        transform(sequence(lit(1), length(col("w"))), p =>
+          transform(
+            filter(col("tp"), t => t.getField("p") === p),
+            t => struct(t.getField("len").as("len"),
+              t.getField("cost").as("cost")))).as("mt"))
     // backward induction as one fold: iteration i handles position
     // p = L+1-i; the state array `br` holds best[L+1], best[L], …
     // appended right to left, so best[p+len] sits at index
@@ -123,8 +129,11 @@ object Unigram {
         expr("best1 % 1024").as("n_pieces"))
   }
 
-  /** (w, f, pieces): the ACTUAL Viterbi segmentation per distinct word
-    * — each piece as a string, in order. Two folds: the backward
+  /** (w, f, pieces, surp_bits, n_pieces): the ACTUAL Viterbi
+    * segmentation per distinct word — each piece as a string, in order
+    * — plus the DP optimum unpacked (total piece surprisal in bits,
+    * piece count), so downstream corpus-cost aggregates need no piece
+    * explode or model re-join. Two folds: the backward
     * induction of [[wordViterbi]] kept as the FULL best array, then a
     * forward walk that at each position picks, among candidates
     * achieving the optimum (`cost(g) + best[p+len] = best[p]`), the
@@ -158,17 +167,29 @@ object Unigram {
         expr("substring(w, p, len)").as("gram"))
   }
 
-  /** [[wordPieces]] over a prebuilt [[pieceGrid]]. */
+  /** [[wordPieces]] over a prebuilt [[pieceGrid]].
+    *
+    * One grid-volume shuffle: vocab-surviving candidate triples
+    * `(p, len, cost)` are collected per word in a single `groupBy` and
+    * the per-position candidate lists are rebuilt INSIDE the row (the
+    * per-word triple count is O(len · maxLen), so the in-row
+    * restructure is cheap) — the earlier two-stage
+    * `groupBy(w,f,p)`→`groupBy(w,f)` shape shuffled the grid twice and
+    * measured ~25% slower on the 495k-distinct-word sf10 corpus.
+    * Positions always have ≥1 candidate because [[vocabScored]] (and
+    * the hard-EM reweighting) keep every single char.
+    */
   def wordPiecesFromGrid(grid: DataFrame, vocabDf: DataFrame): DataFrame = {
-    val mt = grid
+    val folded = grid
       .join(broadcast(vocabDf), Seq("gram"))
-      .groupBy(col("w"), col("f"), col("p"))
-      .agg(collect_list(struct(col("len"), col("cost"))).as("cands"))
-    val folded = mt
       .groupBy(col("w"), col("f"))
-      .agg(array_sort(collect_list(struct(col("p"), col("cands")))).as("a"))
+      .agg(collect_list(struct(col("p"), col("len"), col("cost"))).as("tp"))
       .select(col("w"), col("f"),
-        transform(col("a"), x => x.getField("cands")).as("mt"))
+        transform(sequence(lit(1), length(col("w"))), p =>
+          transform(
+            filter(col("tp"), t => t.getField("p") === p),
+            t => struct(t.getField("len").as("len"),
+              t.getField("cost").as("cost")))).as("mt"))
     val withBest = folded.select(col("w"), col("f"), col("mt"),
       aggregate(
         sequence(lit(1), size(col("mt"))),
@@ -180,6 +201,7 @@ object Unigram {
     // forward walk: br has L+1 entries, best[p] = br[L+2-p]; at each
     // visited position keep the longest optimum-achieving candidate
     val walked = withBest.select(col("w"), col("f"),
+      element_at(col("br"), -1).as("best1"),
       aggregate(
         sequence(lit(1), size(col("mt"))),
         struct(lit(1).as("p"),
@@ -203,7 +225,9 @@ object Unigram {
     walked
       .withColumn("pieces",
         expr("transform(ps, x -> substring(w, x.p, x.len))"))
-      .select(col("w"), col("f"), col("pieces"))
+      .select(col("w"), col("f"), col("pieces"),
+        expr("best1 DIV 1024").as("surp_bits"),
+        expr("best1 % 1024").as("n_pieces"))
   }
 
   /** Hard-EM refit (Kudo §3.2's EM step, Viterbi flavor): segment under
@@ -233,7 +257,6 @@ object Unigram {
     // segmentation pass) is model-independent: build it ONCE and join
     // each round's cost table by gram
     val grid = pieceGrid(words, maxLen)
-      .localCheckpoint(eager = true) // read by BOTH segmentation rounds
     val seg0 = wordPiecesFromGrid(grid, seed)
       .localCheckpoint(eager = true) // read by usage recount + round-0 stats
     // M-step: usage-weighted piece counts; keep unused single chars at
@@ -254,18 +277,15 @@ object Unigram {
     val seg1 = wordPiecesFromGrid(grid, model2)
       .localCheckpoint(eager = true) // read by round-1 cost + used-piece count
     def stats(round: Int, model: DataFrame, seg: DataFrame): DataFrame = {
-      // corpus cost: Σ_w f(w) · Σ_{piece uses} surp(piece) — recompute
-      // from the pieces array against the model so the number reflects
-      // the model that PRODUCED the segmentation
-      val wordCost = seg.select(col("w"), col("f"), explode(col("pieces")).as("gram"))
-        .join(model, Seq("gram"))
-        .groupBy(col("w"), col("f"))
-        .agg(
-          sum(expr("cost DIV 1024")).as("w_bits"),
-          count(lit(1)).as("w_pieces"))
-      val agg = wordCost.agg(
-        sum(col("f") * col("w_bits")).as("corpus_bits"),
-        sum(col("f") * col("w_pieces")).as("corpus_pieces"))
+      // corpus cost: Σ_w f(w) · Σ_{piece uses} surp(piece). The DP
+      // total already IS that sum under the model that produced the
+      // segmentation: best[1] = Σ(surp·1024 + 1) = surp_bits·1024 +
+      // n_pieces with no carry (n_pieces < 1024 by the length guard),
+      // so the per-round cost is a pure agg over the segmentation —
+      // no piece explode, no model re-join, no extra shuffle
+      val agg = seg.agg(
+        sum(col("f") * col("surp_bits")).as("corpus_bits"),
+        sum(col("f") * col("n_pieces")).as("corpus_pieces"))
       val nUsed = seg.select(explode(col("pieces")).as("g"))
         .agg(countDistinct(col("g")).as("pieces_used"))
       val nModel = model.agg(count(lit(1)).as("model_pieces"))
