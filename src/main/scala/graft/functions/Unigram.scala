@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * inference approximates and the one modern LLM tokenizers
   * (T5/Llama/Gemma SentencePiece configs) actually run.
   *
-  * Three parts, all pure DataFrame plans:
+  * Three parts:
   *
   *  1. '''Seed model''' ([[vocabScored]]): the [[MaxMatch.vocab]]
   *     frequency-induced piece set (all single chars ∪ top-K n-grams —
@@ -26,12 +26,19 @@ import org.apache.spark.sql.functions._
   *     `cost(g) = surp(g)·1024 + 1` — the low 10 bits COUNT pieces, so
   *     one `min` resolves the (total surprisal, piece count)
   *     lexicographic tie-break and the optimum is unique-valued on
-  *     both engines with zero floats. The inherently sequential
-  *     recursion runs as ONE `aggregate` fold per word over its
-  *     per-position candidate grid (state = the growing `best` array,
-  *     positions visited right to left) — no UDF, no driver loop;
-  *     the DuckDB oracle mirrors it with a recursive CTE carrying the
-  *     same growing list.
+  *     both engines with zero floats. The DP runs as the native
+  *     [[graft.functions.expressions.UnigramViterbi]] expression — the
+  *     whole backward induction + forward walk inside the row against
+  *     a once-per-executor trie of the (bounded, trained) vocab, so
+  *     segmenting the corpus is a pure codegen map over the distinct
+  *     word table: no candidate explode, no join, no shuffle. The
+  *     original pure-plan formulation (explode + broadcast join + one
+  *     collect_list shuffle + an `aggregate` fold) is kept as
+  *     [[wordViterbiPlan]]/[[wordPiecesFromGrid]], spec-pinned equal to
+  *     the expression — it is both the semantic reference the DuckDB
+  *     oracle mirrors (recursive CTE carrying the same growing `best`
+  *     list) and the fallback shape for engines without expression
+  *     extension points.
   *
   *  3. '''Doc rollup''' ([[tokenizeCounts]]): docs join the per-word
   *     results and aggregate — corpus-scale work is one token explode
@@ -40,9 +47,10 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB): identical to [[MaxMatch]] — everything
   * per-word runs on the DISTINCT word table (vocab-scale; every
   * occurrence of a word segments identically), the scored vocab is
-  * broadcast, and the DP grid is O(len · maxPieceLen) cells per
-  * distinct word. Whole-word dedup is what makes Viterbi affordable:
-  * the DP never touches the corpus.
+  * bounded trained state (top-k selection) riding the task closure,
+  * and the DP is O(len · maxPieceLen) trie steps per distinct word.
+  * Whole-word dedup is what makes Viterbi affordable: the DP never
+  * touches the corpus.
   */
 object Unigram {
 
@@ -75,14 +83,57 @@ object Unigram {
           1024L + 1L).as("cost"))
   }
 
+  /** Bounded-model collect of a `(gram, cost)` vocabulary frame — the
+    * trained-index idiom: the vocab is top-k-selected upstream so its
+    * cardinality is a PARAMETER, not a data scale; the cap is a loud
+    * contract check, never a truncation.
+    */
+  private def collectModel(vocabDf: DataFrame): Seq[(String, Long)] = {
+    val rows = vocabDf.select(col("gram"), col("cost"))
+      .limit(MaxVocabRows + 1).collect()
+    require(rows.length <= MaxVocabRows,
+      s"unigram vocab exceeds $MaxVocabRows entries — a scored vocab is " +
+        "bounded trained state (top-k selection upstream); refusing an " +
+        "unbounded collect")
+    rows.toSeq.map(r => r.getString(0) -> r.getLong(1))
+  }
+
+  /** Upper bound on collected vocab entries (production SentencePiece
+    * vocabs are 32k-256k; this is ~16x the largest published).
+    */
+  val MaxVocabRows: Int = 1 << 22
+
   /** (w, surp_bits, n_pieces): globally-optimal segmentation cost per
     * distinct word under the packed scores — `best[1] DIV 1024` is the
     * minimal total surprisal, `best[1] % 1024` the piece count of the
     * fewest-pieces optimum (unique by the packed tie-break).
     * `vocabDf` must be [[vocabScored]] output (single-char coverage
-    * guarantees a candidate at every position).
+    * guarantees a candidate at every position). Runs the native
+    * [[graft.functions.expressions.UnigramViterbi]] expression — one
+    * shuffle-free codegen projection over the distinct word table.
     */
-  def wordViterbi(words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame = {
+  def wordViterbi(words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame =
+    segmented(words, vocabDf, maxLen)
+      .select(col("w"), col("seg.surp_bits").as("surp_bits"),
+        col("seg.n_pieces").as("n_pieces"))
+
+  private def segmented(
+      words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame = {
+    val model = collectModel(vocabDf)
+    require(model.forall { case (g, _) => g.codePointCount(0, g.length) <= maxLen },
+      s"vocab gram longer than maxLen=$maxLen — the plan form would " +
+        "ignore it; reject loudly instead of diverging")
+    words.select(col("w"), col("f"),
+      expressions.NativeExpressions.unigramSegment(col("w"), model).as("seg"))
+  }
+
+  /** The original pure-plan Viterbi — the semantic REFERENCE for the
+    * native expression (spec-pinned equal) and the shape the DuckDB
+    * oracle mirrors. One explode + broadcast vocab join + one
+    * collect_list shuffle + an `aggregate` fold per word.
+    */
+  private[graft] def wordViterbiPlan(
+      words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame = {
     // the packed low-bits piece counter needs n_pieces <= len < 1024;
     // fail LOUDLY on absurd tokens rather than silently mis-packing
     val guarded = words.withColumn("w",
@@ -139,8 +190,18 @@ object Unigram {
     * achieving the optimum (`cost(g) + best[p+len] = best[p]`), the
     * LONGEST — a total order, so both engines reconstruct the
     * identical segmentation. Feeds the hard-EM M-step ([[refitStats]]).
+    * Native-expression path, like [[wordViterbi]]; the pure-plan
+    * [[wordPiecesFromGrid]] is the spec-pinned reference.
     */
   def wordPieces(words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame =
+    segmented(words, vocabDf, maxLen)
+      .select(col("w"), col("f"), col("seg.pieces").as("pieces"),
+        col("seg.surp_bits").as("surp_bits"),
+        col("seg.n_pieces").as("n_pieces"))
+
+  /** Plan-form [[wordPieces]]: the reference implementation. */
+  private[graft] def wordPiecesPlan(
+      words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame =
     wordPiecesFromGrid(pieceGrid(words, maxLen), vocabDf)
 
   /** (w, f, p, len, gram) candidate grid of every vocab-length
@@ -152,7 +213,7 @@ object Unigram {
     * [[wordViterbi]]: a longer token would silently bleed piece-count
     * bits into the packed surprisal field downstream.
     */
-  def pieceGrid(words: DataFrame, maxLen: Int): DataFrame = {
+  private[graft] def pieceGrid(words: DataFrame, maxLen: Int): DataFrame = {
     val guarded = words.withColumn("w",
       when(length(col("w")) < 1024, col("w"))
         .otherwise(raise_error(concat(
@@ -179,7 +240,8 @@ object Unigram {
     * Positions always have ≥1 candidate because [[vocabScored]] (and
     * the hard-EM reweighting) keep every single char.
     */
-  def wordPiecesFromGrid(grid: DataFrame, vocabDf: DataFrame): DataFrame = {
+  private[graft] def wordPiecesFromGrid(
+      grid: DataFrame, vocabDf: DataFrame): DataFrame = {
     val folded = grid
       .join(broadcast(vocabDf), Seq("gram"))
       .groupBy(col("w"), col("f"))
@@ -252,12 +314,8 @@ object Unigram {
     // downstream references it.
     val words = MaxMatch.wordTable(docs, textCol) // checkpoints internally
     val seed  = vocabScored(words, k, maxLen)
-      .localCheckpoint(eager = true) // read by round 0 stats + segmentation
-    // the candidate grid (explode + substring — the dominant cost of a
-    // segmentation pass) is model-independent: build it ONCE and join
-    // each round's cost table by gram
-    val grid = pieceGrid(words, maxLen)
-    val seg0 = wordPiecesFromGrid(grid, seed)
+      .localCheckpoint(eager = true) // read by model2 derivation + collect
+    val seg0 = wordPieces(words, seed, maxLen)
       .localCheckpoint(eager = true) // read by usage recount + round-0 stats
     // M-step: usage-weighted piece counts; keep unused single chars at
     // count 1 (coverage), prune unused multi-grams
@@ -273,8 +331,8 @@ object Unigram {
       .select(col("gram"),
         ((length(expr("bin(t)")) - length(expr("bin(cnt)"))).cast("long") *
           1024L + 1L).as("cost"))
-      .localCheckpoint(eager = true) // read by seg1 broadcast + round-1 stats
-    val seg1 = wordPiecesFromGrid(grid, model2)
+      .localCheckpoint(eager = true) // read by seg1's collect + round-1 stats
+    val seg1 = wordPieces(words, model2, maxLen)
       .localCheckpoint(eager = true) // read by round-1 cost + used-piece count
     def stats(round: Int, model: DataFrame, seg: DataFrame): DataFrame = {
       // corpus cost: Σ_w f(w) · Σ_{piece uses} surp(piece). The DP

@@ -145,6 +145,15 @@ object NativeExpressions {
     */
   def multiMatch(text: Column, phrases: Seq[String]): Column =
     GraftBridge.column(MultiMatch(GraftBridge.expression(text), phrases))
+
+  /** Unigram-LM Viterbi segmentation of a word column against a scored
+    * piece vocabulary (bounded trained state): the whole backward DP +
+    * forward walk inside the row, `struct<pieces, surp_bits, n_pieces>`
+    * per word, one O(len · maxGramLen) trie pass (see
+    * [[UnigramViterbi]]).
+    */
+  def unigramSegment(word: Column, vocab: Seq[(String, Long)]): Column =
+    GraftBridge.column(UnigramViterbi(GraftBridge.expression(word), vocab))
 }
 
 /** dot(a, b) = Σ a(i)·b(i), sequential order, over array<double>.

@@ -170,17 +170,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("q_unigram_tokenize broadcasts the scored vocab into the DP-grid join") {
-    // the Unigram scale claim, same shape as MaxMatch's: the scored
-    // vocab is broadcast-sized by construction, so the per-(word,
-    // position, len) candidate join is a BroadcastHashJoin and the
-    // Viterbi fold runs on the distinct-word table — the plan must
-    // never shuffle the candidate grid on the gram key
+  test("q_unigram_tokenize runs the Viterbi DP as a projection, not a join") {
+    // the Unigram scale claim, one rung up the expression ladder since
+    // r10: the scored vocab is bounded trained state riding the task
+    // closure, so the whole DP is the native graft_unigram_viterbi
+    // expression in a projection over the distinct word table — the
+    // plan must contain the expression and must NOT contain a
+    // candidate-grid Generate (the explode+join shape lives only in the
+    // spec-pinned plan-form reference)
     withGraftSession { s =>
       val q = Queries.all.find(_.name == "q_unigram_tokenize").get
       val plan = q.spark(s, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
-      plan should include("BroadcastHashJoin")
+      plan should include("graft_unigram_viterbi")
+      // the only explode left is the corpus token explode (tokens(...));
+      // the per-(word, position, len) grid explode is gone
+      plan should not include "sequence(1, least("
     }
   }
 

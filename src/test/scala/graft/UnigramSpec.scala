@@ -139,6 +139,37 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("native expression matches the pure-plan reference form exactly") {
+    // the plan form (explode + broadcast join + collect_list + fold) is
+    // the semantic reference the DuckDB oracle mirrors; the shipped
+    // UnigramViterbi expression must reproduce it row-for-row —
+    // including the longest-optimum walk tie-break and the packed cost
+    val rnd = new scala.util.Random(23)
+    val words = (0 until 150).map { _ =>
+      (0 until (1 + rnd.nextInt(14))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }.distinct
+    val wf = words.map(w => (w, 1L + rnd.nextInt(9))).toDF("w", "f")
+    val scored = Unigram.vocabScored(wf, 35, 4)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> ((r.getLong(1), r.getSeq[String](2),
+        r.getLong(3), r.getLong(4)))
+    val native = Unigram.wordPieces(wf, scored, 4)
+      .select(col("w"), col("f"), col("pieces"),
+        col("surp_bits"), col("n_pieces")).collect().map(key).toMap
+    val plan = Unigram.wordPiecesPlan(wf, scored, 4)
+      .select(col("w"), col("f"), col("pieces"),
+        col("surp_bits"), col("n_pieces")).collect().map(key).toMap
+    native.keySet shouldBe plan.keySet
+    words.foreach { w =>
+      withClue(s"word $w: ") { native(w) shouldBe plan(w) }
+    }
+    val vNative = Unigram.wordViterbi(wf, scored, 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val vPlan = Unigram.wordViterbiPlan(wf, scored, 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    vNative shouldBe vPlan
+  }
+
   test("token length guard rejects absurd words loudly") {
     val big = "x" * 1200
     val ex = intercept[Exception] {
