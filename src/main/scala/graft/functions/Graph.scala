@@ -87,6 +87,7 @@ object Graph {
       .union(edges.select(col("dst").as("node"))).distinct()
     val teleport = ((10000L - dampingBp) * scale) / 10000L
     var ranks = nodes.select(col("node"), lit(scale).as("rk"))
+    var prevSnapshot: org.apache.spark.rdd.RDD[_] = null
     for (i <- 1 to iters) {
       val t0 = System.nanoTime()
       val inflow = ew
@@ -104,10 +105,21 @@ object Graph {
       // the loop-carried plan is periodic with period CheckpointEvery
       // (a `LogicalRDD` root every window), so iteration N never
       // replays more than the current window and analyzer cost never
-      // grows super-linearly (spec-pinned at 18 iterations). Each cut
-      // leaves one cached node-rank snapshot resident (one row per
-      // node).
-      if (i % CheckpointEvery == 0) ranks = ranks.localCheckpoint(eager = false)
+      // grows super-linearly (spec-pinned at 18 iterations). Cuts are
+      // EAGER and the predecessor snapshot is unpersisted as soon as
+      // the new window lands (the Suffix/Clustering discipline), so at
+      // most TWO node-rank snapshots (one row per node each) are ever
+      // resident regardless of iteration count. Trade-off of
+      // localCheckpoint itself: the truncated lineage is not
+      // recomputable after executor loss — acceptable for an iterative
+      // refinement whose remedy is rerunning the bounded loop.
+      if (i % CheckpointEvery == 0) {
+        val (cut, rdd) =
+          org.apache.spark.sql.graftbridge.GraftBridge.localCheckpointHandle(ranks)
+        ranks = cut
+        if (prevSnapshot != null) prevSnapshot.unpersist(blocking = false)
+        prevSnapshot = rdd
+      }
       onRound(i, (System.nanoTime() - t0) / 1000000L,
         if (onRound eq NoProbe) 0 else planNodes(ranks))
     }

@@ -47,8 +47,9 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB): identical to [[MaxMatch]] — everything
   * per-word runs on the DISTINCT word table (vocab-scale; every
   * occurrence of a word segments identically), the scored vocab is
-  * bounded trained state (top-k selection) riding the task closure,
-  * and the DP is O(len · maxPieceLen) trie steps per distinct word.
+  * bounded trained state (top-k selection) shipped once per executor
+  * as a broadcast, and the DP is O(len · maxPieceLen) trie steps per
+  * distinct word.
   * Whole-word dedup is what makes Viterbi affordable: the DP never
   * touches the corpus.
   */
@@ -99,9 +100,11 @@ object Unigram {
   }
 
   /** Upper bound on collected vocab entries (production SentencePiece
-    * vocabs are 32k-256k; this is ~16x the largest published).
+    * vocabs are 32k-256k; this is 4x the largest published — enough for
+    * any real tokenizer while keeping the driver-side collect and the
+    * broadcast model a bounded few tens of MB).
     */
-  val MaxVocabRows: Int = 1 << 22
+  val MaxVocabRows: Int = 1 << 20
 
   /** (w, surp_bits, n_pieces): globally-optimal segmentation cost per
     * distinct word under the packed scores — `best[1] DIV 1024` is the
@@ -113,18 +116,32 @@ object Unigram {
     * shuffle-free codegen projection over the distinct word table.
     */
   def wordViterbi(words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame =
-    segmented(words, vocabDf, maxLen)
+    segmented(words.select(col("w")), vocabDf, maxLen)
       .select(col("w"), col("seg.surp_bits").as("surp_bits"),
         col("seg.n_pieces").as("n_pieces"))
 
+  /** Appends `seg` (the [[expressions.UnigramViterbi]] struct) to
+    * `words`, which needs only a `w` column — callers select the
+    * columns they actually consume ([[wordViterbi]] just `w`,
+    * [[wordPieces]] `w` and the frequency `f` its M-step consumers
+    * weight by). Words with NO reachable segmentation are DROPPED, the
+    * plan form's inner-join behavior. Divergence note: a word whose
+    * substrings match some vocab grams but that is still unsegmentable
+    * survives the plan form's grid join as an all-null row while this
+    * path drops it — possible only when the vocab violates the
+    * [[vocabScored]] single-char-coverage contract, under which the two
+    * forms are spec-pinned identical.
+    */
   private def segmented(
       words: DataFrame, vocabDf: DataFrame, maxLen: Int): DataFrame = {
     val model = collectModel(vocabDf)
     require(model.forall { case (g, _) => g.codePointCount(0, g.length) <= maxLen },
       s"vocab gram longer than maxLen=$maxLen — the plan form would " +
         "ignore it; reject loudly instead of diverging")
-    words.select(col("w"), col("f"),
-      expressions.NativeExpressions.unigramSegment(col("w"), model).as("seg"))
+    words.withColumn("seg",
+      expressions.NativeExpressions.unigramSegment(
+        col("w"), model, words.sparkSession))
+      .filter(col("seg").isNotNull)
   }
 
   /** The original pure-plan Viterbi — the semantic REFERENCE for the
@@ -206,12 +223,17 @@ object Unigram {
 
   /** (w, f, p, len, gram) candidate grid of every vocab-length
     * substring of every distinct word — the MODEL-INDEPENDENT half of
-    * [[wordPieces]]. [[refitStats]] materializes it once and re-joins
-    * each EM round's cost table by `gram` instead of rebuilding the
-    * explode+substring grid per round (the grid is the dominant cost
-    * of a segmentation pass). Carries the same <1024 length guard as
-    * [[wordViterbi]]: a longer token would silently bleed piece-count
-    * bits into the packed surprisal field downstream.
+    * the plan-form segmentation. Reached only through
+    * [[wordPiecesPlan]]: the pure-plan reference implementation that
+    * the DuckDB oracle mirrors and that UnigramSpec pins row-for-row
+    * equal to the shipped [[expressions.UnigramViterbi]] expression.
+    * (An earlier round cached this grid across EM rounds in
+    * [[refitStats]]; materializing the multi-GB exploded grid measured
+    * 1.8x SLOWER than recomputing the codegen explode, so refitStats
+    * now runs the native expression twice and never touches the grid.)
+    * Carries the same <1024 length guard as [[wordViterbi]]: a longer
+    * token would silently bleed piece-count bits into the packed
+    * surprisal field downstream.
     */
   private[graft] def pieceGrid(words: DataFrame, maxLen: Int): DataFrame = {
     val guarded = words.withColumn("w",

@@ -150,10 +150,24 @@ object NativeExpressions {
     * piece vocabulary (bounded trained state): the whole backward DP +
     * forward walk inside the row, `struct<pieces, surp_bits, n_pieces>`
     * per word, one O(len · maxGramLen) trie pass (see
-    * [[UnigramViterbi]]).
+    * [[UnigramViterbi]]). The vocab is validated here on the driver and
+    * shipped as a BROADCAST — the expression carries only the handle,
+    * so tasks and plan strings never serialize the model.
     */
-  def unigramSegment(word: Column, vocab: Seq[(String, Long)]): Column =
-    GraftBridge.column(UnigramViterbi(GraftBridge.expression(word), vocab))
+  def unigramSegment(
+      word: Column,
+      vocab: Seq[(String, Long)],
+      spark: org.apache.spark.sql.SparkSession): Column = {
+    require(vocab.nonEmpty, "graft_unigram_viterbi needs a non-empty vocabulary")
+    require(vocab.forall(_._1.nonEmpty),
+      "empty grams can never segment — reject loudly")
+    require(vocab.forall(_._2 >= 0L),
+      "packed piece costs are non-negative by construction — reject loudly")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "duplicate grams would make the DP ambiguous — reject loudly")
+    val bc = spark.sparkContext.broadcast(vocab.toArray)
+    GraftBridge.column(UnigramViterbi(GraftBridge.expression(word), bc))
+  }
 }
 
 /** dot(a, b) = Σ a(i)·b(i), sequential order, over array<double>.

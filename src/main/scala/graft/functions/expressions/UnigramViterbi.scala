@@ -2,6 +2,7 @@ package graft.functions.expressions
 
 import scala.collection.mutable
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -20,6 +21,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * catalog's custom-operator ladder (same pattern as [[MultiMatch]]:
   * `@transient lazy` model state referenced directly from generated
   * code, so the projection stays inside whole-stage codegen).
+  *
+  * The model ships as a [[Broadcast]] handle, NOT as constructor data:
+  * the expression object rides every task binary and is hashed/printed
+  * during plan canonicalization, so embedding a vocab-sized `Seq` in it
+  * would serialize the whole model per task and bloat every plan
+  * string. The broadcast handle is a few bytes; executors fetch the
+  * model once from the block manager and the per-executor trie
+  * (`@transient lazy`) is a flat sorted-array structure — three
+  * primitive arrays, binary-search child lookup — with none of the
+  * per-node boxed-map overhead a pointer trie pays. Validation of the
+  * vocab happens at construction time in
+  * [[NativeExpressions.unigramSegment]] (before broadcasting), where
+  * the data is still on the driver.
   *
   * Semantics are EXACTLY [[graft.functions.Unigram]]'s DataFrame fold
   * (spec-pinned A/B):
@@ -48,21 +62,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale shape (100 TB): the model is TRAINED state bounded by the
   * vocab-size parameter (top-k selection upstream), i.e. the
-  * trained-index idiom — it rides the task closure to every executor
-  * once; per row the DP is O(len · maxGramLen) trie steps with zero
-  * shuffles, so corpus segmentation is a pure map over the distinct
-  * word table.
+  * trained-index idiom — one broadcast fetch per executor; per row the
+  * DP is O(len · maxGramLen) trie steps with zero shuffles, so corpus
+  * segmentation is a pure map over the distinct word table.
   */
-case class UnigramViterbi(child: Expression, vocab: Seq[(String, Long)])
+case class UnigramViterbi(
+    child: Expression,
+    model: Broadcast[Array[(String, Long)]])
   extends UnaryExpression {
-
-  require(vocab.nonEmpty, "graft_unigram_viterbi needs a non-empty vocabulary")
-  require(vocab.forall(_._1.nonEmpty),
-    "empty grams can never segment — reject loudly")
-  require(vocab.forall(_._2 >= 0L),
-    "packed piece costs are non-negative by construction — reject loudly")
-  require(vocab.map(_._1).distinct.size == vocab.size,
-    "duplicate grams would make the DP ambiguous — reject loudly")
 
   override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
@@ -81,7 +88,7 @@ case class UnigramViterbi(child: Expression, vocab: Seq[(String, Long)])
           s"graft_unigram_viterbi requires a string column, got ${other.catalogString}")
     }
 
-  @transient private lazy val trie = new UnigramViterbi.Trie(vocab)
+  @transient private lazy val trie = UnigramViterbi.Trie.build(model.value)
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -191,34 +198,126 @@ case class UnigramViterbi(child: Expression, vocab: Seq[(String, Long)])
 
 object UnigramViterbi {
 
-  /** Codepoint trie over the vocabulary with the packed cost at each
-    * terminal node (-1 elsewhere). Built once per executor
-    * (`@transient lazy` in the expression); probe depth is naturally
-    * bounded by the longest gram, so the DP never scans past it.
+  /** Flat codepoint trie over the vocabulary: three primitive arrays —
+    * per-node child-block offsets into a global (sorted codepoint,
+    * child id) edge table, plus the packed terminal cost per node (-1
+    * elsewhere). Child lookup is a binary search inside the node's
+    * block; probe depth is naturally bounded by the longest gram, so
+    * the DP never scans past it. Built once per executor (`@transient
+    * lazy` in the expression) from the broadcast vocab — no per-node
+    * boxed maps, memory is ~20 bytes per trie node regardless of
+    * branching factor.
     */
-  final class Trie(vocab: Seq[(String, Long)]) extends Serializable {
-    private val children = mutable.ArrayBuffer(mutable.Map.empty[Int, Int])
-    private val costs = mutable.ArrayBuffer(-1L)
-
-    vocab.foreach { case (g, c) =>
-      var s = 0
-      var i = 0
-      while (i < g.length) {
-        val cp = g.codePointAt(i)
-        s = children(s).getOrElseUpdate(cp, {
-          children += mutable.Map.empty[Int, Int]
-          costs += -1L
-          children.size - 1
-        })
-        i += Character.charCount(cp)
-      }
-      costs(s) = c
-    }
+  final class Trie private (
+      childStart: Array[Int], // node -> first edge index; n_nodes+1 entries
+      childCp: Array[Int],    // edge -> codepoint, sorted within a node block
+      childNode: Array[Int],  // edge -> child node id
+      costs: Array[Long]) {   // node -> packed cost, -1 if non-terminal
 
     /** Child of `node` along codepoint `cp`, or -1. */
-    def step(node: Int, cp: Int): Int = children(node).getOrElse(cp, -1)
+    def step(node: Int, cp: Int): Int = {
+      var lo = childStart(node)
+      var hi = childStart(node + 1) - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = childCp(mid)
+        if (c == cp) return childNode(mid)
+        else if (c < cp) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
 
     /** Packed cost if `node` is terminal, else -1. */
     def cost(node: Int): Long = costs(node)
+  }
+
+  object Trie {
+
+    private def lexCompare(x: Array[Int], y: Array[Int]): Int = {
+      val m = math.min(x.length, y.length)
+      var k = 0
+      while (k < m) {
+        if (x(k) != y(k)) return if (x(k) < y(k)) -1 else 1
+        k += 1
+      }
+      x.length - y.length
+    }
+
+    /** BFS construction over the lexicographically sorted gram set:
+      * children of a node occupy one contiguous, codepoint-sorted edge
+      * block, and node ids are assigned in BFS order so the offset
+      * array fills front to back. O(total codepoints + n log n) build,
+      * all primitive buffers.
+      */
+    def build(vocab: Array[(String, Long)]): Trie = {
+      val n = vocab.length
+      val grams = new Array[(Array[Int], Long)](n)
+      var i = 0
+      while (i < n) {
+        grams(i) = (vocab(i)._1.codePoints().toArray, vocab(i)._2)
+        i += 1
+      }
+      java.util.Arrays.sort(grams,
+        (a: (Array[Int], Long), b: (Array[Int], Long)) =>
+          lexCompare(a._1, b._1))
+      // BFS over (lo, hi, depth) gram ranges; node id = dequeue order
+      val ranges = new IntBuf   // flattened (lo, hi, depth) triples
+      val starts = new IntBuf   // per-node first edge index
+      val edgeCp = new IntBuf
+      val edgeNode = new IntBuf
+      val costB = new LongBuf
+      ranges += 0; ranges += n; ranges += 0
+      var id = 0
+      while (id * 3 < ranges.size) {
+        var lo = ranges(id * 3)
+        val hi = ranges(id * 3 + 1)
+        val d  = ranges(id * 3 + 2)
+        starts += edgeCp.size
+        // duplicates are rejected upstream, so at most one gram ends here
+        if (lo < hi && grams(lo)._1.length == d) {
+          costB += grams(lo)._2
+          lo += 1
+        } else costB += -1L
+        var j = lo
+        while (j < hi) {
+          val cp = grams(j)._1(d)
+          var k = j + 1
+          while (k < hi && grams(k)._1(d) == cp) k += 1
+          edgeCp += cp
+          edgeNode += ranges.size / 3
+          ranges += j; ranges += k; ranges += d + 1
+          j = k
+        }
+        id += 1
+      }
+      starts += edgeCp.size // sentinel: childStart(n_nodes) = n_edges
+      new Trie(starts.toArray, edgeCp.toArray, edgeNode.toArray,
+        costB.toArray)
+    }
+  }
+
+  /** Minimal growable primitive int buffer (build-time only). */
+  private final class IntBuf {
+    private var a = new Array[Int](1024)
+    private var n = 0
+    def size: Int = n
+    def apply(i: Int): Int = a(i)
+    def +=(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+  }
+
+  /** Minimal growable primitive long buffer (build-time only). */
+  private final class LongBuf {
+    private var a = new Array[Long](1024)
+    private var n = 0
+    def +=(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def toArray: Array[Long] = java.util.Arrays.copyOf(a, n)
   }
 }
