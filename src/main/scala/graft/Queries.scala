@@ -3520,15 +3520,16 @@ object Queries {
     "rank-adjacent LCP table from the suffix array: exact duplicated-span lengths",
     (s, d) =>
       // the dedup half of the Lee-et-al index: a span is duplicated at
-      // length >= L iff some adjacent pair here has lcp >= L. Spark
-      // computes the EXACT lcp from the kept doubling levels (never
-      // touching suffix strings); the output caps it at $LcpCap only so
-      // the oracle's brute-force per-character probe stays affordable —
-      // the cap is the operational span threshold, not an algorithm
-      // limit (uncapped exactness is spec-pinned vs Scala brute force)
+      // length >= L iff some adjacent pair here has lcp >= L. The cap
+      // is the operational span threshold a dedup consumer queries at
+      // (and keeps the oracle's brute-force per-character probe
+      // affordable), so the WALK is capped too: only the ≤ LcpCap
+      // doubling levels are consumed — least(lcp, cap) is exact under
+      // the cap by the level-sum argument in adjacentLcp's doc
+      // (uncapped exactness is spec-pinned vs Scala brute force)
       graft.functions.Suffix.adjacentLcp(
         t(s, d).documents.filter(col("doc_id") < SuffixMaxDoc),
-        "doc_id", "text")
+        "doc_id", "text", maxLcp = LcpCap)
         .select(col("srank"), col("doc_a"), col("pos_a"), col("doc_b"),
           col("pos_b"), least(col("lcp"), lit(LcpCap)).as("lcp_c")),
     Some(

@@ -42,13 +42,18 @@ import org.apache.spark.sql.functions._
   *     co-located — fine for bounded-length documents (the regime of
   *     corpus dedup); a single multi-TB "document" would need the join
   *     formulation instead.
-  *   - '''combine rounds are arithmetic.''' Doubling needs only
-  *     ORDER-ISOMORPHIC ranks, not dense ones, so while the domain
+  *   - '''combine rounds are arithmetic, then widen.''' Doubling needs
+  *     only ORDER-ISOMORPHIC ranks, not dense ones, so while the domain
   *     `dom` satisfies (dom+1)(dom+2) ≤ 2⁶³−1 (checked in BigInt on the
   *     driver; the true 2-gram domain is probed once from the cached
   *     init level so the first densify is deferred as long as
   *     possible), the new rank is the pure map `r·(dom+2) + r2 + 2` —
   *     consecutive combine rounds are chained windows in ONE stage.
+  *     When the pack would overflow, the rank GROWS to a lexicographic
+  *     multi-column tuple (up to [[MaxWidth]] longs) instead of paying
+  *     a densify — still a pure chained window, so densify jobs (the
+  *     family's fixed-cost floor) fire only every ~⌈log₂ MaxWidth⌉+1
+  *     rounds and on the final round.
   *   - '''densify rounds are one action with in-plan offsets.''' When
   *     the arithmetic would overflow (and on the final round, whose
   *     output must be dense): pre-shuffle once on (r, r2) — shared by
@@ -178,7 +183,21 @@ object Suffix {
     var dom: BigInt =
       BigInt(if (pr.isNullAt(2)) 1L else math.max(pr.getLong(2) + 1L, 1L))
     val byDoc = Window.partitionBy(col("did")).orderBy(col("pos"))
-    var cur = levels.last.df // lazily-chained state since the last checkpoint
+    // loop state: the rank of the length-k prefix is carried as W
+    // lexicographically-compared long columns r0..r{W-1} (W = 1 after
+    // init and after every densify). Widening is the SECOND overflow
+    // valve: when the arithmetic pack would overflow int64, the round
+    // appends the led tuple as extra columns instead of densifying —
+    // (A, B) with A of fixed width W compares exactly like the pair
+    // (rank at p, rank at p+k), so the tuple stays order-isomorphic,
+    // and the round is still a pure chained window (no action, no
+    // shuffle). Only when the width would exceed MaxWidth (or on the
+    // final round, whose output must be dense) does a densify job run
+    // — at MaxWidth = 4 that is TWO densify actions for maxLen ≈ 512
+    // instead of the four the arithmetic-only ladder paid, and each
+    // extra column is 8 bytes/row through one bucket shuffle.
+    var cur = levels.last.df.withColumnRenamed("r", "r0")
+    var width = 1
     var lastCp = levels.last.rdd
     // combine levels not yet materialized, carried as named extra
     // columns of `cur` until the next densify checkpoints them all in
@@ -187,11 +206,15 @@ object Suffix {
     var curMaterialized = true
     var k = 2L
     while (k < maxLen) {
-      // r2 = rank of the prefix k positions ahead (-1 past the end):
-      // positions are consecutive within a document, so this is a pure
-      // window lead — no self-join
-      val keyed = cur.withColumn("r2",
-        coalesce(lead(col("r"), k.toInt).over(byDoc), lit(-1L)))
+      // s0..s{W-1} = rank tuple of the prefix k positions ahead (all
+      // -1 past the end — sorts before every real tuple, so a proper
+      // prefix sorts before its extensions): positions are consecutive
+      // within a document, so this is a pure window lead — no self-join
+      val rCols = (0 until width).map(i => s"r$i")
+      val sCols = (0 until width).map(i => s"s$i")
+      val keyed = rCols.zip(sCols).foldLeft(cur) { case (df, (r, s2)) =>
+        df.withColumn(s2, coalesce(lead(col(r), k.toInt).over(byDoc), lit(-1L)))
+      }
       val isLast = 2 * k >= maxLen
       val combined = (dom + 1) * (dom + 2)
       // if `cur`'s top rank (prefix length k) is itself unmaterialized,
@@ -200,53 +223,67 @@ object Suffix {
         val keep =
           if (keepLevels && !curMaterialized) {
             pending = pending :+ (s"rl$k", k)
-            Seq(col("r").as(s"rl$k"))
+            Seq((if (width == 1) col("r0")
+            else struct(rCols.map(col): _*)).as(s"rl$k"))
           } else Nil
         Seq(col("did"), col("pos")) ++ pending.dropRight(keep.size)
           .map { case (nm, _) => col(nm) } ++ keep
       }
-      if (!isLast && combined <= MaxDom) {
+      if (!isLast && width == 1 && combined <= MaxDom) {
         // combine: arithmetic order-isomorphic rank — one chained
-        // window pass. r2+2 ∈ [1, dom+1] < dom+2 ⇒ no carry collision.
+        // window pass. s0+2 ∈ [1, dom+1] < dom+2 ⇒ no carry collision.
         val d = dom.toLong
         dom = combined
         cur = keyed.select(carryCols :+
-          (col("r") * (d + 2) + col("r2") + 2).as("r"): _*)
+          (col("r0") * (d + 2) + col("s0") + 2).as("r0"): _*)
+        curMaterialized = false
+      } else if (!isLast && 2 * width <= MaxWidth) {
+        // widen: the concatenated (r tuple, led tuple) IS the combined
+        // rank, compared lexicographically — zero extra passes. `dom`
+        // (the domain of r0, the bucketing major key) is unchanged:
+        // r0 is still the same column.
+        cur = keyed.select(carryCols ++
+          rCols.map(col) ++
+          sCols.zipWithIndex.map { case (s2, i) => col(s2).as(s"r${width + i}") }: _*)
+        width *= 2
         curMaterialized = false
       } else {
         // densify: one action, TWO real exchanges — offsets are
         // in-plan, no driver collect. The single shuffle on `bkt` is
         // shared by the distinct, the rank window, the offset
         // aggregate AND the join-back (bkt is a monotone function of
-        // r, and subset co-partitioning is enabled in GraftSession, so
-        // every downstream op's clustering requirement is already
-        // satisfied by hash(bkt)).
+        // the major key r0 — and of the full tuple order, since r0 is
+        // its first component — and subset co-partitioning is enabled
+        // in GraftSession, so every downstream op's clustering
+        // requirement is already satisfied by hash(bkt)).
+        val tupleCols = rCols ++ sCols
         val blockSize = ((dom / buckets) + 1).min(MaxDom).toLong
         dom = BigInt(math.max(n, 1L))
         val kb = keyed
-          .withColumn("bkt", expr(s"r DIV $blockSize"))
+          .withColumn("bkt", expr(s"r0 DIV $blockSize"))
           .repartition(col("bkt"))
-        val dPairs = kb.select(col("bkt"), col("r"), col("r2")).distinct()
+        val dPairs = kb.select((col("bkt") +: tupleCols.map(col)): _*).distinct()
         val rk = dPairs.withColumn("rk",
           dense_rank().over(
-            Window.partitionBy(col("bkt")).orderBy(col("r"), col("r2")))
+            Window.partitionBy(col("bkt")).orderBy(tupleCols.map(col): _*))
             .cast("long"))
-        // per-bucket distinct-pair counts straight off the shared
+        // per-bucket distinct-tuple counts straight off the shared
         // exchange (no dependence on the rank window, so the broadcast
         // subtree never recomputes it)
         val offs = kb.groupBy(col("bkt"))
-          .agg(count_distinct(col("r"), col("r2")).as("cnt"))
+          .agg(count_distinct(col(tupleCols.head),
+            tupleCols.tail.map(col): _*).as("cnt"))
           .withColumn("off",
             coalesce(sum(col("cnt")).over(
               Window.orderBy(col("bkt"))
                 .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .select(col("bkt"), col("off"))
         val ranked = rk.join(broadcast(offs), Seq("bkt"))
-          .select(col("bkt"), col("r"), col("r2"),
-            (col("off") + col("rk") - 1).as("nr"))
-        val outCols = carryCols :+ col("nr").as("r")
+          .select((col("bkt") +: tupleCols.map(col)) :+
+            (col("off") + col("rk") - 1).as("nr"): _*)
+        val outCols = carryCols :+ col("nr").as("r0")
         val h = prof(s"densify k=$k")(localCheckpointHandle(
-          kb.join(ranked, Seq("bkt", "r", "r2"))
+          kb.join(ranked, "bkt" +: tupleCols)
             .select(outCols: _*)
             .repartition(col("did"))))
         if (!keepLevels) lastCp.unpersist(blocking = false)
@@ -258,14 +295,24 @@ object Suffix {
         }
         pending = Vector.empty
         curMaterialized = true
-        cur = h._1.select(col("did"), col("pos"), col("r"))
-        levels = levels :+ Level(cur, h._2, 2 * k)
+        width = 1
+        cur = h._1.select(col("did"), col("pos"), col("r0"))
+        levels = levels :+ Level(
+          h._1.select(col("did"), col("pos"), col("r0").as("r")), h._2, 2 * k)
         lastCp = h._2
       }
       k *= 2
     }
     levels
   }
+
+  /** Widest rank tuple carried between densifies: 4 long columns = 32
+    * bytes/row of shuffle weight through the next densify, in exchange
+    * for halving the number of densify ACTIONS (the suffix family's
+    * dominant fixed cost — each is a multi-stage job regardless of data
+    * volume).
+    */
+  val MaxWidth: Int = 4
 
   /** (id, pos, srank) for every character position of every non-empty
     * document: `srank` is the 0-based dense rank of the suffix starting
@@ -305,12 +352,23 @@ object Suffix {
     * suffix count, everything hash-partitioned; lineage is cut every
     * few levels and levels are freed as soon as the walk state has
     * materialized past them.
+    *
+    * `maxLcp` caps the walk: only levels of length ≤ maxLcp are
+    * consumed, so with maxLcp = 2^j the walk visits j+1 levels instead
+    * of ~log₂ maxLen. The capped contract is exact under the cap —
+    * `least(lcp, maxLcp)` equals the true capped LCP for EVERY pair
+    * (the kept levels sum to 2^(j+1)−1 ≥ maxLcp, so any true LCP <
+    * maxLcp decomposes exactly and any ≥ maxLcp accumulates ≥ maxLcp)
+    * — which is precisely what a dedup threshold query consumes: "is
+    * this span duplicated at ≥ L chars" never needs the LCP beyond L.
     */
   def adjacentLcp(
       docs: DataFrame,
       id: String,
       text: String,
-      buckets: Int = 512): DataFrame = {
+      buckets: Int = 512,
+      maxLcp: Long = Long.MaxValue): DataFrame = {
+    require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
     val levels = build(docs, id, text, buckets, keepLevels = true)
     val sr = levels.last.df
     val reps = sr.groupBy(col("r"))
@@ -331,7 +389,8 @@ object Suffix {
     // is covered by the lengths {top/2, …, 2, 1}, so skip one walk
     // round.
     val walkLevels =
-      if (levels.size >= 2) levels.indices.dropRight(1) else levels.indices
+      (if (levels.size >= 2) levels.indices.dropRight(1) else levels.indices)
+        .filter(i => levels(i).len <= maxLcp)
     var sinceCut = 0
     // levels consumed since the last lineage cut: their checkpointed
     // RDDs are unrecomputable, so they may only be freed once a
@@ -374,7 +433,12 @@ object Suffix {
         pendingFree = Nil
       } else st = stepped
     }
-    levels.last.rdd.unpersist(blocking = false)
+    // final sweep: every level table is consumed by now (the last walk
+    // cut materialized the state past all of them, and `reps` was
+    // materialized with the first cut) — unpersist is idempotent, so
+    // re-freeing walked levels is a no-op and cap-skipped tables that
+    // no walked level shares are released here
+    levels.map(_.rdd).distinct.foreach(_.unpersist(blocking = false))
     st.select(col("srank"), col("da").as("doc_a"), col("pa").as("pos_a"),
       col("db").as("doc_b"), col("pb").as("pos_b"), col("acc").as("lcp"))
   }

@@ -75,6 +75,33 @@ class SuffixSpec extends SparkSpec {
     lcps(docs) shouldBe expected
   }
 
+  test("capped walk: least(lcp, maxLcp) is exact for every cap") {
+    // the capped contract: with only the <= maxLcp doubling levels
+    // consumed, least(result, cap) must equal least(true_lcp, cap) on
+    // EVERY pair — including caps that are not powers of two
+    val rnd = new scala.util.Random(97)
+    val docs = (0 until 16).map { i =>
+      (i.toLong,
+        (0 until (8 + rnd.nextInt(40)))
+          .map(_ => "ab".charAt(rnd.nextInt(2))).mkString) // long repeats
+    }
+    def bruteLcp(s2: String, t2: String): Long =
+      s2.zip(t2).takeWhile { case (x, y) => x == y }.size.toLong
+    val sorted = docs.flatMap { case (_, t) =>
+      (1 to t.length).map(p => t.substring(p - 1))
+    }.distinct.sorted
+    val exact = sorted.zip(sorted.tail).zipWithIndex
+      .map { case ((a, b), i) => i.toLong -> bruteLcp(a, b) }.toMap
+    Seq(1L, 3L, 4L, 7L, 8L).foreach { cap =>
+      val got = Suffix.adjacentLcp(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxLcp = cap)
+        .collect().map(r => r.getLong(0) -> math.min(r.getLong(5), cap)).toMap
+      withClue(s"cap $cap: ") {
+        got shouldBe exact.map { case (k, v) => k -> math.min(v, cap) }
+      }
+    }
+  }
+
   test("duplicated spans surface as adjacent LCP >= span length; disjoint corpora stay at 0") {
     // the Lee-et-al criterion: the 8-char span shared by two docs MUST
     // show up as an adjacent pair with lcp >= 8 (any suffixes between
