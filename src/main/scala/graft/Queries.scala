@@ -5157,6 +5157,72 @@ object Queries {
             |  CAST(sum(CASE WHEN c.ch IS NULL THEN b.clen ELSE 0 END) AS BIGINT) AS new_bytes
             |FROM batch b LEFT JOIN corpus c ON b.ch = c.ch GROUP BY 1""".stripMargin))
 
+  private val ChunkSize   = 24
+  private val ChunkStride = 16
+
+  private val qChunkWindows = Q(
+    "q_chunk_windows",
+    "overlapping token-window chunking: RAG/pretraining sequence prep, zero-shuffle generator",
+    (s, d) =>
+      // every token covered, consecutive chunks overlap by size−stride,
+      // trailing chunk runs short instead of dropping tokens; pure
+      // map-side explode+slice — no shuffle at any corpus size
+      graft.operators.Sharding.chunkWindows(
+        t(s, d).documents, "doc_id", "text", ChunkSize, ChunkStride),
+    Some(
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |c AS (SELECT doc_id, toks, unnest(generate_series(0,
+           |    (greatest(len(toks) - $ChunkSize, 0) + ${ChunkStride - 1})
+           |      // $ChunkStride)) AS chunk_id
+           |  FROM tk)
+           |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           |  CAST(chunk_id * $ChunkStride + 1 AS BIGINT) AS chunk_start,
+           |  CAST(len(list_slice(toks, chunk_id * $ChunkStride + 1,
+           |    chunk_id * $ChunkStride + $ChunkSize)) AS BIGINT) AS n_tokens,
+           |  array_to_string(list_slice(toks, chunk_id * $ChunkStride + 1,
+           |    chunk_id * $ChunkStride + $ChunkSize), ' ') AS chunk
+           |FROM c""".stripMargin))
+
+  private val AuditPhrases = Seq(
+    "table table", "fast table value", "spark", "agg join small",
+    "scan slow fast", "no such phrase here")
+
+  private val qPhraseMatch = Q(
+    "q_phrase_match",
+    "positional inverted index + exact multi-token phrase occurrence counts (decontamination probe)",
+    (s, d) =>
+      // GPT-3-style exact-quote audit: postings built in ONE corpus
+      // scan, each phrase term votes for its candidate start, a start
+      // with all votes is an occurrence — only phrase-term postings
+      // ever shuffle, keyed by (phrase, doc, start)
+      graft.functions.Curation.phraseMatches(
+        t(s, d).documents, "doc_id", "text", AuditPhrases),
+    Some {
+      val ph = AuditPhrases.flatMap { p =>
+        val ts = p.trim.split("\\s+").toSeq
+        ts.zipWithIndex.map { case (t2, i) =>
+          s"('${p.replace("'", "''")}', CAST($i AS BIGINT), " +
+            s"'${t2.replace("'", "''")}', ${ts.size})"
+        }
+      }.mkString(",\n|    ")
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |po AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos, toks[g.i] AS term
+           |  FROM tk CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, len(toks))) AS i) g),
+           |ph(phrase, ti, term, plen) AS (VALUES
+           |    $ph),
+           |m AS (SELECT ph.phrase, ph.plen, po.doc_id, po.pos - ph.ti AS start,
+           |    count(*) AS votes
+           |  FROM po JOIN ph ON po.term = ph.term
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_occurrences
+           |FROM m WHERE votes = plen AND start >= 1
+           |GROUP BY 1""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -5190,5 +5256,6 @@ object Queries {
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
-    qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental)
+    qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
+    qChunkWindows, qPhraseMatch)
 }

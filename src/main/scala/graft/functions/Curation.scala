@@ -133,6 +133,71 @@ object Curation {
     bm25Search(docs, bm25Index(docs, idCol, textCol), idCol, textCol, terms, k)
 
   // ─────────────────────────────────────────────────────────────────
+  // Positional inverted index + exact phrase matching
+  // ─────────────────────────────────────────────────────────────────
+
+  /** The positional inverted index as a table: one (term, doc_id, pos)
+    * posting per token occurrence, `pos` the 1-based whitespace-token
+    * position. One scan of the corpus, map-side generator — this is the
+    * structure a decontamination or exact-quote audit PERSISTS
+    * (partitioned by term hash) so that phrase probes never rescan
+    * text.
+    */
+  def phrasePostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .select(col("col").as("term"), col("doc_id"),
+        (col("pos") + 1).cast("long").as("pos"))
+
+  /** Exact multi-token phrase occurrences via the positional index —
+    * the token-level counterpart of the Aho–Corasick substring
+    * blocklist (q_blocklist_filter): GPT-3-style eval decontamination
+    * and exact-quote audits ask "which documents contain this exact
+    * token sequence", and answering it from postings touches only the
+    * phrase's own terms, never the corpus text.
+    *
+    * Per phrase `w₀ … w_{m−1}`: a posting (wᵢ, doc, pos) votes for
+    * candidate start `pos − i`; a start with all m votes is an
+    * occurrence (each (doc, pos) contributes at most one vote per
+    * phrase position, so the count is exact — repeated words inside a
+    * phrase just vote for several starts). Output one row per phrase
+    * with distinct containing docs and total (overlapping) occurrence
+    * counts; phrases with no hits yield no row.
+    *
+    * Scale shape: the phrase table (Σ phrase lengths rows) broadcasts;
+    * the only shuffle carries postings of TERMS THAT APPEAR IN SOME
+    * PHRASE — the broadcast join drops everything else map-side — keyed
+    * by (phrase, doc, start), so hot terms spread across documents
+    * rather than hot-spotting one reducer. The two-level agg re-uses
+    * the same clustering (doc_id is a prefix of the first grouping
+    * key).
+    */
+  def phraseMatches(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phraseMatches needs at least one phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = phrases.flatMap { p =>
+      val ts = p.trim.split("\\s+").toSeq
+      require(ts.nonEmpty && ts.head.nonEmpty, s"empty phrase: '$p'")
+      ts.zipWithIndex.map { case (t2, i) => (p, i.toLong, t2, ts.size) }
+    }.toDF("phrase", "ti", "term", "plen")
+    phrasePostings(docs, idCol, textCol)
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col("phrase"), col("plen"), col("doc_id"),
+        (col("pos") - col("ti")).as("start"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") === col("plen") && col("start") >= 1)
+      .groupBy(col("phrase"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).cast("long").as("n_occurrences"))
+  }
+
+  // ─────────────────────────────────────────────────────────────────
   // Dedup-aware (leakage-free) splitting
   // ─────────────────────────────────────────────────────────────────
 

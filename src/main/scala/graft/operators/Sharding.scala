@@ -130,4 +130,51 @@ object Sharding {
           .cast("long") - 1)
       .select(col(id), col("pos"))
   }
+
+  /** Overlapping token-window chunks — the sequence-preparation step
+    * between a curated corpus and a context-bounded consumer (RAG
+    * passage stores, fixed-context pretraining examples, long-doc
+    * embedding): each document becomes `1 + ⌈max(n−chunkSize,0) /
+    * stride⌉` windows of up to `chunkSize` whitespace tokens starting
+    * every `stride` tokens, so every token is covered, consecutive
+    * chunks overlap by `chunkSize − stride`, and the trailing chunk may
+    * run short rather than be dropped. Chunk ids are deterministic
+    * (doc-local ordinals) so re-runs and incremental rebuilds assign
+    * identical ids. Empty documents produce no chunks.
+    *
+    * Output: (id, chunk_id, chunk_start, n_tokens, chunk) with
+    * `chunk_start` the 1-based token position of the window and `chunk`
+    * the re-joined window text.
+    *
+    * Scale shape: a pure map-side generator — tokenize, explode the
+    * per-doc chunk-index sequence, slice the token array. ZERO
+    * shuffles at any corpus size; output volume is the input token
+    * volume × (chunkSize / stride) overlap factor, which the caller
+    * dials explicitly.
+    */
+  def chunkWindows(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride (chunkSize $chunkSize)")
+    docs
+      .select(col(id),
+        graft.functions.TextFunctions.tokens(col(text)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col(id), col("_toks"),
+        explode(sequence(lit(0L),
+          expr(s"(greatest(size(_toks) - $chunkSize, 0) + ${stride - 1}) " +
+            s"DIV $stride").cast("long"))).as("chunk_id"))
+      .select(col(id), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("chunk_start"),
+        slice(col("_toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)).as("_win"))
+      .select(col(id), col("chunk_id"), col("chunk_start"),
+        size(col("_win")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("_win")).as("chunk"))
+  }
 }

@@ -321,4 +321,48 @@ class CurationSpec extends SparkSpec {
       .orderBy("source").collect().map(_.toSeq)
     r1 shouldBe r2 // partition-layout invariant
   }
+
+  test("phraseMatches: exact token-sequence hits, overlaps, repeated words") {
+    val docs = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "cat cat cat"),          // overlapping "cat cat" x2
+      (3L, "the dog"),
+      (4L, "concatenation of cats") // substring matches must NOT count
+    ).toDF("doc_id", "text")
+    val got = Curation.phraseMatches(docs, "doc_id", "text",
+      Seq("the cat", "cat cat", "cat", "on the cat mat", "absent phrase"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got("the cat") shouldBe ((1L, 2L))        // doc 1 twice
+    got("cat cat") shouldBe ((1L, 2L))        // doc 2, overlapping starts 1,2
+    got("cat") shouldBe ((2L, 5L))            // docs 1+2; "cats" is not "cat"
+    got("on the cat mat") shouldBe ((1L, 1L)) // 4-token phrase
+    got.contains("absent phrase") shouldBe false
+  }
+
+  test("phraseMatches equals a brute-force sliding-window count") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("a", "b", "c", "d")
+    val docs = (0 until 60).map { i =>
+      (i.toLong,
+        (0 until (1 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(4))).mkString(" "))
+    }
+    val phrases = Seq("a b", "b b c", "d", "c a d a")
+    def brute(p: String): (Long, Long) = {
+      val pt = p.split(" ").toSeq
+      val per = docs.map { case (_, t2) =>
+        t2.split(" ").toSeq.sliding(pt.size).count(_ == pt).toLong
+      }
+      (per.count(_ > 0).toLong, per.sum)
+    }
+    val got = Curation.phraseMatches(docs.toDF("doc_id", "text"),
+      "doc_id", "text", phrases)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    phrases.foreach { p =>
+      val (nd, no) = brute(p)
+      withClue(s"phrase '$p': ") {
+        if (no == 0) got.contains(p) shouldBe false
+        else got(p) shouldBe ((nd, no))
+      }
+    }
+  }
 }

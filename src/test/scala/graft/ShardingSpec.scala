@@ -94,4 +94,47 @@ class ShardingSpec extends SparkSpec {
     ep1.map(_._2).sorted shouldBe (0L until 1500L).toArray
     ep0.toSet should not be ep1.toSet
   }
+
+  test("chunkWindows: coverage, overlap, short tail, empty docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "x y"),           // fits one chunk
+      (3L, "  "),            // empty after trim -> no chunks
+      (4L, "p q r s")        // exactly chunkSize
+    ).toDF("doc_id", "text")
+    val got = Sharding.chunkWindows(docs, "doc_id", "text",
+      chunkSize = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: chunks = 1 + ceil((7-4)/2) = 3 at starts 1, 3, 5
+    got((1L, 0L)) shouldBe ((1L, 4L, "a b c d"))
+    got((1L, 1L)) shouldBe ((3L, 4L, "c d e f"))
+    got((1L, 2L)) shouldBe ((5L, 3L, "e f g")) // short tail kept
+    got((2L, 0L)) shouldBe ((1L, 2L, "x y"))
+    got((4L, 0L)) shouldBe ((1L, 4L, "p q r s"))
+    got.keys.count(_._1 == 1L) shouldBe 3
+    got.keys.count(_._1 == 2L) shouldBe 1
+    got.keys.exists(_._1 == 3L) shouldBe false // empty doc: no chunks
+    got.keys.count(_._1 == 4L) shouldBe 1      // n == chunkSize: one chunk
+    // every token covered: union of [start, start+n) spans 1..7
+    val covered = got.collect { case ((1L, _), (st, n, _)) =>
+      (st until st + n) }.flatten.toSet
+    covered shouldBe (1L to 7L).toSet
+  }
+
+  test("chunkWindows is partition-layout invariant and shuffle-free") {
+    val docs = (0 until 200)
+      .map(i => (i.toLong, (0 to i % 9).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Sharding.chunkWindows(docs, "doc_id", "text", 3, 2)
+      .collect().map(_.toSeq).toSet
+    val b = Sharding.chunkWindows(docs.repartition(7), "doc_id", "text", 3, 2)
+      .collect().map(_.toSeq).toSet
+    a shouldBe b
+    // zero-shuffle contract: no Exchange anywhere in the plan
+    val plan = Sharding.chunkWindows(docs, "doc_id", "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
 }
