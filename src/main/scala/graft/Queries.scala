@@ -5223,6 +5223,55 @@ object Queries {
            |GROUP BY 1""".stripMargin
     })
 
+  /** Snapshot bound for [[qPhraseServed]]: postings are persisted for
+    * docs below this id (the indexed corpus snapshot) and probes are
+    * answered from the store alone — the oracle mirrors the snapshot as
+    * a doc_id filter, so a plan that silently rescanned the full corpus
+    * would hash-mismatch.
+    */
+  private val PhraseSnapDoc = 400L
+
+  private val ServedPhrases = Seq(
+    "table table", "customer line", "spark", "value table part", "query big")
+
+  private val qPhraseServed = Q(
+    "q_phrase_served",
+    "phrase probe served from a PERSISTED term-bucket-partitioned posting store: directory pruning, corpus text never touched",
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_postings_" +
+        new java.io.File(d).getName
+      graft.functions.Curation.writePhrasePostings(
+        graft.functions.Curation.phrasePostings(
+          t(s, d).documents.filter(col("doc_id") < PhraseSnapDoc),
+          "doc_id", "text"), dir)
+      graft.functions.Curation.phraseMatchesIndexed(s, dir, ServedPhrases)
+    },
+    Some {
+      val ph = ServedPhrases.flatMap { p =>
+        val ts = p.trim.split("\\s+").toSeq
+        ts.zipWithIndex.map { case (t2, i) =>
+          s"('${p.replace("'", "''")}', CAST($i AS BIGINT), " +
+            s"'${t2.replace("'", "''")}', ${ts.size})"
+        }
+      }.mkString(",\n|    ")
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           |  FROM documents
+           |  WHERE doc_id < $PhraseSnapDoc AND length(trim(text)) > 0),
+           |po AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos, toks[g.i] AS term
+           |  FROM tk CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, len(toks))) AS i) g),
+           |ph(phrase, ti, term, plen) AS (VALUES
+           |    $ph),
+           |m AS (SELECT ph.phrase, ph.plen, po.doc_id, po.pos - ph.ti AS start,
+           |    count(*) AS votes
+           |  FROM po JOIN ph ON po.term = ph.term
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_occurrences
+           |FROM m WHERE votes = plen AND start >= 1
+           |GROUP BY 1""".stripMargin
+    })
+
   /** Full catalog. */
   val all: Seq[Q] = Seq(
     qParseProject, qSentimentWindow, qReviewBomb, qGenreCount, qPlayerWindow,
@@ -5257,5 +5306,5 @@ object Queries {
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
-    qChunkWindows, qPhraseMatch)
+    qChunkWindows, qPhraseMatch, qPhraseServed)
 }

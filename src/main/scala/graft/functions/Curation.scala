@@ -177,16 +177,28 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String,
+      phrases: Seq[String]): DataFrame =
+    matchVotes(phrasePostings(docs, idCol, textCol),
+      phraseTerms(docs.sparkSession, phrases))
+
+  /** The broadcast phrase-term table: one row per (phrase, position). */
+  private def phraseTerms(
+      spark: org.apache.spark.sql.SparkSession,
       phrases: Seq[String]): DataFrame = {
-    require(phrases.nonEmpty, "phraseMatches needs at least one phrase")
-    val spark = docs.sparkSession
+    require(phrases.nonEmpty, "phrase matching needs at least one phrase")
     import spark.implicits._
-    val terms = phrases.flatMap { p =>
+    phrases.flatMap { p =>
       val ts = p.trim.split("\\s+").toSeq
       require(ts.nonEmpty && ts.head.nonEmpty, s"empty phrase: '$p'")
       ts.zipWithIndex.map { case (t2, i) => (p, i.toLong, t2, ts.size) }
     }.toDF("phrase", "ti", "term", "plen")
-    phrasePostings(docs, idCol, textCol)
+  }
+
+  /** The vote pipeline shared by the in-plan and persisted-index
+    * paths (semantics documented at [[phraseMatches]]).
+    */
+  private def matchVotes(postings: DataFrame, terms: DataFrame): DataFrame =
+    postings
       .join(broadcast(terms), Seq("term"))
       .groupBy(col("phrase"), col("plen"), col("doc_id"),
         (col("pos") - col("ti")).as("start"))
@@ -195,6 +207,64 @@ object Curation {
       .groupBy(col("phrase"))
       .agg(count_distinct(col("doc_id")).as("n_docs"),
         count(lit(1)).cast("long").as("n_occurrences"))
+
+  /** Term-hash bucket count of a persisted posting store: 64 buckets
+    * keep the layout's partition directory small while a typical probe
+    * (a handful of phrases) touches only its own few buckets.
+    */
+  val PhrasePostingBuckets: Int = 64
+
+  /** First 60 bits of md5(term) mod `buckets` — the persisted posting
+    * store's partition key, computed identically by the Spark writer
+    * column and the driver-side probe planner so reads prune by
+    * DIRECTORY, before any file is opened.
+    */
+  private def termBucket(term: String, buckets: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Math.floorMod(
+      java.lang.Long.parseLong(hex.substring(0, 15), 16), buckets.toLong)
+  }
+
+  /** Persist a posting table ([[phrasePostings]] output) partitioned by
+    * the term-hash bucket: the decontamination-index layout a pipeline
+    * builds ONCE per corpus snapshot and probes many times —
+    * [[phraseMatchesIndexed]] reads only the probed phrases' buckets
+    * (physical partition pruning), so probe cost scales with the
+    * phrase list, not the corpus.
+    */
+  def writePhrasePostings(
+      postings: DataFrame,
+      dir: String,
+      buckets: Int = PhrasePostingBuckets): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    postings
+      .withColumn("tb",
+        pmod(conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"),
+          lit(buckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(dir)
+  }
+
+  /** [[phraseMatches]] served from a PERSISTED posting store: the scan
+    * is restricted to the probe terms' hash buckets (directory-level
+    * partition pruning — the bucket set is computed on the driver from
+    * the phrase list alone) and then to the terms themselves
+    * (row-group pushdown), so the corpus text is never touched and
+    * non-probed terms are never read. Same output contract as
+    * [[phraseMatches]] over the indexed snapshot.
+    */
+  def phraseMatchesIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      phrases: Seq[String],
+      buckets: Int = PhrasePostingBuckets): DataFrame = {
+    val terms = phraseTerms(spark, phrases)
+    val termStrs = phrases.flatMap(_.trim.split("\\s+").toSeq).distinct
+    val tbs = termStrs.map(termBucket(_, buckets)).distinct
+    val postings = spark.read.parquet(dir)
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(termStrs: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+    matchVotes(postings, terms)
   }
 
   // ─────────────────────────────────────────────────────────────────

@@ -339,6 +339,28 @@ class CurationSpec extends SparkSpec {
     got.contains("absent phrase") shouldBe false
   }
 
+  test("phraseMatchesIndexed: persisted store equals in-plan, scan prunes to probe buckets") {
+    val rnd = new scala.util.Random(29)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 80).map { i =>
+      (i.toLong,
+        (0 until (5 + rnd.nextInt(25))).map(_ => vocab(rnd.nextInt(40))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_postings_spec").toString
+    Curation.writePhrasePostings(
+      Curation.phrasePostings(docs, "doc_id", "text"), dir)
+    val phrases = Seq("w1 w2", "w3", "w4 w5 w6")
+    val served = Curation.phraseMatchesIndexed(spark, dir, phrases)
+    val inPlan = Curation.phraseMatches(docs, "doc_id", "text", phrases)
+    served.collect().map(_.toSeq).toSet shouldBe
+      inPlan.collect().map(_.toSeq).toSet
+    // the store read must prune by DIRECTORY on the term-hash bucket —
+    // probe cost scales with the phrase list, not the corpus
+    val plan = served.queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[[^\\]]*tb"
+  }
+
   test("phraseMatches equals a brute-force sliding-window count") {
     val rnd = new scala.util.Random(13)
     val vocab = Seq("a", "b", "c", "d")
