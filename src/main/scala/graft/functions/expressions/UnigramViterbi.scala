@@ -88,7 +88,10 @@ case class UnigramViterbi(
           s"graft_unigram_viterbi requires a string column, got ${other.catalogString}")
     }
 
-  @transient private lazy val trie = UnigramViterbi.Trie.build(model.value)
+  // the expression object deserializes once per TASK (it rides the
+  // codegen references array), so the trie is cached per executor
+  // keyed by the broadcast id — 32 tasks on one executor build it once
+  @transient private lazy val trie = UnigramViterbi.trieFor(model)
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -197,6 +200,28 @@ case class UnigramViterbi(
 }
 
 object UnigramViterbi {
+
+  /** Per-executor trie cache keyed by broadcast id: every task holds
+    * its own deserialized expression object, but the model (hence the
+    * trie) is identical for one broadcast — build once per executor,
+    * not once per task. Bounded LRU (a session segments under a
+    * handful of models at a time) so memory stays a small constant
+    * multiple of one trie.
+    */
+  private val tries =
+    new java.util.LinkedHashMap[java.lang.Long, Trie](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.lang.Long, Trie]): Boolean = size > 4
+    }
+
+  private[expressions] def trieFor(
+      model: Broadcast[Array[(String, Long)]]): Trie =
+    tries.synchronized {
+      val key = java.lang.Long.valueOf(model.id)
+      var t = tries.get(key)
+      if (t == null) { t = Trie.build(model.value); tries.put(key, t) }
+      t
+    }
 
   /** Flat codepoint trie over the vocabulary: three primitive arrays —
     * per-node child-block offsets into a global (sorted codepoint,
