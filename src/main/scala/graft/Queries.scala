@@ -5188,6 +5188,19 @@ object Queries {
     "table table", "fast table value", "spark", "agg join small",
     "scan slow fast", "no such phrase here")
 
+  /** The `(phrase, ti, term, plen)` VALUES rows of a phrase oracle —
+    * shared by q_phrase_match and q_phrase_served so the escaping and
+    * tokenization of the SQL phrase table cannot drift between them.
+    */
+  private def phraseValuesSql(phrases: Seq[String]): String =
+    phrases.flatMap { p =>
+      val ts = p.trim.split("\\s+").toSeq
+      ts.zipWithIndex.map { case (t2, i) =>
+        s"('${p.replace("'", "''")}', CAST($i AS BIGINT), " +
+          s"'${t2.replace("'", "''")}', ${ts.size})"
+      }
+    }.mkString(",\n|    ")
+
   private val qPhraseMatch = Q(
     "q_phrase_match",
     "positional inverted index + exact multi-token phrase occurrence counts (decontamination probe)",
@@ -5199,13 +5212,7 @@ object Queries {
       graft.functions.Curation.phraseMatches(
         t(s, d).documents, "doc_id", "text", AuditPhrases),
     Some {
-      val ph = AuditPhrases.flatMap { p =>
-        val ts = p.trim.split("\\s+").toSeq
-        ts.zipWithIndex.map { case (t2, i) =>
-          s"('${p.replace("'", "''")}', CAST($i AS BIGINT), " +
-            s"'${t2.replace("'", "''")}', ${ts.size})"
-        }
-      }.mkString(",\n|    ")
+      val ph = phraseValuesSql(AuditPhrases)
       raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
            |  FROM documents WHERE length(trim(text)) > 0),
            |po AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos, toks[g.i] AS term
@@ -5247,13 +5254,7 @@ object Queries {
       graft.functions.Curation.phraseMatchesIndexed(s, dir, ServedPhrases)
     },
     Some {
-      val ph = ServedPhrases.flatMap { p =>
-        val ts = p.trim.split("\\s+").toSeq
-        ts.zipWithIndex.map { case (t2, i) =>
-          s"('${p.replace("'", "''")}', CAST($i AS BIGINT), " +
-            s"'${t2.replace("'", "''")}', ${ts.size})"
-        }
-      }.mkString(",\n|    ")
+      val ph = phraseValuesSql(ServedPhrases)
       raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
            |  FROM documents
            |  WHERE doc_id < $PhraseSnapDoc AND length(trim(text)) > 0),

@@ -181,13 +181,17 @@ object Curation {
     matchVotes(phrasePostings(docs, idCol, textCol),
       phraseTerms(docs.sparkSession, phrases))
 
-  /** The broadcast phrase-term table: one row per (phrase, position). */
+  /** The broadcast phrase-term table: one row per (phrase, position).
+    * The phrase list is DEDUPLICATED first — a phrase is a set member
+    * semantically, and a repeated phrase would double every candidate
+    * start's vote count and silently fail the votes == plen filter.
+    */
   private def phraseTerms(
       spark: org.apache.spark.sql.SparkSession,
       phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "phrase matching needs at least one phrase")
     import spark.implicits._
-    phrases.flatMap { p =>
+    phrases.distinct.flatMap { p =>
       val ts = p.trim.split("\\s+").toSeq
       require(ts.nonEmpty && ts.head.nonEmpty, s"empty phrase: '$p'")
       ts.zipWithIndex.map { case (t2, i) => (p, i.toLong, t2, ts.size) }
@@ -261,7 +265,19 @@ object Curation {
     val terms = phraseTerms(spark, phrases)
     val termStrs = phrases.flatMap(_.trim.split("\\s+").toSeq).distinct
     val tbs = termStrs.map(termBucket(_, buckets)).distinct
-    val postings = spark.read.parquet(dir)
+    // explicit schema: an EMPTY snapshot writes no parquet files (only
+    // _SUCCESS), and schema inference would fail there — an empty index
+    // must answer "zero hits", not throw
+    val postingSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tb",
+        org.apache.spark.sql.types.LongType)))
+    val postings = spark.read.schema(postingSchema).parquet(dir)
       .filter(col("tb").isin(tbs: _*) && col("term").isin(termStrs: _*))
       .select(col("term"), col("doc_id"), col("pos"))
     matchVotes(postings, terms)

@@ -166,7 +166,14 @@ object NativeExpressions {
     require(vocab.map(_._1).distinct.size == vocab.size,
       "duplicate grams would make the DP ambiguous — reject loudly")
     val bc = spark.sparkContext.broadcast(vocab.toArray)
-    GraftBridge.column(UnigramViterbi(GraftBridge.expression(word), bc))
+    // fresh UUID per construction: the executor-side trie cache keys on
+    // it (broadcast ids restart per SparkContext, so they can collide
+    // across a same-JVM context restart). Broadcast lifetime note: the
+    // handle lives inside the returned plan and is reclaimed by the
+    // ContextCleaner once the plan is collected — the standard Spark
+    // broadcast lifecycle for trained-state expressions.
+    GraftBridge.column(UnigramViterbi(GraftBridge.expression(word), bc,
+      java.util.UUID.randomUUID().toString))
   }
 }
 

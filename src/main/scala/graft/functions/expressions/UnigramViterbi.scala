@@ -68,7 +68,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class UnigramViterbi(
     child: Expression,
-    model: Broadcast[Array[(String, Long)]])
+    model: Broadcast[Array[(String, Long)]],
+    modelId: String)
   extends UnaryExpression {
 
   override def nullable: Boolean = true
@@ -89,9 +90,13 @@ case class UnigramViterbi(
     }
 
   // the expression object deserializes once per TASK (it rides the
-  // codegen references array), so the trie is cached per executor
-  // keyed by the broadcast id — 32 tasks on one executor build it once
-  @transient private lazy val trie = UnigramViterbi.trieFor(model)
+  // codegen references array), so the trie is cached per executor —
+  // 32 tasks on one executor build it once. The cache key is the
+  // driver-generated modelId, NOT the broadcast id: broadcast ids
+  // restart from 0 for every new SparkContext, so a same-JVM context
+  // restart could otherwise be served a stale trie from a different
+  // vocabulary.
+  @transient private lazy val trie = UnigramViterbi.trieFor(modelId, model)
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -201,25 +206,25 @@ case class UnigramViterbi(
 
 object UnigramViterbi {
 
-  /** Per-executor trie cache keyed by broadcast id: every task holds
-    * its own deserialized expression object, but the model (hence the
-    * trie) is identical for one broadcast — build once per executor,
-    * not once per task. Bounded LRU (a session segments under a
-    * handful of models at a time) so memory stays a small constant
-    * multiple of one trie.
+  /** Per-executor trie cache keyed by the driver-generated model UUID:
+    * every task holds its own deserialized expression object, but the
+    * model (hence the trie) is identical for one construction — build
+    * once per executor, not once per task. Bounded LRU (a session
+    * segments under a handful of models at a time) so memory stays a
+    * small constant multiple of one trie.
     */
   private val tries =
-    new java.util.LinkedHashMap[java.lang.Long, Trie](8, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Trie](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[java.lang.Long, Trie]): Boolean = size > 4
+          e: java.util.Map.Entry[String, Trie]): Boolean = size > 4
     }
 
   private[expressions] def trieFor(
+      modelId: String,
       model: Broadcast[Array[(String, Long)]]): Trie =
     tries.synchronized {
-      val key = java.lang.Long.valueOf(model.id)
-      var t = tries.get(key)
-      if (t == null) { t = Trie.build(model.value); tries.put(key, t) }
+      var t = tries.get(modelId)
+      if (t == null) { t = Trie.build(model.value); tries.put(modelId, t) }
       t
     }
 
@@ -299,10 +304,16 @@ object UnigramViterbi {
         val hi = ranges(id * 3 + 1)
         val d  = ranges(id * 3 + 2)
         starts += edgeCp.size
-        // duplicates are rejected upstream, so at most one gram ends here
+        // duplicates are rejected at construction (unigramSegment), but
+        // guard defensively: a second identical gram would otherwise
+        // walk off the end of its codepoint array below
         if (lo < hi && grams(lo)._1.length == d) {
           costB += grams(lo)._2
           lo += 1
+          if (lo < hi && grams(lo)._1.length == d)
+            throw new IllegalArgumentException(
+              "unigram trie: duplicate gram in vocabulary — the DP would " +
+                "be ambiguous; construct via NativeExpressions.unigramSegment")
         } else costB += -1L
         var j = lo
         while (j < hi) {

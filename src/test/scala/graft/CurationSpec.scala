@@ -361,6 +361,25 @@ class CurationSpec extends SparkSpec {
     plan should include regex "PartitionFilters: \\[[^\\]]*tb"
   }
 
+  test("phraseMatches: duplicate phrases in the probe list do not zero out matches") {
+    val docs = Seq((1L, "spark runs fast")).toDF("doc_id", "text")
+    val got = Curation.phraseMatches(docs, "doc_id", "text",
+      Seq("spark", "spark", "runs fast", "runs fast"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got("spark") shouldBe ((1L, 1L))
+    got("runs fast") shouldBe ((1L, 1L))
+  }
+
+  test("phraseMatchesIndexed: an EMPTY persisted snapshot answers zero hits, not a crash") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_postings_empty").toString
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Curation.writePhrasePostings(
+      Curation.phrasePostings(none, "doc_id", "text"), dir)
+    Curation.phraseMatchesIndexed(spark, dir, Seq("anything at all"))
+      .collect() shouldBe empty
+  }
+
   test("phraseMatches equals a brute-force sliding-window count") {
     val rnd = new scala.util.Random(13)
     val vocab = Seq("a", "b", "c", "d")
