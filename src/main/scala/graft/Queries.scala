@@ -3554,6 +3554,66 @@ object Queries {
            |  (SELECT unnest(generate_series(1, $LcpCap)) AS i) g
            |GROUP BY 1, 2, 3, 4, 5""".stripMargin))
 
+  private val MinSpan = 20L
+
+  private val qDupSpans = Q(
+    "q_dup_spans",
+    "per-doc duplicated-region accounting from the suffix index: merged >=20-char dup spans (Lee et al. removal candidates)",
+    (s, d) =>
+      // the CONSUMER of the suffix index: dupLen(p) = max(neighbor-rank
+      // LCPs, full length if the rank has >=2 members), region = merged
+      // union of [p, p+dupLen) over dupLen >= MinSpan. The walk runs
+      // capped at LcpCap — exact for the union as long as cap >= minSpan
+      // (see Suffix.dupSpans's doc)
+      graft.functions.Suffix.dupSpans(
+        t(s, d).documents.filter(col("doc_id") < SuffixMaxDoc),
+        "doc_id", "text", MinSpan, LcpCap),
+    Some(
+      raw"""WITH p AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+           |    substr(text, g.i) AS suf
+           |  FROM documents CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, length(text))) AS i) g
+           |  WHERE doc_id < $SuffixMaxDoc AND length(text) >= 1),
+           |rk AS (SELECT doc_id, pos, suf,
+           |    CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) - 1 AS srank FROM p),
+           |rep AS (SELECT srank, suf FROM (
+           |    SELECT srank, suf, row_number() OVER (
+           |      PARTITION BY srank ORDER BY doc_id, pos) AS rn FROM rk)
+           |  WHERE rn = 1),
+           |pl AS (SELECT a.srank,
+           |    CAST(COALESCE(max(CASE WHEN substr(a.suf, 1, g.i) = substr(b.suf, 1, g.i)
+           |      THEN g.i END), 0) AS BIGINT) AS l
+           |  FROM rep a JOIN rep b ON b.srank = a.srank + 1
+           |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, $LcpCap)) AS i) g
+           |  GROUP BY 1),
+           |mult AS (SELECT srank, count(*) AS m FROM rk GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+           |  FROM documents WHERE doc_id < $SuffixMaxDoc AND length(text) >= 1),
+           |per AS (SELECT rk.doc_id, rk.pos,
+           |    greatest(
+           |      CASE WHEN mult.m >= 2 THEN least(dl.len - rk.pos + 1, $LcpCap)
+           |        ELSE 0 END,
+           |      COALESCE(u.l, 0), COALESCE(d2.l, 0)) AS dlen
+           |  FROM rk JOIN mult USING (srank) JOIN dl USING (doc_id)
+           |  LEFT JOIN pl u ON u.srank = rk.srank
+           |  LEFT JOIN pl d2 ON d2.srank = rk.srank - 1),
+           |f AS (SELECT doc_id, pos, pos + dlen AS e FROM per
+           |  WHERE dlen >= $MinSpan),
+           |g2 AS (SELECT doc_id, pos, e,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM f),
+           |h AS (SELECT doc_id, pos, e,
+           |    sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g2),
+           |i AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e2 FROM h
+           |  GROUP BY 1, 2),
+           |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+           |    CAST(sum(e2 - s) AS BIGINT) AS dup_chars FROM i GROUP BY 1)
+           |SELECT d.doc_id, d.len AS n_chars,
+           |  CAST(COALESCE(pd.dup_spans, 0) AS BIGINT) AS dup_spans,
+           |  CAST(COALESCE(pd.dup_chars, 0) AS BIGINT) AS dup_chars
+           |FROM dl d LEFT JOIN pd USING (doc_id)""".stripMargin))
+
   private val TrIters   = 3
   private val TrTeleport = (10000L - graft.functions.Graph.DefaultDampingBp) *
     graft.functions.Graph.DefaultScale / 10000L
@@ -5307,5 +5367,5 @@ object Queries {
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
-    qChunkWindows, qPhraseMatch, qPhraseServed)
+    qChunkWindows, qPhraseMatch, qPhraseServed, qDupSpans)
 }

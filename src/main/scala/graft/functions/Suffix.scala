@@ -370,6 +370,19 @@ object Suffix {
       maxLcp: Long = Long.MaxValue): DataFrame = {
     require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
     val levels = build(docs, id, text, buckets, keepLevels = true)
+    lcpWalk(levels, maxLcp, protectLast = false)
+  }
+
+  /** The LCP walk over kept doubling levels (semantics documented at
+    * [[adjacentLcp]]). With `protectLast` the final rank level's
+    * checkpoint — and any level sharing its table — survives the walk's
+    * freeing discipline, for callers ([[dupSpans]]) that keep consuming
+    * the rank table after the walk.
+    */
+  private def lcpWalk(
+      levels: Seq[Level],
+      maxLcp: Long,
+      protectLast: Boolean): DataFrame = {
     val sr = levels.last.df
     val reps = sr.groupBy(col("r"))
       .agg(min(struct(col("did"), col("pos"))).as("m"))
@@ -420,8 +433,10 @@ object Suffix {
       sinceCut += 1
       // the 1-gram and 2-gram levels are views over one shared cached
       // table: only free an RDD once no LOWER (still-unconsumed) level
-      // references it
-      if (!levels.indices.take(j).exists(i => levels(i).rdd eq levels(j).rdd))
+      // references it; under `protectLast`, a table hosting the final
+      // rank level is never freed here
+      if (!levels.indices.take(j).exists(i => levels(i).rdd eq levels(j).rdd)
+        && !(protectLast && (levels(j).rdd eq levels.last.rdd)))
         pendingFree ::= levels(j).rdd
       if (sinceCut == 4 || j == walkLevels.head) {
         val h = prof(s"walk j=$j")(localCheckpointHandle(stepped))
@@ -437,9 +452,94 @@ object Suffix {
     // cut materialized the state past all of them, and `reps` was
     // materialized with the first cut) — unpersist is idempotent, so
     // re-freeing walked levels is a no-op and cap-skipped tables that
-    // no walked level shares are released here
-    levels.map(_.rdd).distinct.foreach(_.unpersist(blocking = false))
+    // no walked level shares are released here. Under `protectLast`
+    // the final rank level's table stays resident for the caller
+    // (the suffixRanks contract: one returned cached snapshot).
+    levels.map(_.rdd).distinct
+      .filterNot(r => protectLast && (r eq levels.last.rdd))
+      .foreach(_.unpersist(blocking = false))
     st.select(col("srank"), col("da").as("doc_a"), col("pa").as("pos_a"),
       col("db").as("doc_b"), col("pb").as("pos_b"), col("acc").as("lcp"))
+  }
+
+  /** Per-document duplicated-REGION accounting — the decision step the
+    * suffix index exists for (Lee et al. ACL'22 §4: characters inside
+    * any duplicated substring of length ≥ `minSpan` are the removal
+    * candidates). One row per non-empty document:
+    * (id, n_chars, dup_spans, dup_chars) — the number of maximal
+    * duplicated regions and the characters they cover.
+    *
+    * Exactness under the cap: position p's longest duplicated prefix is
+    * `dupLen(p) = max(lcp with rank-neighbors; full suffix length if
+    * its rank has ≥ 2 members)` (nearest ranks maximize LCP — the
+    * suffix-array property), and the dup region is the union of
+    * `[p, p + dupLen(p))` over positions with `dupLen ≥ minSpan`.
+    * Capping dupLen at `cap ≥ minSpan` does NOT change the union: any
+    * character inside a long duplicated substring is also inside a
+    * length-`minSpan` duplicated substring starting ≤ it (substrings
+    * of duplicated strings are duplicated), whose start contributes an
+    * interval covering it. So the walk runs capped ([[adjacentLcp]]'s
+    * `maxLcp` machinery) and the region arithmetic is still exact —
+    * only per-SPAN lengths beyond the cap would be understated, and
+    * the output reports merged regions, not raw span lengths.
+    *
+    * Touching intervals merge ([p,5) ∪ [5,e) is one region): a region
+    * boundary means a genuinely non-duplicated character between.
+    *
+    * Scale shape: one suffix-index build + capped walk (shared via
+    * [[lcpWalk]], the rank table's checkpoint protected), then two
+    * rank-keyed equi-joins (per-rank lcp/multiplicity onto positions)
+    * and doc-partitioned windows for the interval merge — no
+    * all-pairs, nothing beyond the index build's own cost class.
+    */
+  def dupSpans(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      minSpan: Long,
+      cap: Long = 64L,
+      buckets: Int = 512): DataFrame = {
+    require(minSpan >= 1, s"minSpan must be >= 1, got $minSpan")
+    require(cap >= minSpan, s"cap ($cap) must be >= minSpan ($minSpan) — " +
+      "the capped union argument needs a length-minSpan interval to fit " +
+      "inside the cap")
+    val levels = build(docs, id, text, buckets, keepLevels = true)
+    val sr = levels.last.df // (did, pos, r) — checkpoint protected below
+    val lcp = lcpWalk(levels, cap, protectLast = true)
+    val lcpByRank = lcp.select(col("srank"), least(col("lcp"), lit(cap)).as("l"))
+    val mult = sr.groupBy(col("r")).agg(count(lit(1)).as("m"))
+    val byDoc = Window.partitionBy(col("did"))
+    val per = sr
+      .withColumn("len", max(col("pos")).over(byDoc))
+      .join(mult, Seq("r"))
+      .join(lcpByRank.select(col("srank").as("r"), col("l").as("lu")),
+        Seq("r"), "left")
+      .join(lcpByRank.select((col("srank") + 1).as("r"), col("l").as("ld")),
+        Seq("r"), "left")
+      .select(col("did"), col("pos"),
+        greatest(
+          when(col("m") >= 2,
+            least(col("len") - col("pos") + 1, lit(cap))).otherwise(lit(0L)),
+          coalesce(col("lu"), lit(0L)),
+          coalesce(col("ld"), lit(0L))).as("dlen"))
+    val ordered = Window.partitionBy(col("did")).orderBy(col("pos"))
+    val spans = per.filter(col("dlen") >= minSpan)
+      .select(col("did"), col("pos"), (col("pos") + col("dlen")).as("e"))
+      .withColumn("pe",
+        max(col("e")).over(ordered.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng",
+        when(col("pe").isNull || col("pos") > col("pe"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("ng")).over(ordered))
+      .groupBy(col("did"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e2"))
+    val perDoc = spans.groupBy(col("did"))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("e2") - col("s")).as("dup_chars"))
+    docs.filter(length(col(text)) >= 1)
+      .select(col(id).as("did"), length(col(text)).cast("long").as("n_chars"))
+      .join(perDoc, Seq("did"), "left")
+      .select(col("did").as(id), col("n_chars"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
 }

@@ -112,6 +112,53 @@ class SuffixSpec extends SparkSpec {
     lcps(Seq(1L -> "abcd", 2L -> "efgh")).values.toSet shouldBe Set(0L)
   }
 
+  test("dupSpans equals brute-force duplicated-region accounting, capped and uncapped") {
+    // brute: dupLen(doc, p) = longest prefix of suffix (doc,p) equal to
+    // a prefix of ANY other suffix in the corpus; region = merged union
+    // of [p, p+min(dupLen,cap)) over dupLen >= minSpan — dup_chars must
+    // be CAP-INVARIANT (the doc's argument), span counts too since
+    // touching intervals merge
+    val rnd = new scala.util.Random(59)
+    val docs = (0 until 14).map { i =>
+      (i.toLong,
+        (0 until (6 + rnd.nextInt(30))).map(_ => "ab".charAt(rnd.nextInt(2))).mkString)
+    } :+ (99L -> "zzzzqqqqzzzzqqqq") // guaranteed internal repeats
+    def brute(minSpan: Int, cap: Int): Map[Long, (Long, Long)] = {
+      val sufs = docs.flatMap { case (did, t2) =>
+        (1 to t2.length).map(p => (did, p.toLong, t2.substring(p - 1)))
+      }
+      def dupLen(me: (Long, Long, String)): Int =
+        sufs.filter(s2 => (s2._1, s2._2) != ((me._1, me._2))).map { o =>
+          me._3.zip(o._3).takeWhile { case (x, y) => x == y }.size
+        }.maxOption.getOrElse(0)
+      docs.map { case (did, t2) =>
+        val ivs = (1 to t2.length).flatMap { p =>
+          val d2 = dupLen((did, p.toLong, t2.substring(p - 1)))
+          if (d2 >= minSpan) Some((p.toLong, p.toLong + math.min(d2, cap)))
+          else None
+        }
+        var spans = 0L; var chars = 0L
+        var curS = -1L; var curE = -1L
+        ivs.foreach { case (s2, e2) =>
+          if (curE < 0 || s2 > curE) {
+            if (curE >= 0) { spans += 1; chars += curE - curS }
+            curS = s2; curE = e2
+          } else curE = math.max(curE, e2)
+        }
+        if (curE >= 0) { spans += 1; chars += curE - curS }
+        did -> ((spans, chars))
+      }.toMap
+    }
+    Seq((4, 8), (4, 64), (6, 7)).foreach { case (ms, cap) =>
+      val got = Suffix.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        ms.toLong, cap.toLong)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      withClue(s"minSpan $ms cap $cap: ") { got shouldBe brute(ms, cap) }
+    }
+    // cap-invariance of the region: caps 8 and 64 agree everywhere
+    brute(4, 8) shouldBe brute(4, 64)
+  }
+
   test("empty and single-char documents") {
     // empty doc contributes no positions; single chars rank by byte
     ranks(Seq(1L -> "", 2L -> "b", 3L -> "a")) shouldBe Map(
