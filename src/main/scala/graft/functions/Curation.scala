@@ -283,6 +283,40 @@ object Curation {
     matchVotes(postings, terms)
   }
 
+  /** [[phraseMatchesIndexed]] over a STREAMED posting store — the
+    * layout [[graft.streaming.Pipelines.phraseAuditIngest]] maintains:
+    * one `batch=N` layer above the term-hash buckets
+    * (`postings/batch=N/tb=K/`), each batch dir written atomically and
+    * idempotently (overwrite on replay). Directory pruning on `tb`
+    * spans every batch. Contract, as for the CDC store: batches carry
+    * NEW documents (a doc re-ingested in two batches would double its
+    * postings — dedup is the exact-dedup stage's job, upstream).
+    */
+  def phraseMatchesStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      phrases: Seq[String],
+      buckets: Int = PhrasePostingBuckets): DataFrame = {
+    val terms = phraseTerms(spark, phrases)
+    val termStrs = phrases.flatMap(_.trim.split("\\s+").toSeq).distinct
+    val tbs = termStrs.map(termBucket(_, buckets)).distinct
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tb",
+        org.apache.spark.sql.types.LongType)))
+    val postings = spark.read.schema(schema).parquet(storeDir)
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(termStrs: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+    matchVotes(postings, terms)
+  }
+
   // ─────────────────────────────────────────────────────────────────
   // Dedup-aware (leakage-free) splitting
   // ─────────────────────────────────────────────────────────────────

@@ -389,6 +389,49 @@ object Pipelines {
       }
   }
 
+  /** Streaming exact-phrase decontamination audit + posting-store
+    * maintenance: every micro-batch is probed for the audit phrase
+    * list (per-phrase containing-doc and occurrence counts for THIS
+    * batch — the ingest-time eval-leak alarm) and its positional
+    * postings are appended to the persisted term-bucket-partitioned
+    * store, so offline probes
+    * ([[graft.functions.Curation.phraseMatchesStore]]) answer over
+    * everything ever ingested without rescanning text.
+    *
+    * Per-trigger work is O(batch): the probe touches only the batch's
+    * phrase-term postings (broadcast phrase table), the store append
+    * writes only the batch's postings. Replay-safe the
+    * [[cdcIngest]] way: both the report and the posting partition are
+    * per-batch directories written with overwrite, so a restarted
+    * batch reproduces identical state. Store contract: batches carry
+    * NEW documents (exact dedup runs upstream).
+    */
+  def phraseAuditIngest(
+      docs: DataFrame,
+      stateDir: String,
+      checkpoint: String,
+      phrases: Seq[String],
+      id: String = "doc_id",
+      text: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Curation
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          Curation.phraseMatches(batch, id, text, phrases)
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/report/batch=$batchId")
+          Curation.writePhrasePostings(
+            Curation.phrasePostings(batch, id, text),
+            s"$stateDir/postings/batch=$batchId")
+        } finally batch.unpersist()
+        ()
+      }
+  }
+
   /** Streaming IVF-PQ index maintenance — the ANN analog of
     * [[dsirScoreIngest]]'s persisted-model split: the coarse centroids
     * and PQ codebooks are trained ONCE offline

@@ -486,6 +486,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("phraseAuditIngest: per-batch decontamination reports + store probe over all batches") {
+    import graft.functions.Curation
+    val in = memStream[(Long, String)]
+    val state = tmpDir("phrase_state")
+    val phrases = Seq("the quick fox", "lazy dog", "absent words")
+    val q = Pipelines.phraseAuditIngest(
+      in.toDF().toDF("doc_id", "text"), state, tmpDir("phrase_ckpt"), phrases)
+      .start()
+    try {
+      val b0 = Seq(
+        (1L, "see the quick fox jump over the lazy dog today"),
+        (2L, "nothing of note here"))
+      val b1 = Seq(
+        (3L, "the quick fox returns and the quick fox rests"),
+        (4L, "a lazy dog sleeps"))
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      def rep(b: Int) = spark.read.parquet(s"$state/report/batch=$b")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // each batch's report == the batch path over that batch alone
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        val expected = Curation.phraseMatches(
+          b.toDF("doc_id", "text"), "doc_id", "text", phrases)
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        withClue(s"batch $i: ") { rep(i) shouldBe expected }
+      }
+      rep(0)("the quick fox") shouldBe ((1L, 1L))
+      rep(1)("the quick fox") shouldBe ((1L, 2L)) // doc 3, twice
+      // the persisted store answers over EVERYTHING ingested
+      val all = Curation.phraseMatchesStore(
+        spark, s"$state/postings", phrases)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batchAll = Curation.phraseMatches(
+        (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text", phrases)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      all shouldBe batchAll
+      all("lazy dog") shouldBe ((2L, 2L))
+      all.contains("absent words") shouldBe false
+    } finally q.stop()
+  }
+
   test("cdcIngest: chunk store grows with novel chunks only; identical doc reports zero new bytes") {
     import graft.functions.Dedup
     val in = memStream[(Long, String)]
