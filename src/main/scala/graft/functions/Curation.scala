@@ -262,58 +262,69 @@ object Curation {
       dir: String,
       phrases: Seq[String],
       buckets: Int = PhrasePostingBuckets): DataFrame = {
-    val terms = phraseTerms(spark, phrases)
-    val termStrs = phrases.flatMap(_.trim.split("\\s+").toSeq).distinct
-    val tbs = termStrs.map(termBucket(_, buckets)).distinct
-    // explicit schema: an EMPTY snapshot writes no parquet files (only
-    // _SUCCESS), and schema inference would fail there — an empty index
-    // must answer "zero hits", not throw
-    val postingSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("term",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("pos",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("tb",
-        org.apache.spark.sql.types.LongType)))
-    val postings = spark.read.schema(postingSchema).parquet(dir)
-      .filter(col("tb").isin(tbs: _*) && col("term").isin(termStrs: _*))
-      .select(col("term"), col("doc_id"), col("pos"))
-    matchVotes(postings, terms)
+    import org.apache.spark.sql.types.{LongType, StructField}
+    probePostings(spark, dir, phrases, buckets,
+      Seq(StructField("tb", LongType)))
   }
 
   /** [[phraseMatchesIndexed]] over a STREAMED posting store — the
     * layout [[graft.streaming.Pipelines.phraseAuditIngest]] maintains:
     * one `batch=N` layer above the term-hash buckets
-    * (`postings/batch=N/tb=K/`), each batch dir written atomically and
-    * idempotently (overwrite on replay). Directory pruning on `tb`
-    * spans every batch. Contract, as for the CDC store: batches carry
-    * NEW documents (a doc re-ingested in two batches would double its
-    * postings — dedup is the exact-dedup stage's job, upstream).
+    * (`postings/batch=N/tb=K/`). Replay-IDEMPOTENT per batch (a
+    * restarted batch overwrites its own directory with identical
+    * contents), but the overwrite itself is delete-then-write, NOT
+    * atomic: a probe racing a batch rewrite can observe that batch
+    * partially — probe between triggers, or snapshot the store dir
+    * first. Directory pruning on `tb` spans every batch. Contract, as
+    * for the CDC store: batches carry NEW documents (a doc re-ingested
+    * in two batches would double its postings — dedup is the
+    * exact-dedup stage's job, upstream).
     */
   def phraseMatchesStore(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
       phrases: Seq[String],
       buckets: Int = PhrasePostingBuckets): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    probePostings(spark, storeDir, phrases, buckets,
+      Seq(StructField("batch", LongType), StructField("tb", LongType)))
+  }
+
+  /** Shared probe path of [[phraseMatchesIndexed]] / [[phraseMatchesStore]]
+    * (they differ only in the store's partition-column layering). Two
+    * robustness contracts live here: the read carries an EXPLICIT
+    * schema so an existing-but-empty store (a partitioned overwrite of
+    * zero rows writes no parquet files) answers zero hits instead of
+    * failing schema inference, and a store directory that does not
+    * exist yet (probe before the first ingest batch commits) answers
+    * zero hits too.
+    */
+  private def probePostings(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      phrases: Seq[String],
+      buckets: Int,
+      partitionFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val terms = phraseTerms(spark, phrases)
     val termStrs = phrases.flatMap(_.trim.split("\\s+").toSeq).distinct
     val tbs = termStrs.map(termBucket(_, buckets)).distinct
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("term",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("pos",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("batch",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("tb",
-        org.apache.spark.sql.types.LongType)))
-    val postings = spark.read.schema(schema).parquet(storeDir)
-      .filter(col("tb").isin(tbs: _*) && col("term").isin(termStrs: _*))
-      .select(col("term"), col("doc_id"), col("pos"))
+    val dataFields = Seq(
+      StructField("term", StringType),
+      StructField("doc_id", LongType),
+      StructField("pos", LongType))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sessionState.newHadoopConf())
+    val postings =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(dataFields))
+      else
+        spark.read.schema(StructType(dataFields ++ partitionFields))
+          .parquet(dir)
+          .filter(col("tb").isin(tbs: _*) && col("term").isin(termStrs: _*))
+          .select(col("term"), col("doc_id"), col("pos"))
     matchVotes(postings, terms)
   }
 

@@ -370,7 +370,7 @@ object Suffix {
       maxLcp: Long = Long.MaxValue): DataFrame = {
     require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
     val levels = build(docs, id, text, buckets, keepLevels = true)
-    lcpWalk(levels, maxLcp, protectLast = false)
+    lcpWalk(levels, maxLcp, protectLast = false)._1
   }
 
   /** The LCP walk over kept doubling levels (semantics documented at
@@ -382,7 +382,8 @@ object Suffix {
   private def lcpWalk(
       levels: Seq[Level],
       maxLcp: Long,
-      protectLast: Boolean): DataFrame = {
+      protectLast: Boolean): (DataFrame,
+      Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]) = {
     val sr = levels.last.df
     val reps = sr.groupBy(col("r"))
       .agg(min(struct(col("did"), col("pos"))).as("m"))
@@ -458,8 +459,9 @@ object Suffix {
     levels.map(_.rdd).distinct
       .filterNot(r => protectLast && (r eq levels.last.rdd))
       .foreach(_.unpersist(blocking = false))
-    st.select(col("srank"), col("da").as("doc_a"), col("pa").as("pos_a"),
-      col("db").as("doc_b"), col("pb").as("pos_b"), col("acc").as("lcp"))
+    (st.select(col("srank"), col("da").as("doc_a"), col("pa").as("pos_a"),
+      col("db").as("doc_b"), col("pb").as("pos_b"), col("acc").as("lcp")),
+      stRdd)
   }
 
   /** Per-document duplicated-REGION accounting — the decision step the
@@ -505,7 +507,7 @@ object Suffix {
       "inside the cap")
     val levels = build(docs, id, text, buckets, keepLevels = true)
     val sr = levels.last.df // (did, pos, r) — checkpoint protected below
-    val lcp = lcpWalk(levels, cap, protectLast = true)
+    val (lcp, lcpRdd) = lcpWalk(levels, cap, protectLast = true)
     val lcpByRank = lcp.select(col("srank"), least(col("lcp"), lit(cap)).as("l"))
     val mult = sr.groupBy(col("r")).agg(count(lit(1)).as("m"))
     val byDoc = Window.partitionBy(col("did"))
@@ -535,11 +537,21 @@ object Suffix {
     val perDoc = spans.groupBy(col("did"))
       .agg(count(lit(1)).as("dup_spans"),
         sum(col("e2") - col("s")).as("dup_chars"))
-    docs.filter(length(col(text)) >= 1)
+    val out = docs.filter(length(col(text)) >= 1)
       .select(col(id).as("did"), length(col(text)).cast("long").as("n_chars"))
       .join(perDoc, Seq("did"), "left")
       .select(col("did").as(id), col("n_chars"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+    // materialize the ONE-ROW-PER-DOC result eagerly, then free the
+    // O(total chars) rank-table checkpoint and the walk's state table —
+    // otherwise every dupSpans call would strand a corpus-position-scale
+    // cached snapshot for the session lifetime. What stays resident is
+    // the per-doc snapshot the caller consumes (the suffixRanks
+    // one-returned-snapshot contract, but doc-count-sized).
+    val h = localCheckpointHandle(out)
+    levels.last.rdd.unpersist(blocking = false)
+    lcpRdd.foreach(_.unpersist(blocking = false))
+    h._1
   }
 }

@@ -400,11 +400,14 @@ object Pipelines {
     *
     * Per-trigger work is O(batch): the probe touches only the batch's
     * phrase-term postings (broadcast phrase table), the store append
-    * writes only the batch's postings. Replay-safe the
+    * writes only the batch's postings. Replay-IDEMPOTENT the
     * [[cdcIngest]] way: both the report and the posting partition are
     * per-batch directories written with overwrite, so a restarted
-    * batch reproduces identical state. Store contract: batches carry
-    * NEW documents (exact dedup runs upstream).
+    * batch reproduces identical contents — but the overwrite is
+    * delete-then-write, not atomic, so an offline probe racing a batch
+    * rewrite can observe that batch partially (probe between triggers,
+    * or snapshot the store dir). Store contract: batches carry NEW
+    * documents (exact dedup runs upstream).
     */
   def phraseAuditIngest(
       docs: DataFrame,
