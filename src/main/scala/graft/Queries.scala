@@ -4800,11 +4800,13 @@ object Queries {
        |      THEN ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 2, 1)) - 48
        |      ELSE ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END)""".stripMargin
 
-  private val qNbClassify = Q(
-    "q_nb_classify",
-    "Naive Bayes lang classifier: train on 80% split, score held-out, integer-exact argmax, confusion matrix",
-    (s, d) => Curation.nbConfusion(t(s, d).documents, "doc_id", "text", "lang"),
-    Some(raw"""WITH tagged AS (SELECT doc_id, lang, text,
+  /** One oracle, two engine plans: q_nb_classify (broadcast V·C model)
+    * and q_nb_shuffle (model shuffle-joined on the token key — the
+    * fallback for vocabularies too large to broadcast) must produce
+    * hash-identical confusion matrices from this same SQL.
+    */
+  private val nbConfusionOracle: String =
+    raw"""WITH tagged AS (SELECT doc_id, lang, text,
             |  (${sqlMd5Byte("nb:")}) < 204 AS is_train FROM documents),
             |toks AS (SELECT doc_id, lang AS true_cls, is_train,
             |    unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -4841,7 +4843,20 @@ object Queries {
             |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
             |  FROM sc)
             |SELECT true_cls, cls AS pred_cls, CAST(count(*) AS BIGINT) AS n
-            |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin))
+            |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
+  private val qNbClassify = Q(
+    "q_nb_classify",
+    "Naive Bayes lang classifier: train on 80% split, score held-out, integer-exact argmax, confusion matrix",
+    (s, d) => Curation.nbConfusion(t(s, d).documents, "doc_id", "text", "lang"),
+    Some(nbConfusionOracle))
+
+  private val qNbShuffle = Q(
+    "q_nb_shuffle",
+    "NB classifier, shuffle-join model path: V·C too large to broadcast — token-key sort-merge join, unseen mass reconstructed arithmetically, bit-identical argmax",
+    (s, d) => Curation.nbConfusion(t(s, d).documents, "doc_id", "text", "lang",
+      broadcastModel = false),
+    Some(nbConfusionOracle))
 
   private val qKnSurprisal = Q(
     "q_kn_surprisal",
@@ -5249,11 +5264,15 @@ object Queries {
     "scan slow fast", "no such phrase here")
 
   /** The `(phrase, ti, term, plen)` VALUES rows of a phrase oracle —
-    * shared by q_phrase_match and q_phrase_served so the escaping and
-    * tokenization of the SQL phrase table cannot drift between them.
+    * shared by the phrase queries so the escaping and tokenization of
+    * the SQL phrase table cannot drift between them. Deduplicated first,
+    * mirroring `Curation.phraseTerms`: a phrase is a set member
+    * semantically, and a repeated phrase would double every candidate
+    * start's votes on the oracle side only — a hash mismatch that would
+    * read as an engine bug.
     */
   private def phraseValuesSql(phrases: Seq[String]): String =
-    phrases.flatMap { p =>
+    phrases.distinct.flatMap { p =>
       val ts = p.trim.split("\\s+").toSeq
       ts.zipWithIndex.map { case (t2, i) =>
         s"('${p.replace("'", "''")}', CAST($i AS BIGINT), " +
@@ -5305,8 +5324,11 @@ object Queries {
     "q_phrase_served",
     "phrase probe served from a PERSISTED term-bucket-partitioned posting store: directory pruning, corpus text never touched",
     (s, d) => {
+      // per-run-unique path (PID suffix): two concurrent harness runs on
+      // the same dataset must not race each other's store rebuild; the
+      // same JVM re-running the query just rebuilds its own store
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_postings_" +
-        new java.io.File(d).getName
+        s"${ProcessHandle.current().pid()}_${new java.io.File(d).getName}"
       graft.functions.Curation.writePhrasePostings(
         graft.functions.Curation.phrasePostings(
           t(s, d).documents.filter(col("doc_id") < PhraseSnapDoc),
@@ -5318,6 +5340,65 @@ object Queries {
       raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
            |  FROM documents
            |  WHERE doc_id < $PhraseSnapDoc AND length(trim(text)) > 0),
+           |po AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos, toks[g.i] AS term
+           |  FROM tk CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, len(toks))) AS i) g),
+           |ph(phrase, ti, term, plen) AS (VALUES
+           |    $ph),
+           |m AS (SELECT ph.phrase, ph.plen, po.doc_id, po.pos - ph.ti AS start,
+           |    count(*) AS votes
+           |  FROM po JOIN ph ON po.term = ph.term
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_occurrences
+           |FROM m WHERE votes = plen AND start >= 1
+           |GROUP BY 1""".stripMargin
+    })
+
+  /** [[qPhraseStore]]'s two-ingest-batch split: docs below the boundary
+    * are "batch 0", the rest up to the snapshot are "batch 1" — the
+    * streamed `batch=N/tb=K` layout
+    * [[graft.streaming.Pipelines.phraseAuditIngest]] maintains. The
+    * oracle mirrors the snapshot as a doc_id filter, so a probe that
+    * missed a batch directory (or rescanned corpus text) hash-mismatches.
+    */
+  private val StoreBatchBoundary = 300L
+  private val StoreSnapDoc       = 600L
+
+  private val StorePhrases = Seq(
+    "table table", "spark", "scan slow fast", "customer line", "no hits zz")
+
+  private val qPhraseStore = Q(
+    "q_phrase_store",
+    "phrase probe over a STREAMED multi-batch posting store: batch=/tb= layout, atomic per-batch publication, directory pruning spans every batch",
+    (s, d) => {
+      import graft.functions.Stores
+      // per-run-unique path (PID suffix), same contract as q_phrase_served
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pstore_" +
+        s"${ProcessHandle.current().pid()}_${new java.io.File(d).getName}"
+      val docs = t(s, d).documents
+      // two ingest batches, published exactly the way phraseAuditIngest
+      // publishes them: written beside the store, renamed in atomically,
+      // never rewritten once present (a re-run in the same JVM exercises
+      // the replay no-op path)
+      Stores.publishOnce(s, s"$dir/batch=0")(
+        Curation.writePostingsRaw(
+          Curation.phrasePostings(
+            docs.filter(col("doc_id") < StoreBatchBoundary), "doc_id", "text"),
+          _, Curation.PhrasePostingBuckets))
+      Stores.publishOnce(s, s"$dir/batch=1")(
+        Curation.writePostingsRaw(
+          Curation.phrasePostings(
+            docs.filter(col("doc_id") >= StoreBatchBoundary &&
+              col("doc_id") < StoreSnapDoc), "doc_id", "text"),
+          _, Curation.PhrasePostingBuckets))
+      Curation.phraseMatchesStore(s, dir, StorePhrases)
+    },
+    Some {
+      val ph = phraseValuesSql(StorePhrases)
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           |  FROM documents
+           |  WHERE doc_id < $StoreSnapDoc AND length(trim(text)) > 0),
            |po AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos, toks[g.i] AS term
            |  FROM tk CROSS JOIN LATERAL
            |    (SELECT unnest(generate_series(1, len(toks))) AS i) g),
@@ -5365,7 +5446,7 @@ object Queries {
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qKnSurprisal, qDedupEval, qJlProject,
+    qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
-    qChunkWindows, qPhraseMatch, qPhraseServed, qDupSpans)
+    qChunkWindows, qPhraseMatch, qPhraseServed, qPhraseStore, qDupSpans)
 }

@@ -220,32 +220,56 @@ object Curation {
 
   /** First 60 bits of md5(term) mod `buckets` — the persisted posting
     * store's partition key, computed identically by the Spark writer
-    * column and the driver-side probe planner so reads prune by
-    * DIRECTORY, before any file is opened.
+    * column ([[termBucketCol]]) and this driver-side probe planner so
+    * reads prune by DIRECTORY, before any file is opened. If the two
+    * ever drifted, the probe would silently read the WRONG directory and
+    * answer zero hits — a false "not contaminated" — so their parity is
+    * property-spec-pinned over random multi-byte unicode terms
+    * (CurationSpec), not just the ASCII vocab the served==in-plan spec
+    * exercises.
     */
-  private def termBucket(term: String, buckets: Int): Long = {
+  private[graft] def termBucket(term: String, buckets: Int): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Math.floorMod(
       java.lang.Long.parseLong(hex.substring(0, 15), 16), buckets.toLong)
   }
 
+  /** The writer-side twin of [[termBucket]]: the same 60-bit md5 prefix
+    * mod `buckets`, as a codegen'd column (Spark's `md5` hashes the
+    * UTF-8 bytes, matching the driver side byte for byte).
+    */
+  private[graft] def termBucketCol(term: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(term), 1, 15), 16, 10).cast("long"), lit(buckets))
+
   /** Persist a posting table ([[phrasePostings]] output) partitioned by
     * the term-hash bucket: the decontamination-index layout a pipeline
     * builds ONCE per corpus snapshot and probes many times —
     * [[phraseMatchesIndexed]] reads only the probed phrases' buckets
     * (physical partition pruning), so probe cost scales with the
-    * phrase list, not the corpus.
+    * phrase list, not the corpus. Published atomically
+    * ([[Stores.publishReplace]]): the store is fully written beside its
+    * final path and swapped in by rename, so a concurrent probe sees
+    * the old snapshot or the new one, never a partial write.
     */
   def writePhrasePostings(
       postings: DataFrame,
       dir: String,
-      buckets: Int = PhrasePostingBuckets): Unit = {
+      buckets: Int = PhrasePostingBuckets): Unit =
+    Stores.publishReplace(postings.sparkSession, dir)(
+      writePostingsRaw(postings, _, buckets))
+
+  /** The unpublished write (no atomicity) — [[writePhrasePostings]] and
+    * the streaming ingest ([[graft.streaming.Pipelines.phraseAuditIngest]])
+    * aim it at a temp directory and publish with one rename.
+    */
+  private[graft] def writePostingsRaw(
+      postings: DataFrame,
+      dir: String,
+      buckets: Int): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     postings
-      .withColumn("tb",
-        pmod(conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"),
-          lit(buckets)))
+      .withColumn("tb", termBucketCol(col("term"), buckets))
       .write.mode("overwrite").partitionBy("tb").parquet(dir)
   }
 
@@ -270,12 +294,12 @@ object Curation {
   /** [[phraseMatchesIndexed]] over a STREAMED posting store — the
     * layout [[graft.streaming.Pipelines.phraseAuditIngest]] maintains:
     * one `batch=N` layer above the term-hash buckets
-    * (`postings/batch=N/tb=K/`). Replay-IDEMPOTENT per batch (a
-    * restarted batch overwrites its own directory with identical
-    * contents), but the overwrite itself is delete-then-write, NOT
-    * atomic: a probe racing a batch rewrite can observe that batch
-    * partially — probe between triggers, or snapshot the store dir
-    * first. Directory pruning on `tb` spans every batch. Contract, as
+    * (`postings/batch=N/tb=K/`). Batch directories are published
+    * atomically ([[Stores.publishOnce]]: written beside the store,
+    * renamed into place, and never rewritten once present — a replayed
+    * batch is a no-op), so a probe running concurrently with ingest
+    * sees each batch either complete or not yet published, never
+    * partial. Directory pruning on `tb` spans every batch. Contract, as
     * for the CDC store: batches carry NEW documents (a doc re-ingested
     * in two batches would double its postings — dedup is the
     * exact-dedup stage's job, upstream).
@@ -406,8 +430,9 @@ object Curation {
     * the model (V·C rows), class totals, and priors broadcast; scoring
     * is a map-side fan-out of each held-out doc's token counts over the
     * C classes plus one per-doc argmax window. At vocab sizes where
-    * V·C stops fitting a broadcast, flip the model join to a shuffle
-    * join on the token key — the plan shape is otherwise unchanged.
+    * V·C stops fitting a broadcast, [[nbPredict]]'s
+    * `broadcastModel = false` flips the model join to a shuffle join on
+    * the token key (bit-identical argmax — spec-pinned).
     *
     * Output: (true_cls, pred_cls, n) confusion counts.
     */
@@ -462,24 +487,59 @@ object Curation {
 
   /** Classify docs against a trained model: (idCol, pred_cls, score_sc)
     * — argmax class per doc with the lexicographic tie-break, score in
-    * int64 micro-units. Map-side ×C fan-out over the broadcast class
-    * frame; unseen tokens fall back to the class's smoothed zero-count.
+    * int64 micro-units.
+    *
+    * Two bit-identical plans, selected by `broadcastModel`:
+    *
+    *  - `true` (default): map-side ×C fan-out over the broadcast class
+    *    frame, the V·C model broadcast into a left join; unseen tokens
+    *    fall back to the class's smoothed zero-count. Right while the
+    *    model fits an executor-side hash table.
+    *  - `false`: the model NEVER leaves the cluster — doc token counts
+    *    shuffle-join (sort-merge, hinted so a small test model can't be
+    *    silently re-broadcast) the (tok → cls, lp) table on the token
+    *    key alone, and the unseen-token mass is reconstructed
+    *    arithmetically: per (doc, cls), score contribution =
+    *    Σ_seen tf·lp + (T_doc − Σ_seen tf)·lp0, which equals the
+    *    broadcast plan's Σ_all tf·coalesce(lp, lp0) exactly (integer
+    *    arithmetic throughout, so the argmax — ties included — is
+    *    bit-identical; spec-pinned). Costs one extra aggregation over
+    *    the doc token table (the per-doc total T_doc); the shuffle
+    *    carries only tokens that exist in some class's vocabulary.
     */
   def nbPredict(
       docs: DataFrame,
       model: NbModel,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val testTf = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val tokSc = testTf
-      .crossJoin(broadcast(model.clsStats.select(col("cls"))))
-      .join(broadcast(model.tokLp), Seq("cls", "tok"), "left")
-      .join(broadcast(model.clsStats.select(col("cls"), col("lp0"))), Seq("cls"))
-      .groupBy(col(idCol), col("cls"))
-      .agg(sum(col("tf") * coalesce(col("lp"), col("lp0"))).as("tok_sc"))
+    val tokSc =
+      if (broadcastModel)
+        testTf
+          .crossJoin(broadcast(model.clsStats.select(col("cls"))))
+          .join(broadcast(model.tokLp), Seq("cls", "tok"), "left")
+          .join(broadcast(model.clsStats.select(col("cls"), col("lp0"))), Seq("cls"))
+          .groupBy(col(idCol), col("cls"))
+          .agg(sum(col("tf") * coalesce(col("lp"), col("lp0"))).as("tok_sc"))
+      else {
+        val seen = testTf
+          .join(model.tokLp.hint("merge"), Seq("tok"))
+          .groupBy(col(idCol), col("cls"))
+          .agg(sum(col("tf") * col("lp")).as("seen_sc"),
+            sum(col("tf")).as("seen_tf"))
+        val docTf = testTf.groupBy(col(idCol)).agg(sum(col("tf")).as("all_tf"))
+        docTf
+          .crossJoin(broadcast(model.clsStats.select(col("cls"), col("lp0"))))
+          .join(seen, Seq(idCol, "cls"), "left")
+          .select(col(idCol), col("cls"),
+            (coalesce(col("seen_sc"), lit(0L)) +
+              (col("all_tf") - coalesce(col("seen_tf"), lit(0L))) * col("lp0"))
+              .as("tok_sc"))
+      }
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("cls"))
     docs.select(col(idCol))
@@ -495,14 +555,16 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      classCol: String): DataFrame = {
+      classCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
     val tagged = docs.withColumn("is_train",
       md5Byte("nb:", col(idCol).cast("string")) < 204)
     val model = nbFit(
       tagged.filter(col("is_train")).select(col(idCol), col(textCol), col(classCol)),
       textCol, classCol)
     val heldOut = tagged.filter(!col("is_train"))
-    nbPredict(heldOut.select(col(idCol), col(textCol)), model, idCol, textCol)
+    nbPredict(heldOut.select(col(idCol), col(textCol)), model, idCol, textCol,
+      broadcastModel)
       .join(heldOut.select(col(idCol), col(classCol).as("true_cls")), idCol)
       .groupBy(col("true_cls"), col("pred_cls"))
       .agg(count(lit(1)).as("n"))

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
+
+import org.apache.spark.sql.SparkSession
+
+/** Atomic directory publication for persisted store layouts (posting
+  * stores, CDC chunk stores, per-batch decision/report directories,
+  * streamed ANN index partitions).
+  *
+  * The failure mode these two entry points remove: a per-batch store
+  * partition written with `mode("overwrite")` is delete-then-write, so a
+  * reader (an offline decontamination probe, a serving query) racing the
+  * write can observe the directory HALF-WRITTEN — for a decontamination
+  * tool that is a silent false "not contaminated". Here every directory
+  * is produced in a hidden temp sibling (`_tmp_<name>` — the leading
+  * underscore keeps it invisible to Spark's file listing and partition
+  * discovery) and published with one filesystem `rename`, an atomic
+  * metadata operation on HDFS and local filesystems (object stores
+  * without atomic rename need their usual commit-service arrangement,
+  * exactly as for [[graft.streaming.ParquetUpsertSink]]'s pointer swap).
+  * A reader therefore sees a published directory either absent or
+  * complete — never partial.
+  *
+  * Single-writer-per-store is assumed (the streaming-query model: one
+  * driver owns a store's ingest), as for every sink in
+  * [[graft.streaming.Sinks]].
+  */
+object Stores {
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    FileSystem.get(new java.net.URI(dir), spark.sessionState.newHadoopConf())
+
+  private def tmpSibling(finalDir: String): Path = {
+    val p = new Path(finalDir)
+    // no '=' in the temp name: Spark's hidden-path filter EXEMPTS
+    // underscore-prefixed names containing '=' (they could be partition
+    // directories of a column whose name starts with '_'), so
+    // `_tmp_batch=1` would be listed and break partition inference —
+    // `_tmp_batch_1` is genuinely invisible
+    new Path(p.getParent, s"_tmp_${p.getName.replace('=', '_')}")
+  }
+
+  private def rename(spark: SparkSession, fs: FileSystem, src: Path, dst: Path): Unit =
+    // no OVERWRITE option: the destination must not exist, so a publish
+    // can never clobber a committed directory
+    FileContext.getFileContext(fs.getUri, spark.sessionState.newHadoopConf())
+      .rename(fs.makeQualified(src), fs.makeQualified(dst))
+
+  /** Publish `finalDir` exactly once: run `write` against the hidden
+    * temp sibling, then rename it into place. If `finalDir` already
+    * exists the write is SKIPPED entirely and `false` is returned —
+    * the per-batch store contract: a batch directory only ever appears
+    * via the atomic rename, so an existing one is complete, and a
+    * replayed micro-batch (same batch id re-delivered after a crash
+    * between sink commit and checkpoint commit) is a no-op instead of a
+    * delete-then-rewrite that readers could observe half-written. A
+    * crashed attempt leaves only the temp sibling, which the retry
+    * overwrites.
+    */
+  def publishOnce(spark: SparkSession, finalDir: String)(write: String => Unit): Boolean = {
+    val fs  = fsOf(spark, finalDir)
+    val dst = new Path(finalDir)
+    val tmp = tmpSibling(finalDir)
+    if (fs.exists(dst)) {
+      fs.delete(tmp, true) // a stale crashed-attempt temp, if any
+      false
+    } else {
+      write(tmp.toString)
+      rename(spark, fs, tmp, dst)
+      true
+    }
+  }
+
+  /** Publish `finalDir` with replacement — for one-shot stores that
+    * support REBUILD (a posting index rebuilt on a new corpus
+    * snapshot). The new contents are fully written to the temp sibling
+    * first; if an old version exists it is renamed aside and deleted
+    * only after the new one is in place, so a concurrent reader sees
+    * the old store or the new store, never a partial one. (The swap is
+    * two metadata renames; a reader listing in exactly that window sees
+    * the directory briefly ABSENT — complete-or-absent, never partial.
+    * Serving layouts that must never even be absent use the
+    * [[graft.streaming.ParquetUpsertSink]] snapshot + pointer idiom
+    * instead.)
+    */
+  def publishReplace(spark: SparkSession, finalDir: String)(write: String => Unit): Unit = {
+    val fs  = fsOf(spark, finalDir)
+    val dst = new Path(finalDir)
+    val tmp = tmpSibling(finalDir)
+    write(tmp.toString)
+    if (fs.exists(dst)) {
+      val old = new Path(tmp.getParent, s"${tmp.getName}.old")
+      fs.delete(old, true)
+      rename(spark, fs, dst, old)
+      rename(spark, fs, tmp, dst)
+      fs.delete(old, true)
+    } else rename(spark, fs, tmp, dst)
+  }
+}

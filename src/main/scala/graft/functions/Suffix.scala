@@ -370,24 +370,35 @@ object Suffix {
       maxLcp: Long = Long.MaxValue): DataFrame = {
     require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
     val levels = build(docs, id, text, buckets, keepLevels = true)
-    lcpWalk(levels, maxLcp, protectLast = false)._1
+    lcpWalk(levels, repsOf(levels.last.df), maxLcp, protectLast = false)._1
   }
 
+  /** The (doc,pos)-minimal representative of each rank — the walk's pair
+    * seeds. Lazy: callers that need nothing else per rank let the walk's
+    * first lineage cut materialize it; [[dupSpans]] instead derives it
+    * from its checkpointed one-pass rank aggregate (representative AND
+    * multiplicity together, so the rank table is aggregated once, not
+    * twice).
+    */
+  private def repsOf(sr: DataFrame): DataFrame =
+    sr.groupBy(col("r"))
+      .agg(min(struct(col("did"), col("pos"))).as("m"))
+      .select(col("r"), col("m.did").as("did"), col("m.pos").as("pos"))
+
   /** The LCP walk over kept doubling levels (semantics documented at
-    * [[adjacentLcp]]). With `protectLast` the final rank level's
-    * checkpoint — and any level sharing its table — survives the walk's
-    * freeing discipline, for callers ([[dupSpans]]) that keep consuming
-    * the rank table after the walk.
+    * [[adjacentLcp]]). `reps` is the per-rank representative table
+    * (schema (r, did, pos), one row per rank — [[repsOf]] or a
+    * projection of a richer per-rank aggregate). With `protectLast` the
+    * final rank level's checkpoint — and any level sharing its table —
+    * survives the walk's freeing discipline, for callers ([[dupSpans]])
+    * that keep consuming the rank table after the walk.
     */
   private def lcpWalk(
       levels: Seq[Level],
+      reps: DataFrame,
       maxLcp: Long,
       protectLast: Boolean): (DataFrame,
       Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]) = {
-    val sr = levels.last.df
-    val reps = sr.groupBy(col("r"))
-      .agg(min(struct(col("did"), col("pos"))).as("m"))
-      .select(col("r"), col("m.did").as("did"), col("m.pos").as("pos"))
     val pairs = reps
       .select(col("r").as("srank"), col("did").as("da"), col("pos").as("pa"))
       .join(reps.select((col("r") - 1).as("srank"),
@@ -489,10 +500,12 @@ object Suffix {
     * boundary means a genuinely non-duplicated character between.
     *
     * Scale shape: one suffix-index build + capped walk (shared via
-    * [[lcpWalk]], the rank table's checkpoint protected), then two
-    * rank-keyed equi-joins (per-rank lcp/multiplicity onto positions)
-    * and doc-partitioned windows for the interval merge — no
-    * all-pairs, nothing beyond the index build's own cost class.
+    * [[lcpWalk]], the rank table's checkpoint protected), ONE per-rank
+    * aggregate pass (walk representative + multiplicity together,
+    * checkpointed once for both consumers), then rank-keyed equi-joins
+    * (per-rank lcp/multiplicity onto positions) and doc-partitioned
+    * windows for the interval merge — no all-pairs, nothing beyond the
+    * index build's own cost class.
     */
   def dupSpans(
       docs: DataFrame,
@@ -507,9 +520,21 @@ object Suffix {
       "inside the cap")
     val levels = build(docs, id, text, buckets, keepLevels = true)
     val sr = levels.last.df // (did, pos, r) — checkpoint protected below
-    val (lcp, lcpRdd) = lcpWalk(levels, cap, protectLast = true)
+    // ONE aggregate pass over the rank table serves both consumers —
+    // the walk's pair representatives and the per-rank multiplicity the
+    // span arithmetic needs — checkpointed so neither recomputes it
+    // (previously two separate groupBys over the same (did,pos,r) table
+    // on the same key: one inside the walk's first cut, one in the
+    // final per-doc job).
+    val (rstats, rstatsRdd) = localCheckpointHandle(
+      sr.groupBy(col("r"))
+        .agg(min(struct(col("did"), col("pos"))).as("m"),
+          count(lit(1)).as("cnt")))
+    val reps = rstats
+      .select(col("r"), col("m.did").as("did"), col("m.pos").as("pos"))
+    val (lcp, lcpRdd) = lcpWalk(levels, reps, cap, protectLast = true)
     val lcpByRank = lcp.select(col("srank"), least(col("lcp"), lit(cap)).as("l"))
-    val mult = sr.groupBy(col("r")).agg(count(lit(1)).as("m"))
+    val mult = rstats.select(col("r"), col("cnt").as("m"))
     val byDoc = Window.partitionBy(col("did"))
     val per = sr
       .withColumn("len", max(col("pos")).over(byDoc))
@@ -551,6 +576,7 @@ object Suffix {
     // one-returned-snapshot contract, but doc-count-sized).
     val h = localCheckpointHandle(out)
     levels.last.rdd.unpersist(blocking = false)
+    rstatsRdd.unpersist(blocking = false)
     lcpRdd.foreach(_.unpersist(blocking = false))
     h._1
   }

@@ -56,10 +56,12 @@ object Pipelines {
     * `foreachBatch` — a single Kafka read and one checkpoint.
     *
     * Per-trigger work is O(batch), not O(history):
-    *  - cold: the batch lands in its own `batch=<id>` partition directory
-    *    with Overwrite, so a replayed batch rewrites itself instead of
-    *    appending duplicates (the built-in file sink's manifest does this
-    *    for the single-sink case; inside foreachBatch we provide it).
+    *  - cold: the batch lands in its own `batch=<id>` partition directory,
+    *    published atomically ([[graft.functions.Stores.publishOnce]] —
+    *    written beside the archive, renamed into place, a replayed batch
+    *    is a no-op), so nothing is ever appended twice and a reader never
+    *    sees a half-written batch (the built-in file sink's manifest does
+    *    this for the single-sink case; inside foreachBatch we provide it).
     *  - hot: per-batch ADDITIVE partials
     *    ([[graft.operators.SteamOps.sentimentAggPartial]] /
     *    `reviewBombAggPartial`) merge into the stored tables via
@@ -83,7 +85,9 @@ object Pipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          batch.write.mode("overwrite").parquet(s"$archiveDir/batch=$batchId")
+          graft.functions.Stores.publishOnce(
+            batch.sparkSession, s"$archiveDir/batch=$batchId")(
+            batch.write.mode("overwrite").parquet(_))
           sentimentSink.upsertAdditive(
             SteamOps.sentimentAggPartial(batch), batchId,
             Seq("total_reviews", "quality_sum", "quality_cnt"))
@@ -106,8 +110,10 @@ object Pipelines {
     *
     * Per-trigger work is O(batch): the corpus contributes only its two
     * persisted index tables (join-pruned by the batch's keys), and all
-    * writes go to per-batch partition directories with Overwrite, so a
-    * replayed batch rewrites itself (same replay idiom as
+    * writes are per-batch partition directories published atomically
+    * ([[graft.functions.Stores.publishOnce]] — a replayed batch finds
+    * its directory already present and is a no-op, and a concurrent
+    * reader never sees a half-written partition; same idiom as
     * [[reviewsMultiSink]]). Batch-internal duplicates are intentionally
     * left to the NEXT batch's corpus view or an in-batch
     * [[graft.functions.Dedup.dropExactDuplicates]] pre-pass — keeping the
@@ -130,18 +136,19 @@ object Pipelines {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(stateDir), spark.sessionState.newHadoopConf())
         // REPLAY SAFETY: only index partitions from batches strictly
-        // before this one are corpus — a replayed batch must not read the
-        // partition its own crashed attempt half-wrote, or every one of
-        // its docs "matches" itself and the rewrite then EMPTIES the
-        // index partition (permanent loss)
+        // before this one are corpus — a batch directory only appears
+        // complete (atomic publication below), but a COMMITTED own
+        // partition re-read by its own replay would make every doc
+        // "match" itself
         def readIndex(sub: String, empty: => DataFrame): DataFrame = {
           val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
           if (!fs.exists(p)) empty
           else
-            // a crashed FIRST write can leave the directory with no
-            // committed footers at all — schema inference then throws
-            // before the batch filter could save the replay; treat an
-            // uninferable index as empty
+            // defensive: a pre-atomic-publication (legacy) store can
+            // hold a crashed first write with no committed footers at
+            // all — schema inference then throws before the batch
+            // filter could save the replay; treat an uninferable index
+            // as empty
             try spark.read.parquet(p.toString).filter(col("batch") < batchId)
             catch { case _: org.apache.spark.sql.AnalysisException => empty }
         }
@@ -158,14 +165,17 @@ object Pipelines {
             .incrementalDedupAgainst(batch, corpusFp, corpusBands, id, text, numHashes, bands)
             .persist()
           try {
-            decisions.write.mode("overwrite")
-              .parquet(s"$stateDir/decisions/batch=$batchId")
+            import graft.functions.Stores
+            Stores.publishOnce(spark, s"$stateDir/decisions/batch=$batchId")(
+              decisions.write.mode("overwrite").parquet(_))
             val accepted = batch.join(
               decisions.filter(col("dup_kind") === "new").select(id), Seq(id), "left_semi")
-            Dedup.fingerprintTable(accepted, id, text).withColumnRenamed(id, "cid")
-              .write.mode("overwrite").parquet(s"$stateDir/fp/batch=$batchId")
-            Dedup.bandTable(accepted, id, text, numHashes, bands).withColumnRenamed(id, "cid")
-              .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
+            Stores.publishOnce(spark, s"$stateDir/fp/batch=$batchId")(
+              Dedup.fingerprintTable(accepted, id, text).withColumnRenamed(id, "cid")
+                .write.mode("overwrite").parquet(_))
+            Stores.publishOnce(spark, s"$stateDir/bands/batch=$batchId")(
+              Dedup.bandTable(accepted, id, text, numHashes, bands).withColumnRenamed(id, "cid")
+                .write.mode("overwrite").parquet(_))
           } finally decisions.unpersist()
         } finally batch.unpersist()
         ()
@@ -230,15 +240,18 @@ object Pipelines {
               id, vec, dims, threshold, bitsPerBand, numBands)
             .persist()
           try {
-            decisions.write.mode("overwrite")
-              .parquet(s"$stateDir/decisions/batch=$batchId")
+            import graft.functions.Stores
+            Stores.publishOnce(spark, s"$stateDir/decisions/batch=$batchId")(
+              decisions.write.mode("overwrite").parquet(_))
             val accepted = batch.join(
               decisions.filter(col("dup_kind") === "new").select(id),
               Seq(id), "left_semi")
             val (aVecs, aCodes) = Similarity.srpIndexTables(
               accepted, id, vec, dims, bitsPerBand, numBands)
-            aVecs.write.mode("overwrite").parquet(s"$stateDir/vecs/batch=$batchId")
-            aCodes.write.mode("overwrite").parquet(s"$stateDir/codes/batch=$batchId")
+            Stores.publishOnce(spark, s"$stateDir/vecs/batch=$batchId")(
+              aVecs.write.mode("overwrite").parquet(_))
+            Stores.publishOnce(spark, s"$stateDir/codes/batch=$batchId")(
+              aCodes.write.mode("overwrite").parquet(_))
           } finally decisions.unpersist()
         } finally batch.unpersist()
         ()
@@ -265,9 +278,10 @@ object Pipelines {
     * batch so an offline retrain is picked up at the next trigger, and
     * broadcast into the join), and scoring is one map-side feature
     * explode + one doc-keyed aggregation. REPLAY SAFETY: scoring is a
-    * pure function of (batch, λ) and each batch overwrites its own
-    * partition directory, so a replayed batch rewrites identical rows
-    * — same idiom as [[reviewsMultiSink]].
+    * pure function of (batch, λ) and each batch's partition directory
+    * is published atomically exactly once
+    * ([[graft.functions.Stores.publishOnce]] — a replay is a no-op) —
+    * same idiom as [[reviewsMultiSink]].
     */
   def dsirScoreIngest(
       docs: DataFrame,
@@ -285,9 +299,9 @@ object Pipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val lam = spark.read.parquet(lambdaDir)
-        Dsir.scoreDocs(batch, lam, id, text, buckets)
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/scores/batch=$batchId")
+        graft.functions.Stores.publishOnce(spark, s"$stateDir/scores/batch=$batchId")(
+          Dsir.scoreDocs(batch, lam, id, text, buckets)
+            .write.mode("overwrite").parquet(_))
         ()
       }
   }
@@ -302,10 +316,11 @@ object Pipelines {
     * `preds/batch=<id>` partition.
     *
     * REPLAY SAFETY: prediction is a pure function of (batch, model)
-    * and each batch overwrites only its own directory, so a replayed
-    * batch is a no-op. The model is re-read per trigger, so an offline
-    * retrain is picked up at the next one — predictions never mix two
-    * models within a batch.
+    * and each batch's directory is published atomically exactly once
+    * ([[graft.functions.Stores.publishOnce]]), so a replayed batch is a
+    * no-op. The model is re-read per trigger, so an offline retrain is
+    * picked up at the next one — predictions never mix two models
+    * within a batch.
     */
   def nbClassifyIngest(
       docs: DataFrame,
@@ -322,9 +337,9 @@ object Pipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val model = Curation.readNbModel(spark, modelDir)
-        Curation.nbPredict(batch, model, id, text)
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/preds/batch=$batchId")
+        graft.functions.Stores.publishOnce(spark, s"$stateDir/preds/batch=$batchId")(
+          Curation.nbPredict(batch, model, id, text)
+            .write.mode("overwrite").parquet(_))
         ()
       }
   }
@@ -340,10 +355,12 @@ object Pipelines {
     *
     * Per-trigger work is O(batch): chunking shuffles nothing, the store
     * contributes only its (ch, clen) key table to one hash join, and
-    * per-batch Overwrite partitions make a replayed batch rewrite
-    * itself. Same crashed-attempt guard as [[dedupIngest]]: only store
-    * partitions with `batch < batchId` count as corpus, else a replay
-    * would match its own half-written chunks and empty the partition.
+    * per-batch partitions are published atomically exactly once
+    * ([[graft.functions.Stores.publishOnce]] — a replayed batch is a
+    * no-op, and a reader never sees a half-written partition). Same
+    * corpus-view guard as [[dedupIngest]]: only store partitions with
+    * `batch < batchId` count as corpus, else a replayed batch would
+    * match its own committed chunks.
     */
   def cdcIngest(
       docs: DataFrame,
@@ -373,17 +390,18 @@ object Pipelines {
             }
         batch.persist()
         try {
-          Dedup.cdcIncremental(batch, store, id, text)
-            .write.mode("overwrite")
-            .parquet(s"$stateDir/report/batch=$batchId")
+          import graft.functions.Stores
+          Stores.publishOnce(spark, s"$stateDir/report/batch=$batchId")(
+            Dedup.cdcIncremental(batch, store, id, text)
+              .write.mode("overwrite").parquet(_))
           // novel distinct chunks only — seen chunks already live in an
           // earlier partition, and duplicate store rows would inflate
           // every later batch's join
-          Dedup.cdcChunkTable(batch, id, text)
-            .groupBy(col("ch")).agg(min(col("clen")).as("clen"))
-            .join(store.select(col("ch")), Seq("ch"), "left_anti")
-            .write.mode("overwrite")
-            .parquet(s"$stateDir/chunks/batch=$batchId")
+          Stores.publishOnce(spark, s"$stateDir/chunks/batch=$batchId")(
+            Dedup.cdcChunkTable(batch, id, text)
+              .groupBy(col("ch")).agg(min(col("clen")).as("clen"))
+              .join(store.select(col("ch")), Seq("ch"), "left_anti")
+              .write.mode("overwrite").parquet(_))
         } finally batch.unpersist()
         ()
       }
@@ -400,13 +418,14 @@ object Pipelines {
     *
     * Per-trigger work is O(batch): the probe touches only the batch's
     * phrase-term postings (broadcast phrase table), the store append
-    * writes only the batch's postings. Replay-IDEMPOTENT the
-    * [[cdcIngest]] way: both the report and the posting partition are
-    * per-batch directories written with overwrite, so a restarted
-    * batch reproduces identical contents — but the overwrite is
-    * delete-then-write, not atomic, so an offline probe racing a batch
-    * rewrite can observe that batch partially (probe between triggers,
-    * or snapshot the store dir). Store contract: batches carry NEW
+    * writes only the batch's postings. Replay-safe the [[cdcIngest]]
+    * way: both the report and the posting partition are per-batch
+    * directories published atomically exactly once
+    * ([[graft.functions.Stores.publishOnce]] — written beside the
+    * store, renamed into place, never rewritten once present, so a
+    * restarted batch is a no-op and an offline probe racing ingest sees
+    * each batch either complete or not yet published, never partial;
+    * spec-pinned in StoresSpec). Store contract: batches carry NEW
     * documents (exact dedup runs upstream).
     */
   def phraseAuditIngest(
@@ -424,12 +443,15 @@ object Pipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          Curation.phraseMatches(batch, id, text, phrases)
-            .write.mode("overwrite")
-            .parquet(s"$stateDir/report/batch=$batchId")
-          Curation.writePhrasePostings(
-            Curation.phrasePostings(batch, id, text),
-            s"$stateDir/postings/batch=$batchId")
+          import graft.functions.Stores
+          val spark = batch.sparkSession
+          Stores.publishOnce(spark, s"$stateDir/report/batch=$batchId")(
+            Curation.phraseMatches(batch, id, text, phrases)
+              .write.mode("overwrite").parquet(_))
+          Stores.publishOnce(spark, s"$stateDir/postings/batch=$batchId")(
+            Curation.writePostingsRaw(
+              Curation.phrasePostings(batch, id, text), _,
+              Curation.PhrasePostingBuckets))
         } finally batch.unpersist()
         ()
       }
@@ -453,8 +475,8 @@ object Pipelines {
     * trigger so an offline retrain is picked up at the next one).
     *
     * REPLAY SAFETY: encoding is a pure function of (batch, model) and
-    * each batch overwrites its own directory — same idiom as
-    * [[dedupIngest]]. Model DRIFT is the operator's documented
+    * each batch's directory (codes AND version stamp together) is
+    * published atomically exactly once — same idiom as [[dedupIngest]]. Model DRIFT is the operator's documented
     * trade-off, as in every production IVF index: vectors far from the
     * trained distribution degrade recall until an offline retrain;
     * the [[graft.functions.Similarity.ivfPqProbeSweep]] recall table
@@ -474,14 +496,19 @@ object Pipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val (localCn, books) = Similarity.readIndexModel(spark, indexDir)
-        Similarity.encodeWithModel(batch, localCn, books, id, vec)
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$indexDir/codes/batch=$batchId")
-        // stamp the model this batch was encoded under: a retrain
-        // drops+restamps the codes tree, so a stale stamp here is how
-        // ivfPqAnnIndexed detects (and refuses) an ingest that raced it
-        Similarity.writeVersionMarker(spark, s"$indexDir/codes/batch=$batchId",
-          Similarity.modelVersion(localCn, books))
+        graft.functions.Stores.publishOnce(
+          spark, s"$indexDir/codes/batch=$batchId") { tmp =>
+          Similarity.encodeWithModel(batch, localCn, books, id, vec)
+            .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+          // stamp the model this batch was encoded under: a retrain
+          // drops+restamps the codes tree, so a stale stamp here is how
+          // ivfPqAnnIndexed detects (and refuses) an ingest that raced
+          // it. Written INSIDE the publish, so codes and stamp appear
+          // together in the one rename — no window where the batch is
+          // visible unstamped.
+          Similarity.writeVersionMarker(spark, tmp,
+            Similarity.modelVersion(localCn, books))
+        }
         ()
       }
   }

@@ -182,6 +182,78 @@ class CurationSpec extends SparkSpec {
     conf.map(_._3).sum shouldBe heldOut // every held-out doc classified
   }
 
+  test("nbPredict: the shuffle-join model path is bit-identical to the broadcast path") {
+    // a corpus engineered to exercise every score component both ways:
+    // shared tokens, class-exclusive tokens, tokens unseen in training
+    // entirely (lp0 fallback), exact ties, multi-token repeats, and an
+    // empty-text doc (prior-only argmax)
+    val rnd = new scala.util.Random(47)
+    val vocab = (0 until 30).map(i => s"t$i")
+    val docs = ((0 until 240).map { i =>
+      val words = (0 until 1 + rnd.nextInt(12))
+        .map(_ => vocab(rnd.nextInt(vocab.size)))
+      val planted = if (i % 7 == 0) words :+ "unseen_everywhere" else words
+      (i.toLong, planted.mkString(" "), if (i % 3 == 0) "A" else "B")
+    } :+ ((240L, "", "A"))).toDF("doc_id", "text", "cls")
+    val model = Curation.nbFit(
+      docs.filter($"doc_id" < 180).select("doc_id", "text", "cls"), "text", "cls")
+    val heldOut = docs.filter($"doc_id" >= 180).select("doc_id", "text")
+    val viaBroadcast = Curation
+      .nbPredict(heldOut, model, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val viaShuffle = Curation
+      .nbPredict(heldOut, model, "doc_id", "text", broadcastModel = false)
+      .collect().map(_.toSeq).toSet
+    viaShuffle shouldBe viaBroadcast // pred_cls AND exact integer scores
+  }
+
+  test("nbPredict shuffle path: the V·C model is sort-merge-joined, never broadcast") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"w${i % 5} w${i % 7} w${i % 3}", if (i % 2 == 0) "A" else "B"))
+      .toDF("doc_id", "text", "cls")
+    val model = Curation.nbFit(docs.select("doc_id", "text", "cls"), "text", "cls")
+    val plan = Curation
+      .nbPredict(docs.select("doc_id", "text"), model, "doc_id", "text",
+        broadcastModel = false)
+      .queryExecution.executedPlan.toString
+    // the token-key model join is a shuffle join (merge-hinted so AQE
+    // can't silently re-broadcast a small test model) ...
+    plan should include("SortMergeJoin")
+    // ... and no BroadcastHashJoin keys on the token column — the only
+    // broadcasts left are the <=C-row class frames
+    plan.linesIterator.filter(_.contains("BroadcastHashJoin"))
+      .foreach(l => l should not include "tok")
+  }
+
+  test("termBucket: driver probe planner and Spark writer column agree on arbitrary unicode terms") {
+    // the probe prunes store DIRECTORIES from the driver-side hash; if
+    // it ever drifted from the writer's column the probe would silently
+    // read the wrong bucket and answer zero hits — a false "not
+    // contaminated". Property-pinned on multi-byte content the ASCII
+    // served==in-plan spec can't see: 2-4-byte UTF-8, surrogate pairs,
+    // combining marks, mixed scripts.
+    val rnd = new scala.util.Random(71)
+    val pool: IndexedSeq[String] =
+      (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).map(_.toString) ++
+        "éüßñçøåπλΩжяшщдćžč中文日本語한국어ไทยहिन्दी".map(_.toString) ++
+        "أبجدية".map(_.toString) ++
+        Seq("😀", "🚀", "𝒜", "𠜎", // surrogate pairs (4-byte UTF-8)
+          "e\u0301", "a\u0308", "\u00e9") // combining marks vs precomposed
+    val terms = (0 until 300).map(_ =>
+      (0 until 1 + rnd.nextInt(8)).map(_ => pool(rnd.nextInt(pool.size))).mkString)
+      .distinct
+    for (buckets <- Seq(64, 7)) {
+      val fromCol = terms.toDF("term")
+        .select($"term", Curation.termBucketCol($"term", buckets).as("tb"))
+        .as[(String, Long)].collect().toMap
+      terms.foreach { t2 =>
+        withClue(s"term '$t2' (buckets=$buckets): ") {
+          Curation.termBucket(t2, buckets) shouldBe fromCol(t2)
+        }
+      }
+    }
+  }
+
   // ─────────────────────────────────────────────────────────────────
   // Kneser–Ney bigram LM surprisal
   // ─────────────────────────────────────────────────────────────────

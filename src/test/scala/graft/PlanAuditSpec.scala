@@ -77,7 +77,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_ivfpq_sweep",     // same <=16-centroid broadcast assignment + probe routing
     "q_ivfpq_rerank",    // composes q_ivfpq_ann's assignment + probe routing
     "q_ivfpq_residual",  // same assignment + probe routing over residual codes
-    "q_nb_classify")     // held-out docs fan out over the <=C-class broadcast frame
+    "q_nb_classify",     // held-out docs fan out over the <=C-class broadcast frame
+    // same <=C-class fan-outs (docs × classes, doc totals × lp0); the
+    // V·C model itself is sort-merge-joined, never broadcast — pinned
+    // by the dedicated plan spec in CurationSpec
+    "q_nb_shuffle")
 
   test("literal-bounded queries push their id bounds into the parquet scan") {
     // the bound is what keeps the quadratic baselines quadratic-over-a-

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Curation, Stores}
+
+/** Atomic store publication (functions/Stores.scala): readers racing an
+  * ingest — the offline decontamination probe running while a streaming
+  * batch lands or replays — must see each batch directory either
+  * complete or not yet published, NEVER partial, and a committed batch
+  * must never be rewritten. These specs drive the interleavings
+  * deterministically by probing from inside the writer's own publish
+  * closure (the moment a delete-then-write overwrite would expose a
+  * half-written directory).
+  */
+class StoresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val phrases = Seq("alpha", "beta gamma")
+
+  private def probe(dir: String): Set[Seq[Any]] =
+    Curation.phraseMatchesStore(spark, dir, phrases)
+      .collect().map(_.toSeq).toSet
+
+  private def publishBatch(dir: String, batch: Long,
+      docs: org.apache.spark.sql.DataFrame): Boolean =
+    Stores.publishOnce(spark, s"$dir/batch=$batch")(
+      Curation.writePostingsRaw(
+        Curation.phrasePostings(docs, "doc_id", "text"), _,
+        Curation.PhrasePostingBuckets))
+
+  private def b0 = Seq(
+    (1L, "alpha beta gamma end"),
+    (2L, "alpha alpha nothing")).toDF("doc_id", "text")
+  private def b1 = Seq(
+    (3L, "beta gamma beta gamma"),
+    (4L, "alpha beta words")).toDF("doc_id", "text")
+
+  test("a probe interleaved with a batch publication sees old or new, never partial") {
+    val dir = tmpDir("graft_store_atomic")
+    publishBatch(dir, 0, b0) shouldBe true
+    val before = probe(dir)
+    before should not be empty
+    // batch 1 lands: probe MID-WRITE, after half its postings are
+    // already on disk in the temp sibling — the exact moment the old
+    // delete-then-write overwrite exposed a partial directory
+    var midWrite: Set[Seq[Any]] = null
+    Stores.publishOnce(spark, s"$dir/batch=1") { tmp =>
+      Curation.writePostingsRaw(
+        Curation.phrasePostings(b1.filter($"doc_id" === 3L), "doc_id", "text"),
+        tmp, Curation.PhrasePostingBuckets)
+      midWrite = probe(dir) // the racing reader
+      Curation.writePostingsRaw(
+        Curation.phrasePostings(b1, "doc_id", "text"),
+        tmp, Curation.PhrasePostingBuckets)
+    } shouldBe true
+    midWrite shouldBe before // old state exactly — the half batch is invisible
+    val after = probe(dir)
+    after should not be before // the rename made the new batch visible
+    // and "new" is the full two-batch answer, equal to one in-plan pass
+    after shouldBe Curation.phraseMatches(
+      b0.unionByName(b1), "doc_id", "text", phrases)
+      .collect().map(_.toSeq).toSet
+  }
+
+  test("a replayed batch is a no-op: the committed directory is never rewritten") {
+    val dir = tmpDir("graft_store_replay")
+    publishBatch(dir, 0, b0) shouldBe true
+    val before = probe(dir)
+    var invoked = false
+    Stores.publishOnce(spark, s"$dir/batch=0") { _ =>
+      invoked = true
+    } shouldBe false
+    invoked shouldBe false // the write closure never even runs
+    probe(dir) shouldBe before
+  }
+
+  test("a crashed attempt leaves the store unchanged; the retry publishes cleanly") {
+    val dir = tmpDir("graft_store_crash")
+    publishBatch(dir, 0, b0) shouldBe true
+    val before = probe(dir)
+    val boom = intercept[RuntimeException] {
+      Stores.publishOnce(spark, s"$dir/batch=1") { tmp =>
+        Curation.writePostingsRaw(
+          Curation.phrasePostings(b1.filter($"doc_id" === 3L), "doc_id", "text"),
+          tmp, Curation.PhrasePostingBuckets)
+        throw new RuntimeException("simulated writer crash")
+      }
+    }
+    boom.getMessage should include("crash")
+    probe(dir) shouldBe before // the orphaned temp sibling is invisible
+    publishBatch(dir, 1, b1) shouldBe true // retry overwrites the stale temp
+    probe(dir) shouldBe Curation.phraseMatches(
+      b0.unionByName(b1), "doc_id", "text", phrases)
+      .collect().map(_.toSeq).toSet
+  }
+
+  test("publishReplace: a probe during a one-shot index REBUILD sees the old snapshot until the swap") {
+    val root = tmpDir("graft_store_rebuild")
+    val dir = s"$root/postings"
+    Curation.writePhrasePostings(
+      Curation.phrasePostings(b0, "doc_id", "text"), dir)
+    def probeIndexed() = Curation.phraseMatchesIndexed(spark, dir, phrases)
+      .collect().map(_.toSeq).toSet
+    val v1 = probeIndexed()
+    v1 should not be empty
+    var midRebuild: Set[Seq[Any]] = null
+    Stores.publishReplace(spark, dir) { tmp =>
+      Curation.writePostingsRaw(
+        Curation.phrasePostings(b1, "doc_id", "text"), tmp,
+        Curation.PhrasePostingBuckets)
+      midRebuild = probeIndexed() // reader racing the rebuild
+    }
+    midRebuild shouldBe v1 // old snapshot served throughout the write
+    probeIndexed() shouldBe Curation.phraseMatches(
+      b1, "doc_id", "text", phrases).collect().map(_.toSeq).toSet
+  }
+}
