@@ -23,6 +23,8 @@ object SuffixProf {
       println(f"PROF $label $s%.2f s"); s
     }
     all.filter(col("doc_id") < 100).count() // session warm-up
+    // q_dup_spans' production parameters (Queries.MinSpan / LcpCap)
+    val (minSpan, cap) = (20L, 64L)
     if (args.isEmpty) {
       val docs = all.filter(col("doc_id") < 500)
       for (r <- 1 to 2) {
@@ -30,6 +32,33 @@ object SuffixProf {
           graft.functions.Suffix.suffixRanks(docs, "doc_id", "text").count())
         time(s"lcp-$r")(
           graft.functions.Suffix.adjacentLcp(docs, "doc_id", "text").count())
+        time(s"dupspans-$r")(
+          graft.functions.Suffix.dupSpans(docs, "doc_id", "text", minSpan, cap)
+            .count())
+      }
+    } else if (args.head == "concat") {
+      // width-growth regime study (maxLen far beyond the corpus's own
+      // ~600 chars): concatenate groups of k testdata docs into one doc
+      // — maxLen ≈ 300·k avg / 650·k max — and count the densify
+      // actions the doubling ladder pays (run with GRAFT_SUFFIX_PROF=1
+      // to see the per-densify PROF lines). Doc count is held at 500.
+      args.tail.map(_.toInt).foreach { k =>
+        val docs = all.filter(col("doc_id") < 500L * k)
+          .groupBy((col("doc_id") / k).cast("long").as("doc_id"))
+          .agg(concat_ws(" ", collect_list(col("text"))).as("text"))
+        val st = docs.agg(sum(length(col("text"))), max(length(col("text")))).head
+        val (chars, maxLen) = (st.getLong(0), st.getInt(1))
+        def mintime(label: String)(f: => Any): Double = {
+          val a = time(s"$label-a")(f); val b = time(s"$label-b")(f)
+          math.min(a, b)
+        }
+        val ra = mintime(s"ranks@x$k")(
+          graft.functions.Suffix.suffixRanks(docs, "doc_id", "text").count())
+        val lc = mintime(s"lcp@x$k")(
+          graft.functions.Suffix.adjacentLcp(docs, "doc_id", "text",
+            maxLcp = 64L).count())
+        println(f"CONCAT k=$k chars=$chars maxLen=$maxLen " +
+          f"ranks=$ra%.2f lcp64=$lc%.2f")
       }
     } else {
       args.map(_.toLong).foreach { bound =>
@@ -43,7 +72,11 @@ object SuffixProf {
           graft.functions.Suffix.suffixRanks(docs, "doc_id", "text").count())
         val lc = mintime(s"lcp@$bound")(
           graft.functions.Suffix.adjacentLcp(docs, "doc_id", "text").count())
-        println(f"GROWTH docs=$bound chars=$chars ranks=$ra%.2f lcp=$lc%.2f")
+        val ds = mintime(s"dupspans@$bound")(
+          graft.functions.Suffix.dupSpans(docs, "doc_id", "text", minSpan, cap)
+            .count())
+        println(f"GROWTH docs=$bound chars=$chars ranks=$ra%.2f lcp=$lc%.2f " +
+          f"dupspans=$ds%.2f")
       }
     }
     spark.stop()

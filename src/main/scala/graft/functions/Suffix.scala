@@ -109,12 +109,23 @@ object Suffix {
     * reads each one) and a character-level (len = 1) table is prepended
     * so the walk can decompose odd lengths.
     */
+  /** `maxPrefix` truncates the ranking: ranks are computed over the
+    * first `maxPrefix` characters of each suffix only (equal ranks iff
+    * equal padded `maxPrefix`-prefixes), cutting the doubling ladder to
+    * ~log₂ maxPrefix rounds regardless of document length. Callers that
+    * only consume rank EQUALITY up to a known horizon ([[dupSpans]],
+    * whose span arithmetic saturates at its cap) use this to skip the
+    * deep rounds — and their densifies — entirely; the default keeps
+    * full-suffix ranking ([[suffixRanks]] / [[adjacentLcp]]'s output
+    * contract).
+    */
   private def build(
       docs: DataFrame,
       id: String,
       text: String,
       buckets: Int,
-      keepLevels: Boolean): Seq[Level] = {
+      keepLevels: Boolean,
+      maxPrefix: Long = Long.MaxValue): Seq[Level] = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val base = docs.filter(length(col(text)) >= 1)
       .select(col(id).as("did"), col(text).as("txt"))
@@ -177,9 +188,11 @@ object Suffix {
     // bound n usually buys two extra combines before the first densify
     val pr = prof("probe")(init._1.agg(
       max(col("pos")), count(lit(1)), max(col("r_2"))).head)
-    val maxLen = if (pr.isNullAt(0)) 0L else pr.getLong(0)
+    val docLen = if (pr.isNullAt(0)) 0L else pr.getLong(0)
+    // the ladder only needs to distinguish the first maxPrefix chars
+    val maxLen = math.min(docLen, maxPrefix)
     val n = pr.getLong(1)
-    require(maxLen <= Int.MaxValue, "document length exceeds lead() range")
+    require(maxLen <= Int.MaxValue, "rank horizon exceeds lead() range")
     var dom: BigInt =
       BigInt(if (pr.isNullAt(2)) 1L else math.max(pr.getLong(2) + 1L, 1L))
     val byDoc = Window.partitionBy(col("did")).orderBy(col("pos"))
@@ -499,6 +512,23 @@ object Suffix {
     * Touching intervals merge ([p,5) ∪ [5,e) is one region): a region
     * boundary means a genuinely non-duplicated character between.
     *
+    * The ranking itself is TRUNCATED at 2·cap characters (`build`'s
+    * `maxPrefix`), cutting the doubling ladder to ~log₂ cap rounds and
+    * ONE densify regardless of document length. Per-position dup
+    * lengths are unchanged: equal-truncated-rank groups are contiguous
+    * runs of the full suffix order, so (a) a position whose truncated
+    * rank has ≥ 2 members shares ≥ min(2·cap, its remaining length) ≥
+    * min(cap, remaining) characters with another position — the
+    * multiplicity branch yields min(remaining, cap), exactly the full
+    * ranking's value (capped LCP ≥ cap collapses there too); (b) a
+    * singleton truncated rank IS a full rank, its truncated-order
+    * neighbors are its full-order neighbor runs, every member of a run
+    * shares the run's padded 2·cap-prefix, so the capped LCP against
+    * the run's representative equals the capped LCP against the
+    * full-order-adjacent member — and two DIFFERENT truncated ranks
+    * always have LCP ≤ 2·cap − 1, within what the walked levels
+    * (1 … cap, summing to 2·cap − 1) measure exactly up to the cap.
+    *
     * Scale shape: one suffix-index build + capped walk (shared via
     * [[lcpWalk]], the rank table's checkpoint protected), ONE per-rank
     * aggregate pass (walk representative + multiplicity together,
@@ -518,7 +548,9 @@ object Suffix {
     require(cap >= minSpan, s"cap ($cap) must be >= minSpan ($minSpan) — " +
       "the capped union argument needs a length-minSpan interval to fit " +
       "inside the cap")
-    val levels = build(docs, id, text, buckets, keepLevels = true)
+    require(cap <= Long.MaxValue / 2, s"cap ($cap) overflows the 2*cap rank horizon")
+    val levels = build(docs, id, text, buckets, keepLevels = true,
+      maxPrefix = 2 * cap)
     val sr = levels.last.df // (did, pos, r) — checkpoint protected below
     // ONE aggregate pass over the rank table serves both consumers —
     // the walk's pair representatives and the per-rank multiplicity the
