@@ -5394,7 +5394,41 @@ object Queries {
           _, Curation.PhrasePostingBuckets))
       Curation.phraseMatchesStore(s, dir, StorePhrases)
     },
-    Some {
+    Some(phraseStoreOracle))
+
+  private val qPhraseCompact = Q(
+    "q_phrase_compact",
+    "posting-store compaction: batch=/tb= layers collapsed to one (small-file fix), probe answers unchanged",
+    (s, d) => {
+      // fresh fixture store per invocation (compaction MUTATES the
+      // store, so sharing q_phrase_store's dir would double postings on
+      // a re-run): build two ingest batches, collapse them to one
+      // atomically-published layer, probe the compacted store
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pcomp_" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}_${new java.io.File(d).getName}"
+      import graft.functions.Stores
+      val docs = t(s, d).documents
+      Stores.publishOnce(s, s"$dir/batch=0")(
+        Curation.writePostingsRaw(
+          Curation.phrasePostings(
+            docs.filter(col("doc_id") < StoreBatchBoundary), "doc_id", "text"),
+          _, Curation.PhrasePostingBuckets))
+      Stores.publishOnce(s, s"$dir/batch=1")(
+        Curation.writePostingsRaw(
+          Curation.phrasePostings(
+            docs.filter(col("doc_id") >= StoreBatchBoundary &&
+              col("doc_id") < StoreSnapDoc), "doc_id", "text"),
+          _, Curation.PhrasePostingBuckets))
+      Curation.compactPostingStore(s, dir)
+      Curation.phraseMatchesStore(s, dir, StorePhrases)
+    },
+    Some(phraseStoreOracle))
+
+  /** One oracle, two store layouts: the multi-batch probe
+    * (q_phrase_store) and the compacted store's probe (q_phrase_compact)
+    * must hash-match the same flat phrase count over the snapshot.
+    */
+  private lazy val phraseStoreOracle: String = {
       val ph = phraseValuesSql(StorePhrases)
       raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
            |  FROM documents
@@ -5412,7 +5446,7 @@ object Queries {
            |  CAST(count(*) AS BIGINT) AS n_occurrences
            |FROM m WHERE votes = plen AND start >= 1
            |GROUP BY 1""".stripMargin
-    })
+  }
 
   /** Full catalog. */
   val all: Seq[Q] = Seq(
@@ -5448,5 +5482,6 @@ object Queries {
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
-    qChunkWindows, qPhraseMatch, qPhraseServed, qPhraseStore, qDupSpans)
+    qChunkWindows, qPhraseMatch, qPhraseServed, qPhraseStore, qPhraseCompact,
+    qDupSpans)
 }

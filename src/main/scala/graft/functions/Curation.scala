@@ -314,6 +314,70 @@ object Curation {
       Seq(StructField("batch", LongType), StructField("tb", LongType)))
   }
 
+  /** Compact a STREAMED posting store (the `batch=N/tb=K` layout
+    * [[graft.streaming.Pipelines.phraseAuditIngest]] maintains): rewrite
+    * every committed batch into ONE batch layer, published atomically
+    * over the store root ([[Stores.publishReplace]] — a concurrent probe
+    * sees the old store or the compacted one, never a partial tree).
+    *
+    * Why: each trigger adds a directory of per-bucket files, so probe
+    * cost grows with batch count (measured: 0.50 s at 10 batches →
+    * 0.72 s at 50, IngestProf) — the streaming small-file problem, same
+    * as the cold archive's ([[graft.streaming.Sinks.compactArchive]]).
+    * Compaction collapses O(batches × buckets) files to O(buckets) with
+    * one shuffle-free partitioned rewrite; probe results are unchanged.
+    *
+    * The compacted layer keeps the HIGHEST committed batch id, so a
+    * resumed ingest (whose next ids are strictly larger) appends above
+    * it and replay of already-compacted batch ids stays a no-op only if
+    * the checkpoint is retained — as with any sink-side compaction, run
+    * this between ingest runs (single-writer discipline; the ingest
+    * owns the store while live).
+    *
+    * Returns (kept batch id, data files before, after); (-1, 0, 0) for
+    * a missing or empty store.
+    */
+  def compactPostingStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      buckets: Int = PhrasePostingBuckets): (Long, Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sessionState.newHadoopConf())
+    def dataFiles(): Long = {
+      val p = new Path(storeDir)
+      if (!fs.exists(p)) return 0L
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f  = it.next()
+        val nm = f.getPath.getName
+        // count only files under committed batch dirs (temp siblings are
+        // workspace, not store)
+        if (!nm.startsWith("_") && !nm.startsWith(".") &&
+          f.getPath.toString.contains("/batch=")) n += 1
+      }
+      n
+    }
+    if (!fs.exists(new Path(storeDir))) return (-1L, 0L, 0L)
+    val schema = StructType(Seq(
+      StructField("term", StringType), StructField("doc_id", LongType),
+      StructField("pos", LongType), StructField("batch", LongType),
+      StructField("tb", LongType)))
+    val store = spark.read.schema(schema).parquet(storeDir)
+    val mb = store.agg(max(col("batch"))).head
+    if (mb.isNullAt(0)) return (-1L, 0L, dataFiles())
+    val maxBatch = mb.getLong(0)
+    val before = dataFiles()
+    Stores.publishReplace(spark, storeDir) { tmp =>
+      writePostingsRaw(
+        store.select(col("term"), col("doc_id"), col("pos")),
+        s"$tmp/batch=$maxBatch", buckets)
+    }
+    (maxBatch, before, dataFiles())
+  }
+
   /** Shared probe path of [[phraseMatchesIndexed]] / [[phraseMatchesStore]]
     * (they differ only in the store's partition-column layering). Two
     * robustness contracts live here: the read carries an EXPLICIT

@@ -95,6 +95,34 @@ class StoresSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
   }
 
+  test("compactPostingStore: probe answers unchanged, files collapse, ingest resumes above the kept id") {
+    val dir = tmpDir("graft_store_compact") + "/postings"
+    val batches = (0 until 6).map { b =>
+      (0 until 4).map(i =>
+        ((b * 4 + i).toLong, s"alpha beta gamma doc$b word$i"))
+        .toDF("doc_id", "text")
+    }
+    batches.zipWithIndex.foreach { case (docs, b) =>
+      publishBatch(dir, b.toLong, docs) shouldBe true
+    }
+    val before = probe(dir)
+    val (kept, filesBefore, filesAfter) =
+      Curation.compactPostingStore(spark, dir)
+    kept shouldBe 5L // the highest committed batch id survives
+    filesAfter should be < filesBefore // O(batches*buckets) -> O(buckets)
+    probe(dir) shouldBe before // identical answers from the compacted layer
+    // a resumed ingest appends ABOVE the kept id and is immediately visible
+    publishBatch(dir, 6L,
+      Seq((100L, "beta gamma beta gamma")).toDF("doc_id", "text")) shouldBe true
+    probe(dir) shouldBe Curation.phraseMatches(
+      batches.reduce(_ unionByName _)
+        .unionByName(Seq((100L, "beta gamma beta gamma")).toDF("doc_id", "text")),
+      "doc_id", "text", phrases)
+      .collect().map(_.toSeq).toSet
+    // missing and empty stores are graceful no-ops
+    Curation.compactPostingStore(spark, tmpDir("graft_absent") + "/nope")._1 shouldBe -1L
+  }
+
   test("publishReplace: a probe during a one-shot index REBUILD sees the old snapshot until the swap") {
     val root = tmpDir("graft_store_rebuild")
     val dir = s"$root/postings"
