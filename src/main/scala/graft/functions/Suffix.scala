@@ -118,6 +118,12 @@ object Suffix {
     * deep rounds — and their densifies — entirely; the default keeps
     * full-suffix ranking ([[suffixRanks]] / [[adjacentLcp]]'s output
     * contract).
+    *
+    * `keepUpTo` bounds which PENDING combine levels are kept when
+    * `keepLevels` is set: a capped LCP walk only reads levels of length
+    * ≤ its cap, so deeper combine ranks need not be carried as extra
+    * columns through the final densify's shuffle nor materialized in its
+    * checkpoint — the final (dense) level is always kept regardless.
     */
   private def build(
       docs: DataFrame,
@@ -125,7 +131,8 @@ object Suffix {
       text: String,
       buckets: Int,
       keepLevels: Boolean,
-      maxPrefix: Long = Long.MaxValue): Seq[Level] = {
+      maxPrefix: Long = Long.MaxValue,
+      keepUpTo: Long = Long.MaxValue): Seq[Level] = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val base = docs.filter(length(col(text)) >= 1)
       .select(col(id).as("did"), col(text).as("txt"))
@@ -234,7 +241,7 @@ object Suffix {
       // keep it as a named pending column through this round
       def carryCols: Seq[org.apache.spark.sql.Column] = {
         val keep =
-          if (keepLevels && !curMaterialized) {
+          if (keepLevels && !curMaterialized && k <= keepUpTo) {
             pending = pending :+ (s"rl$k", k)
             Seq((if (width == 1) col("r0")
             else struct(rCols.map(col): _*)).as(s"rl$k"))
@@ -382,7 +389,8 @@ object Suffix {
       buckets: Int = 512,
       maxLcp: Long = Long.MaxValue): DataFrame = {
     require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
-    val levels = build(docs, id, text, buckets, keepLevels = true)
+    val levels = build(docs, id, text, buckets, keepLevels = true,
+      keepUpTo = maxLcp)
     lcpWalk(levels, repsOf(levels.last.df), maxLcp, protectLast = false)._1
   }
 
@@ -550,7 +558,7 @@ object Suffix {
       "inside the cap")
     require(cap <= Long.MaxValue / 2, s"cap ($cap) overflows the 2*cap rank horizon")
     val levels = build(docs, id, text, buckets, keepLevels = true,
-      maxPrefix = 2 * cap)
+      maxPrefix = 2 * cap, keepUpTo = cap)
     val sr = levels.last.df // (did, pos, r) — checkpoint protected below
     // ONE aggregate pass over the rank table serves both consumers —
     // the walk's pair representatives and the per-rank multiplicity the
