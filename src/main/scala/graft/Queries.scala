@@ -1433,12 +1433,28 @@ object Queries {
            |UNION ALL
            |SELECT user_id, 'purchase_not_error' AS set_op FROM (SELECT * FROM p EXCEPT SELECT * FROM e)""".stripMargin))
 
+  /** Interval-side bound for the two range-join queries. The testdata's
+    * event stream covers the SAME 30 days at every SF, so density grows
+    * with SF and an UNBOUNDED interval side makes the match count
+    * quadratic in SF — measured at the r12 sf100 stress run: 0.93B
+    * matches at sf10 → 92.8B at sf100 (634 s / 1913 s, and the heap
+    * pressure failed every later query in the session). An enumeration
+    * join's output IS its matches, so the catalog queries bound the
+    * interval side to a fixed slice (the q_edit_distance convention):
+    * output then grows linearly with the point side. A production
+    * pipeline wanting only per-interval COUNT/SUM at unbounded density
+    * should not enumerate at all — cumulative (prefix-sum) lookups at
+    * interval endpoints, the as-of join shape, are the O(N+M) plan.
+    */
+  private val RangeJoinMaxId = 2000L
+
   private val qRangeJoin = Q(
     "q_range_join",
-    "range join: purchases inside 10-min windows after each error event",
+    "range join: purchases inside 10-min windows after each error event (bounded interval slice)",
     (s, d) => {
       val e = t(s, d).events
-      val outages = e.filter(col("event_type") === "error")
+      val outages = e.filter(col("event_type") === "error" &&
+          col("event_id") < RangeJoinMaxId)
         .select(col("event_id").as("outage_id"), col("ts").as("o_start"),
           (col("ts") + expr("INTERVAL 10 MINUTES")).as("o_end"))
       val purchases = e.filter(col("event_type") === "purchase")
@@ -1451,7 +1467,7 @@ object Queries {
     },
     Some(s"""WITH o AS (SELECT event_id AS outage_id, ts AS o_start,
             |    ts + INTERVAL 10 MINUTE AS o_end
-            |  FROM events WHERE event_type = 'error'),
+            |  FROM events WHERE event_type = 'error' AND event_id < $RangeJoinMaxId),
             |p AS (SELECT ts, ${sqlCents("value")} AS cents
             |  FROM events WHERE event_type = 'purchase')
             |SELECT outage_id, CAST(count(*) AS BIGINT) AS n_purchases,
@@ -1525,7 +1541,8 @@ object Queries {
       // equi-join (same rows, no BroadcastNestedLoopJoin) — plan-audited
       // in ExtensionsSpec.
       val e = t(s, d).events
-      val wins = e.filter(col("event_type") === "signup")
+      val wins = e.filter(col("event_type") === "signup" &&
+          col("event_id") < RangeJoinMaxId)
         .select(col("event_id").as("win_id"), col("ts").as("w_start"),
           (col("ts") + expr("INTERVAL 15 MINUTES")).as("w_end"))
       val clicks = e.filter(col("event_type") === "click")
@@ -1537,7 +1554,7 @@ object Queries {
     },
     Some(s"""WITH w AS (SELECT event_id AS win_id, ts AS w_start,
             |    ts + INTERVAL 15 MINUTE AS w_end
-            |  FROM events WHERE event_type = 'signup'),
+            |  FROM events WHERE event_type = 'signup' AND event_id < $RangeJoinMaxId),
             |c AS (SELECT ts, ${sqlCents("value")} AS cents
             |  FROM events WHERE event_type = 'click')
             |SELECT win_id, CAST(count(*) AS BIGINT) AS n_clicks,
