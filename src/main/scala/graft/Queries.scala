@@ -1133,6 +1133,42 @@ object Queries {
          |FROM g GROUP BY 1""".stripMargin
     })
 
+  private val qAuc = Q(
+    "q_auc",
+    "exact ROC-AUC (midrank Mann-Whitney) of the langIdGuess en-marker score against the lang ground truth",
+    (s, d) =>
+      // threshold-free detector evaluation (the companion of
+      // q_dedup_eval's precision/recall): how well does the en-marker
+      // token count separate English docs? Histogram-collapsed midrank
+      // rank-sum — exact int64 through the sums, one DECIMAL(38,0) DIV
+      // for the final x10000 scaling (see Quality.rocAuc).
+      graft.functions.Quality.rocAuc(
+        t(s, d).documents,
+        size(filter(TF.tokens(col("text")),
+          t2 => t2.isin(TF.LangMarkers.toMap.apply("en").map(lit): _*))),
+        col("lang") === "en"),
+    Some {
+      val ms = TF.LangMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+      raw"""WITH sc AS (SELECT
+           |    CAST(len(list_filter($sqlToks, t -> t IN ($ms))) AS BIGINT) AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |hist AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+           |    CAST(sum(y) AS BIGINT) AS pos FROM sc GROUP BY 1),
+           |cum AS (SELECT s, cnt, pos,
+           |    CAST(COALESCE(sum(cnt) OVER (ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+           |  FROM hist),
+           |a AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+           |    CAST(sum(cnt - pos) AS BIGINT) AS nn,
+           |    CAST(sum(pos * (2*cb + cnt + 1)) AS BIGINT) AS rs2 FROM cum)
+           |SELECT np AS n_pos, nn AS n_neg,
+           |  CAST(CASE WHEN np > 0 AND nn > 0
+           |    THEN (10000 * (rs2 - np * (np + 1))) // (2 * np * nn)
+           |    ELSE -1 END AS BIGINT) AS auc_bp
+           |FROM a""".stripMargin
+    })
+
   // ===========================================================================
   // Multimodal pipeline (binary content + typed metadata; operators/Multimodal)
   // ===========================================================================
@@ -3573,6 +3609,51 @@ object Queries {
 
   private val MinSpan = 20L
 
+  /** Shared oracle CTE chain computing the merged duplicated-span
+    * intervals per doc (`i`: doc_id, grp, s, e2) — the SQL mirror of
+    * `Suffix.dupSpanIntervals`, consumed by both `q_dup_spans`
+    * (accounting tail) and `q_dup_scrub` (text-rebuild tail).
+    */
+  private val DupSpanCtes =
+    raw"""WITH p AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+         |    substr(text, g.i) AS suf
+         |  FROM documents CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(1, length(text))) AS i) g
+         |  WHERE doc_id < $SuffixMaxDoc AND length(text) >= 1),
+         |rk AS (SELECT doc_id, pos, suf,
+         |    CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) - 1 AS srank FROM p),
+         |rep AS (SELECT srank, suf FROM (
+         |    SELECT srank, suf, row_number() OVER (
+         |      PARTITION BY srank ORDER BY doc_id, pos) AS rn FROM rk)
+         |  WHERE rn = 1),
+         |pl AS (SELECT a.srank,
+         |    CAST(COALESCE(max(CASE WHEN substr(a.suf, 1, g.i) = substr(b.suf, 1, g.i)
+         |      THEN g.i END), 0) AS BIGINT) AS l
+         |  FROM rep a JOIN rep b ON b.srank = a.srank + 1
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, $LcpCap)) AS i) g
+         |  GROUP BY 1),
+         |mult AS (SELECT srank, count(*) AS m FROM rk GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+         |  FROM documents WHERE doc_id < $SuffixMaxDoc AND length(text) >= 1),
+         |per AS (SELECT rk.doc_id, rk.pos,
+         |    greatest(
+         |      CASE WHEN mult.m >= 2 THEN least(dl.len - rk.pos + 1, $LcpCap)
+         |        ELSE 0 END,
+         |      COALESCE(u.l, 0), COALESCE(d2.l, 0)) AS dlen
+         |  FROM rk JOIN mult USING (srank) JOIN dl USING (doc_id)
+         |  LEFT JOIN pl u ON u.srank = rk.srank
+         |  LEFT JOIN pl d2 ON d2.srank = rk.srank - 1),
+         |f AS (SELECT doc_id, pos, pos + dlen AS e FROM per
+         |  WHERE dlen >= $MinSpan),
+         |g2 AS (SELECT doc_id, pos, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM f),
+         |h AS (SELECT doc_id, pos, e,
+         |    sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g2),
+         |i AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e2 FROM h
+         |  GROUP BY 1, 2)""".stripMargin
+
   private val qDupSpans = Q(
     "q_dup_spans",
     "per-doc duplicated-region accounting from the suffix index: merged >=20-char dup spans (Lee et al. removal candidates)",
@@ -3586,50 +3667,47 @@ object Queries {
         t(s, d).documents.filter(col("doc_id") < SuffixMaxDoc),
         "doc_id", "text", MinSpan, LcpCap),
     Some(
-      raw"""WITH p AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
-           |    substr(text, g.i) AS suf
-           |  FROM documents CROSS JOIN LATERAL
-           |    (SELECT unnest(generate_series(1, length(text))) AS i) g
-           |  WHERE doc_id < $SuffixMaxDoc AND length(text) >= 1),
-           |rk AS (SELECT doc_id, pos, suf,
-           |    CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) - 1 AS srank FROM p),
-           |rep AS (SELECT srank, suf FROM (
-           |    SELECT srank, suf, row_number() OVER (
-           |      PARTITION BY srank ORDER BY doc_id, pos) AS rn FROM rk)
-           |  WHERE rn = 1),
-           |pl AS (SELECT a.srank,
-           |    CAST(COALESCE(max(CASE WHEN substr(a.suf, 1, g.i) = substr(b.suf, 1, g.i)
-           |      THEN g.i END), 0) AS BIGINT) AS l
-           |  FROM rep a JOIN rep b ON b.srank = a.srank + 1
-           |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, $LcpCap)) AS i) g
-           |  GROUP BY 1),
-           |mult AS (SELECT srank, count(*) AS m FROM rk GROUP BY 1),
-           |dl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
-           |  FROM documents WHERE doc_id < $SuffixMaxDoc AND length(text) >= 1),
-           |per AS (SELECT rk.doc_id, rk.pos,
-           |    greatest(
-           |      CASE WHEN mult.m >= 2 THEN least(dl.len - rk.pos + 1, $LcpCap)
-           |        ELSE 0 END,
-           |      COALESCE(u.l, 0), COALESCE(d2.l, 0)) AS dlen
-           |  FROM rk JOIN mult USING (srank) JOIN dl USING (doc_id)
-           |  LEFT JOIN pl u ON u.srank = rk.srank
-           |  LEFT JOIN pl d2 ON d2.srank = rk.srank - 1),
-           |f AS (SELECT doc_id, pos, pos + dlen AS e FROM per
-           |  WHERE dlen >= $MinSpan),
-           |g2 AS (SELECT doc_id, pos, e,
-           |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM f),
-           |h AS (SELECT doc_id, pos, e,
-           |    sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
-           |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g2),
-           |i AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e2 FROM h
-           |  GROUP BY 1, 2),
+      raw"""$DupSpanCtes,
            |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
            |    CAST(sum(e2 - s) AS BIGINT) AS dup_chars FROM i GROUP BY 1)
            |SELECT d.doc_id, d.len AS n_chars,
            |  CAST(COALESCE(pd.dup_spans, 0) AS BIGINT) AS dup_spans,
            |  CAST(COALESCE(pd.dup_chars, 0) AS BIGINT) AS dup_chars
            |FROM dl d LEFT JOIN pd USING (doc_id)""".stripMargin))
+
+  private val qDupScrub = Q(
+    "q_dup_scrub",
+    "suffix-index duplicate-span SCRUB: each doc rebuilt with its merged >=20-char duplicated regions removed (Lee et al. removal step)",
+    (s, d) =>
+      // the TRANSFORMATION q_dup_spans accounts for: every character
+      // inside a merged dup region is deleted and the complement
+      // substrings concatenate back in order (all copies removed — the
+      // conservative decontamination variant; q_span_scrub is the
+      // chunk-granular keep-first counterpart). The result hashes the
+      // scrubbed text so the oracle compares content, not just counts.
+      graft.functions.Suffix.scrubDupSpans(
+        t(s, d).documents.filter(col("doc_id") < SuffixMaxDoc),
+        "doc_id", "text", MinSpan, LcpCap)
+        .select(col("doc_id"), col("n_chars"), col("kept_chars"),
+          md5(col("text_scrubbed")).as("scrub_md5")),
+    Some(
+      // the oracle rebuilds the kept text per POSITION (brute force is
+      // fine at sf0.01's bounded slice): a position survives iff no
+      // merged interval covers it; string_agg in position order
+      raw"""$DupSpanCtes,
+           |pos2 AS (SELECT dl.doc_id, CAST(g.i AS BIGINT) AS pos
+           |  FROM dl CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, dl.len)) AS i) g),
+           |kept AS (SELECT p2.doc_id, p2.pos FROM pos2 p2
+           |  WHERE NOT EXISTS (SELECT 1 FROM i iv
+           |    WHERE iv.doc_id = p2.doc_id AND p2.pos >= iv.s AND p2.pos < iv.e2)),
+           |sc AS (SELECT k.doc_id,
+           |    string_agg(substr(dt.text, CAST(k.pos AS INT), 1), '' ORDER BY k.pos) AS scrub
+           |  FROM kept k JOIN documents dt USING (doc_id) GROUP BY 1)
+           |SELECT d.doc_id, d.len AS n_chars,
+           |  CAST(COALESCE(length(sc.scrub), 0) AS BIGINT) AS kept_chars,
+           |  md5(COALESCE(sc.scrub, '')) AS scrub_md5
+           |FROM dl d LEFT JOIN sc USING (doc_id)""".stripMargin))
 
   private val TrIters   = 3
   private val TrTeleport = (10000L - graft.functions.Graph.DefaultDampingBp) *
@@ -5497,8 +5575,8 @@ object Queries {
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qJlProject,
+    qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qAuc, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
     qChunkWindows, qPhraseMatch, qPhraseServed, qPhraseStore, qPhraseCompact,
-    qDupSpans)
+    qDupSpans, qDupScrub)
 }

@@ -200,4 +200,56 @@ object Quality {
       .withColumn("avg_kn_cb", expr("sum_sc DIV (n_bigrams * 10000)"))
       .select(col(idCol), col("n_bigrams"), col("avg_kn_cb"))
   }
+
+  /** Exact ROC-AUC (Mann–Whitney U with midrank tie handling) of an
+    * integer score against a boolean label — the classifier/filter
+    * evaluation every curation pipeline needs before trusting a cheap
+    * scorer as a gate (the threshold-free companion of the precision/
+    * recall harness, `q_dedup_eval`).
+    *
+    * All arithmetic is exact int64, so the value hash-compares
+    * bit-identically cross-engine: with the corpus collapsed to its
+    * score HISTOGRAM (per score s ascending: row count `cnt`, positive
+    * count `pos`, cumulative count-before `cb`), twice the positives'
+    * midrank sum is `rs2 = Σ pos·(2·cb + cnt + 1)` and
+    * `auc_bp = (10000·(rs2 − n_pos·(n_pos+1))) DIV (2·n_pos·n_neg)` —
+    * ties contribute exactly ½ per the midrank convention, with no
+    * floating-point division anywhere. Empty classes report −1 (AUC
+    * undefined), never a divide-by-zero.
+    *
+    * Scale shape: ONE map-side-combined hash aggregate over the corpus
+    * builds the histogram; the ordered cumulative window and the final
+    * fold run over the HISTOGRAM only (bounded by the score domain, not
+    * the corpus — the single-partition window is |distinct scores| rows).
+    * The raw rows are never globally sorted. One row out:
+    * (n_pos, n_neg, auc_bp).
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .select(score.cast("long").as("s"),
+        when(label, lit(1L)).otherwise(lit(0L)).as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val byScore = Window.orderBy(col("s"))
+    hist
+      .withColumn("cb", coalesce(
+        sum(col("cnt")).over(byScore.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .agg(
+        sum(col("pos")).as("np"),
+        sum(col("cnt") - col("pos")).as("nn"),
+        sum(col("pos") * (lit(2L) * col("cb") + col("cnt") + lit(1L))).as("rs2"))
+      .select(
+        coalesce(col("np"), lit(0L)).as("n_pos"),
+        coalesce(col("nn"), lit(0L)).as("n_neg"),
+        when(col("np") > 0 && col("nn") > 0,
+          // the histogram sums stay exact in int64 to ~2·10⁹ eval rows;
+          // only the ×10000 scaling could overflow, so that one scalar
+          // step runs in DECIMAL(38,0) (IntegralDivide on decimals is
+          // exact and returns LONG)
+          expr("(CAST(10000 AS DECIMAL(38,0)) * (rs2 - np * (np + 1))) DIV " +
+            "(CAST(2 AS DECIMAL(38,0)) * np * nn)"))
+          .otherwise(lit(-1L)).as("auc_bp"))
+  }
 }

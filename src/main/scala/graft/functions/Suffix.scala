@@ -552,6 +552,104 @@ object Suffix {
       minSpan: Long,
       cap: Long = 64L,
       buckets: Int = 512): DataFrame = {
+    val (spans, free) = dupSpanIntervals(docs, id, text, minSpan, cap, buckets)
+    val perDoc = spans.groupBy(col("did"))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s")).as("dup_chars"))
+    val out = docs.filter(length(col(text)) >= 1)
+      .select(col(id).as("did"), length(col(text)).cast("long").as("n_chars"))
+      .join(perDoc, Seq("did"), "left")
+      .select(col("did").as(id), col("n_chars"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+    // materialize the ONE-ROW-PER-DOC result eagerly, then free the
+    // O(total chars) suffix-index checkpoints (see dupSpanIntervals) —
+    // what stays resident is the per-doc snapshot the caller consumes
+    // (the suffixRanks one-returned-snapshot contract, doc-count-sized).
+    val h = localCheckpointHandle(out)
+    free()
+    h._1
+  }
+
+  /** The transformation [[dupSpans]] accounts for: rebuild each document
+    * with its merged duplicated regions REMOVED (Lee et al. ACL'22 §4's
+    * removal step — the catalog's `q_span_scrub` is the chunk-granular
+    * keep-first variant; this is the exact character-granular suffix-index
+    * one). Removes EVERY copy of a duplicated span — the conservative
+    * decontamination variant; keep-first semantics compose by exempting
+    * the global first occurrence before interval merge.
+    *
+    * One row per non-empty document:
+    * (id, n_chars, kept_chars, `scrubbedCol`) — the text with every
+    * character inside a merged ≥ `minSpan` duplicated region deleted
+    * (the complement substrings concatenated in order).
+    *
+    * Scale shape: everything [[dupSpans]] costs (one suffix-index build +
+    * capped walk + interval merge), then ONE per-doc interval
+    * `collect_list` (bounded by len/minSpan intervals per doc — the merge
+    * guarantees a non-duplicated character between consecutive spans)
+    * joined back to the docs and folded map-side into the kept string —
+    * no per-character shuffle, no window over raw text.
+    */
+  def scrubDupSpans(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      minSpan: Long,
+      cap: Long = 64L,
+      buckets: Int = 512,
+      scrubbedCol: String = "text_scrubbed"): DataFrame = {
+    val (spans, free) = dupSpanIntervals(docs, id, text, minSpan, cap, buckets)
+    val iv = spans.groupBy(col("did"))
+      .agg(sort_array(collect_list(struct(
+        col("s").cast("long").as("s"), col("e").cast("long").as("e"))))
+        .as("ivs"))
+    // fold the sorted disjoint intervals into the kept string: cursor c
+    // starts at 1; each interval appends text[c, s) and advances c to e;
+    // the finisher appends the tail text[c, len]. substr with a zero
+    // length (touching intervals at the ends) yields "".
+    val rebuilt = aggregate(
+      col("ivs"),
+      struct(lit(1L).as("c"), lit("").as("acc")),
+      (st, x) => struct(
+        x.getField("e").as("c"),
+        concat(st.getField("acc"),
+          col("_t").substr(st.getField("c").cast("int"),
+            (x.getField("s") - st.getField("c")).cast("int"))).as("acc")),
+      st => concat(st.getField("acc"),
+        col("_t").substr(st.getField("c").cast("int"),
+          (col("n_chars") - st.getField("c") + lit(1L)).cast("int"))))
+    val out = docs.filter(length(col(text)) >= 1)
+      .select(col(id).as("did"), col(text).as("_t"),
+        length(col(text)).cast("long").as("n_chars"))
+      .join(iv, Seq("did"), "left")
+      .select(col("did").as(id), col("n_chars"),
+        when(col("ivs").isNull, col("_t")).otherwise(rebuilt).as(scrubbedCol))
+      .select(col(id), col("n_chars"),
+        length(col(scrubbedCol)).cast("long").as("kept_chars"),
+        col(scrubbedCol))
+    // same eager-materialize-then-free discipline as dupSpans; the
+    // resident snapshot is doc-count rows of scrubbed text
+    val h = localCheckpointHandle(out)
+    free()
+    h._1
+  }
+
+  /** Merged duplicated-span intervals per document — the shared core of
+    * [[dupSpans]] (accounting) and [[scrubDupSpans]] (transformation).
+    * Returns the LAZY (did, s, e) interval table (s 1-based inclusive, e
+    * exclusive; intervals disjoint and maximal within a doc) plus a free
+    * callback releasing the O(total chars) suffix-index checkpoints —
+    * the caller MUST eagerly materialize its consumption of the interval
+    * table (its own local checkpoint) before invoking the callback.
+    */
+  private def dupSpanIntervals(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      minSpan: Long,
+      cap: Long,
+      buckets: Int): (DataFrame, () => Unit) = {
     require(minSpan >= 1, s"minSpan must be >= 1, got $minSpan")
     require(cap >= minSpan, s"cap ($cap) must be >= minSpan ($minSpan) — " +
       "the capped union argument needs a length-minSpan interval to fit " +
@@ -599,25 +697,12 @@ object Suffix {
       .withColumn("grp", sum(col("ng")).over(ordered))
       .groupBy(col("did"), col("grp"))
       .agg(min(col("pos")).as("s"), max(col("e")).as("e2"))
-    val perDoc = spans.groupBy(col("did"))
-      .agg(count(lit(1)).as("dup_spans"),
-        sum(col("e2") - col("s")).as("dup_chars"))
-    val out = docs.filter(length(col(text)) >= 1)
-      .select(col(id).as("did"), length(col(text)).cast("long").as("n_chars"))
-      .join(perDoc, Seq("did"), "left")
-      .select(col("did").as(id), col("n_chars"),
-        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
-    // materialize the ONE-ROW-PER-DOC result eagerly, then free the
-    // O(total chars) rank-table checkpoint and the walk's state table —
-    // otherwise every dupSpans call would strand a corpus-position-scale
-    // cached snapshot for the session lifetime. What stays resident is
-    // the per-doc snapshot the caller consumes (the suffixRanks
-    // one-returned-snapshot contract, but doc-count-sized).
-    val h = localCheckpointHandle(out)
-    levels.last.rdd.unpersist(blocking = false)
-    rstatsRdd.unpersist(blocking = false)
-    lcpRdd.foreach(_.unpersist(blocking = false))
-    h._1
+      .select(col("did"), col("s"), col("e2").as("e"))
+    val free = () => {
+      levels.last.rdd.unpersist(blocking = false)
+      rstatsRdd.unpersist(blocking = false)
+      lcpRdd.foreach(_.unpersist(blocking = false))
+    }
+    (spans, free)
   }
 }

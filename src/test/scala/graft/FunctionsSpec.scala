@@ -1304,4 +1304,44 @@ class FunctionsSpec extends SparkSpec {
       (kind == "new") shouldBe (m == -1L)
     }
   }
+
+  test("rocAuc equals pairwise-concordance AUC (midrank ties) on random data; pinned edge cases") {
+    import graft.functions.Quality
+    def auc(rows: Seq[(Long, Boolean)]): (Long, Long, Long) = {
+      val got = Quality.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+      (got.getLong(0), got.getLong(1), got.getLong(2))
+    }
+    // independent definition: AUC = (#(s_pos > s_neg) + ½·#(s_pos = s_neg))
+    // / (n_pos·n_neg), floored to basis points in exact BigInt
+    def brute(rows: Seq[(Long, Boolean)]): Long = {
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.isEmpty || neg.isEmpty) -1L
+      else {
+        val conc = (for (p <- pos; n2 <- neg) yield
+          if (p > n2) 2L else if (p == n2) 1L else 0L).sum
+        (BigInt(10000) * conc / (BigInt(2) * pos.size * neg.size)).toLong
+      }
+    }
+    val rnd = new scala.util.Random(67)
+    (0 until 5).foreach { trial =>
+      // heavy ties: scores from a small domain so midranks matter
+      val rows = (0 until (30 + rnd.nextInt(60))).map { _ =>
+        val y = rnd.nextBoolean()
+        (rnd.nextInt(6).toLong + (if (y) rnd.nextInt(3) else 0), y)
+      }
+      val (np, nn, bp2) = auc(rows)
+      withClue(s"trial $trial: ") {
+        np shouldBe rows.count(_._2).toLong
+        nn shouldBe rows.count(!_._2).toLong
+        bp2 shouldBe brute(rows)
+      }
+    }
+    // perfect / inverted / indistinguishable / one-class
+    auc(Seq((9L, true), (8L, true), (1L, false)))._3 shouldBe 10000L
+    auc(Seq((1L, true), (9L, false)))._3 shouldBe 0L
+    auc(Seq((5L, true), (5L, false), (5L, true)))._3 shouldBe 5000L
+    auc(Seq((1L, true), (2L, true)))._3 shouldBe -1L
+  }
 }

@@ -159,6 +159,59 @@ class SuffixSpec extends SparkSpec {
     brute(4, 8) shouldBe brute(4, 64)
   }
 
+  test("scrubDupSpans rebuilds exactly the complement of the duplicated regions (== brute force)") {
+    // scrub only depends on the COVERED-position set, so the brute force
+    // marks positions covered by any [p, p+min(dupLen,cap)) interval with
+    // dupLen >= minSpan and keeps the rest in order — interval merging
+    // cannot change the set
+    val rnd = new scala.util.Random(61)
+    val docs = (0 until 12).map { i =>
+      (i.toLong,
+        (0 until (6 + rnd.nextInt(30))).map(_ => "ab".charAt(rnd.nextInt(2))).mkString)
+    } ++ Seq(
+      99L -> "zzzzqqqqzzzzqqqq", // internal repeats
+      101L -> "ccccccccdddddddd", // planted identical pair:
+      102L -> "ccccccccdddddddd") // fully-scrubbed docs at minSpan <= 16
+    def bruteScrub(minSpan: Int, cap: Int): Map[Long, String] = {
+      val sufs = docs.flatMap { case (did, t2) =>
+        (1 to t2.length).map(p => (did, p.toLong, t2.substring(p - 1)))
+      }
+      def dupLen(me: (Long, Long, String)): Int =
+        sufs.filter(s2 => (s2._1, s2._2) != ((me._1, me._2))).map { o =>
+          me._3.zip(o._3).takeWhile { case (x, y) => x == y }.size
+        }.maxOption.getOrElse(0)
+      docs.map { case (did, t2) =>
+        val covered = Array.fill(t2.length + 2)(false)
+        (1 to t2.length).foreach { p =>
+          val d2 = dupLen((did, p.toLong, t2.substring(p - 1)))
+          if (d2 >= minSpan)
+            (p until p + math.min(d2, cap)).foreach(q => covered(q) = true)
+        }
+        did -> (1 to t2.length).filterNot(covered).map(p => t2.charAt(p - 1)).mkString
+      }.toMap
+    }
+    Seq((4, 8), (6, 64)).foreach { case (ms, cap) =>
+      val got = Suffix.scrubDupSpans(docs.toDF("doc_id", "text"), "doc_id",
+        "text", ms.toLong, cap.toLong)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val exp = bruteScrub(ms, cap)
+      withClue(s"minSpan $ms cap $cap: ") {
+        got.keySet shouldBe exp.keySet
+        exp.foreach { case (did, scrub) =>
+          val (n, kept, s2) = got(did)
+          n shouldBe docs.find(_._1 == did).get._2.length.toLong
+          s2 shouldBe scrub
+          kept shouldBe scrub.length.toLong
+        }
+        // the planted identical pair scrubs to empty at both geometries
+        got(101L)._3 shouldBe ""
+        got(102L)._2 shouldBe 0L
+      }
+    }
+  }
+
   test("empty and single-char documents") {
     // empty doc contributes no positions; single chars rank by byte
     ranks(Seq(1L -> "", 2L -> "b", 3L -> "a")) shouldBe Map(
