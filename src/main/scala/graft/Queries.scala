@@ -4031,7 +4031,7 @@ object Queries {
     * then score the pool). Nothing grows with corpus size except the
     * two linear scans.
     */
-  private def dsirScored(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dsirScored(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Dsir
     val feats = Dsir.features(
       t(s, d).documents.withColumn("tgt", col("source") === DsirTarget),
@@ -4113,13 +4113,20 @@ object Queries {
       // RDD (the q_unigram_refit defect, Unigram.refitStats). It is 4
       // longs per pool doc — on a real cluster this is the persisted
       // output of q_dsir_weight that selection reads back.
-      val scored = dsirScored(s, d).localCheckpoint(eager = true)
+      import org.apache.spark.sql.graftbridge.GraftBridge.localCheckpointHandle
+      val (scored, scoredRdd) = localCheckpointHandle(dsirScored(s, d))
       val hist = scored.groupBy(col("dsir_bits")).agg(
         count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
       val wOrd = Window.partitionBy(lit(1)).orderBy(col("dsir_bits").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = hist.withColumn("cum_before",
-        coalesce(sum(col("toks")).over(wOrd), lit(0L)))
+      // the cumulative histogram is ALSO materialized eagerly: `full`
+      // and `boundary` are each computed under their own broadcast-
+      // exchange job, so a lazy cum would re-aggregate the scored
+      // checkpoint once per branch (the table is |distinct dsir_bits|
+      // rows — tiny; DsirProf: the branch jobs drop to ~0.2 s each)
+      val (cum, cumRdd) = localCheckpointHandle(
+        hist.withColumn("cum_before",
+          coalesce(sum(col("toks")).over(wOrd), lit(0L))))
       val full = cum.filter(col("cum_before") + col("toks") <= budget)
         .select(col("dsir_bits"))
       val boundary = cum
@@ -4136,7 +4143,15 @@ object Queries {
         .filter(col("cum_before") + col("rcum") <= budget)
         .select(col("doc_id"), col("dsir_bits"), col("n_toks"),
           lit(true).as("at_boundary"))
-      keptFull.unionByName(keptBoundary)
+      // materialize the (budget-bounded) selection eagerly, then free
+      // the pool-scale scored checkpoint and the cum table — the
+      // dupSpans discipline: repeated calls in one session must not
+      // strand a cached snapshot per call (DsirProf measured the final
+      // union at ~0.3-0.7 s — the cleanup costs one cheap job)
+      val h = localCheckpointHandle(keptFull.unionByName(keptBoundary))
+      scoredRdd.unpersist(blocking = false)
+      cumRdd.unpersist(blocking = false)
+      h._1
   }
 
   private val qDsirSelect = Q(
