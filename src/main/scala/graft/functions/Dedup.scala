@@ -182,11 +182,12 @@ object Dedup {
     * carries ONLY prefix tokens (≤ (1−t)·|d| + 1 per doc — at t=0.9
     * one-tenth of the token volume); the verify re-joins the candidate
     * pairs' token sets. No all-pairs stage anywhere, and no broadcast
-    * of any corpus-cardinality table: the per-doc `sizes` joins are
-    * plain doc-id equi-joins (AQE may still broadcast them when the
-    * RUNTIME size is genuinely small). Two further PPJoin filters cut
-    * the verify volume without touching the result (both are sound
-    * upper-bound pruners — see [[prefixCandidates]]).
+    * of any corpus-cardinality table: the doc sizes ride the candidate
+    * pairs as two long columns (prefixCandidates aggregates them for
+    * its positional filter anyway), so nothing per-corpus-doc is ever
+    * joined or broadcast after the prefix build. Two further PPJoin
+    * filters cut the verify volume without touching the result (both
+    * are sound upper-bound pruners — see [[prefixCandidates]]).
     */
   def prefixFilterPairs(
       df: DataFrame,
@@ -196,22 +197,20 @@ object Dedup {
     require(thresholdBp > 0 && thresholdBp <= 10000,
       s"thresholdBp must be in (0, 10000], got $thresholdBp")
     val toks = explodedDistinctTokens(df, id, text)
-    val sizes = toks.groupBy(col(id)).agg(count(lit(1)).as("nt"))
-    val cand = prefixCandidates(toks, sizes, id, thresholdBp)
-    // exact verify on candidates only
-    val common = cand
+    val cand = prefixCandidates(toks, id, thresholdBp)
+    // exact verify on candidates only. The doc sizes (na, nb) RIDE THE
+    // CANDIDATE PAIR — prefixCandidates already aggregated them for its
+    // positional filter — so the verify needs no join back to a
+    // per-corpus-doc `sizes` table: two extra longs through the verify
+    // shuffle replace two doc-id-keyed joins of a doc-count table (and
+    // at bounded SFs, their two broadcast-build jobs — the query's
+    // fixed floor was join-count-dominated).
+    cand
       .join(toks.select(col(id).as("doc_a"), col("tok")), Seq("doc_a"))
       .join(toks.select(col(id).as("doc_b"), col("tok")), Seq("doc_b", "tok"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-    // NO broadcast hint on `sizes`: it is one row per corpus document,
-    // so a forced broadcast is a driver OOM at production doc counts.
-    // Plain equi-joins let AQE pick broadcast only when the actual
-    // runtime size is small (bounded catalog inputs) and shuffle at
-    // scale — both keyed on doc id, the same key `common` already has.
-    common
-      .join(sizes.select(col(id).as("doc_a"), col("nt").as("na")), Seq("doc_a"))
-      .join(sizes.select(col(id).as("doc_b"), col("nt").as("nb")), Seq("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
       .withColumn("jaccard_bp",
         expr("(common * 10000) DIV (na + nb - common)"))
       .filter(col("jaccard_bp") >= thresholdBp)
@@ -240,17 +239,20 @@ object Dedup {
     */
   private[graft] def prefixCandidates(
       toks: DataFrame,
-      sizes: DataFrame,
       id: String,
       thresholdBp: Long): DataFrame = {
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // per-doc rare-first order; prefix size |d| - ceil(t*|d|) + 1
+    // per-doc rare-first order; prefix size |d| - ceil(t*|d|) + 1.
+    // The doc size nt is a SECOND WINDOW over the same doc partitioning
+    // (unordered count), so it rides the rn window's one exchange+sort —
+    // no per-doc sizes aggregation, no join back on the doc id.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(col("df").asc, col("tok").asc)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
     val prefix = toks
       .join(dfreq, Seq("tok"))
       .withColumn("rn", row_number().over(w))
-      .join(sizes, Seq(id))
+      .withColumn("nt", count(lit(1)).over(wDoc))
       .filter(col("rn") <=
         expr(s"nt - (nt * $thresholdBp + 9999) DIV 10000 + 1"))
       .select(col(id), col("tok"), col("rn"), col("nt"))
@@ -276,7 +278,8 @@ object Dedup {
         lit(1) + least(col("na") - col("m.pa"), col("nb") - col("m.pb")) >=
           expr(s"(($thresholdBp * (na + nb)) + ${10000 + thresholdBp} - 1)" +
             s" DIV ${10000 + thresholdBp}"))
-      .select("doc_a", "doc_b")
+      // na/nb ride along so the verify stage never joins a sizes table
+      .select("doc_a", "doc_b", "na", "nb")
   }
 
   /** SimHash bit width used by [[simhashExpr]]. */

@@ -167,10 +167,9 @@ class FunctionsSpec extends SparkSpec {
       (0L, s"aa0 ab0 $fill"),
       (1L, s"ba1 bb1 $fill")).toDF("doc_id", "text")
     val toks = Dedup.explodedDistinctTokens(docs2, "doc_id", "text")
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
     // prefixes genuinely collide (shared filler tokens exist)
     toks.groupBy("tok").count().filter(col("count") === 2).count() shouldBe 18L
-    Dedup.prefixCandidates(toks, sizes, "doc_id", 9000L).count() shouldBe 0L
+    Dedup.prefixCandidates(toks, "doc_id", 9000L).count() shouldBe 0L
     Dedup.prefixFilterPairs(docs2, "doc_id", "text", 9000L).count() shouldBe 0L
   }
 
@@ -187,14 +186,13 @@ class FunctionsSpec extends SparkSpec {
       (1L, s"aashared $long"),
       (2L, s"$fills $long")).toDF("doc_id", "text")
     val toks = Dedup.explodedDistinctTokens(docs2, "doc_id", "text")
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
     // prefix collision is real: at a permissive threshold the (0,1)
     // pair IS a candidate...
-    Dedup.prefixCandidates(toks, sizes, "doc_id", 1000L)
+    Dedup.prefixCandidates(toks, "doc_id", 1000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))) should contain ((0L, 1L))
     // ...at t=0.9 the length filter kills exactly it; (1,2) remains —
     // correctly, since J(1,2) = 49/54 ~ 0.907 >= 0.9 (l-token overlap)
-    Dedup.prefixCandidates(toks, sizes, "doc_id", 9000L)
+    Dedup.prefixCandidates(toks, "doc_id", 9000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L))
   }
 
