@@ -648,6 +648,39 @@ object Queries {
            |FROM common JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
            |WHERE (common * 10000) // (sa.nt + sb.nt - common) >= $PrefixTbp""".stripMargin))
 
+  private val ContainTbp = 8000L // containment >= 0.8 in basis points
+
+  private val qContainment = Q(
+    "q_containment",
+    "exact shingle-CONTAINMENT join: doc-inside-doc pairs (quotes/subsets) the symmetric Jaccard misses, no all-pairs stage",
+    (s, d) =>
+      // Broder containment |Sa n Sb| / |Sa| over distinct 5-token
+      // shingles — DIRECTED near-dup evidence: a short doc quoted
+      // inside a long one scores ~10000 here with low resemblance.
+      // Candidates come from an equi-join of each doc's rare-first
+      // prefix shingles against the full shingle index (prefix lemma,
+      // containment form — zero false negatives); the oracle is the
+      // brute-force all-pairs shingle join at the sf0.01 scale.
+      graft.functions.Dedup.containmentPairs(
+        t(s, d).documents, "doc_id", "text", ContainTbp),
+    Some(
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, len(t) - 3),
+           |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           |         || ' ' || t[i+4]))) AS g
+           |  FROM tk WHERE len(t) >= 5),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS na FROM sh GROUP BY 1),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(count(*) AS BIGINT) AS common
+           |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  CAST((common * 10000) // sz.na AS BIGINT) AS containment_bp
+           |FROM c JOIN sz ON sz.doc_id = doc_a
+           |WHERE (common * 10000) // sz.na >= $ContainTbp""".stripMargin))
+
   private val MinhashHashes = 16
   private val MinhashBands  = 4
 
@@ -1167,6 +1200,40 @@ object Queries {
            |    THEN (10000 * (rs2 - np * (np + 1))) // (2 * np * nn)
            |    ELSE -1 END AS BIGINT) AS auc_bp
            |FROM a""".stripMargin
+    })
+
+  private val qPrCurve = Q(
+    "q_pr_curve",
+    "precision/recall curve of the en-marker score vs the lang ground truth: the gate-threshold sweep behind q_auc",
+    (s, d) =>
+      // same histogram as q_auc, descending-cumulative: one row per
+      // candidate gate threshold with exact integer precision/recall —
+      // what a curation pipeline reads to pick its deployed cutoff
+      graft.functions.Quality.prCurve(
+        t(s, d).documents,
+        size(filter(TF.tokens(col("text")),
+          t2 => t2.isin(TF.LangMarkers.toMap.apply("en").map(lit): _*))),
+        col("lang") === "en"),
+    Some {
+      val ms = TF.LangMarkers.toMap.apply("en").map(m => s"'$m'").mkString(", ")
+      raw"""WITH sc AS (SELECT
+           |    CAST(len(list_filter($sqlToks, t -> t IN ($ms))) AS BIGINT) AS thr,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |hist AS (SELECT thr, CAST(count(*) AS BIGINT) AS cnt,
+           |    CAST(sum(y) AS BIGINT) AS pos FROM sc GROUP BY 1),
+           |cum AS (SELECT thr,
+           |    CAST(sum(pos) OVER (ORDER BY thr DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+           |    CAST(sum(cnt) OVER (ORDER BY thr DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pred,
+           |    CAST(sum(pos) OVER () AS BIGINT) AS np
+           |  FROM hist)
+           |SELECT thr, n_pred, tp, n_pred - tp AS fp,
+           |  CAST((tp * 10000) // n_pred AS BIGINT) AS precision_bp,
+           |  CAST(CASE WHEN np > 0 THEN (tp * 10000) // np ELSE -1 END AS BIGINT)
+           |    AS recall_bp
+           |FROM cum""".stripMargin
     })
 
   // ===========================================================================
@@ -5576,6 +5643,7 @@ object Queries {
     qWindowFuncs, qEditDistance, qEditCapped, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp,
     qSubstrDedup, qSubstrCapped, qSubstrWinnow, qDupClusters, qDupCanonical,
+    qContainment,
     qContamination, qEmbedContamination, qTfidfTopk, qPiiRedact,
     qRepetition, qGopherQuality, qBloomDedup, qDomainMix, qIncrementalDedup,
     qVocabCoverage, qEmbedQuantize, qLengthTrim, qCorpusReport, qDedupPipeline,
@@ -5590,7 +5658,7 @@ object Queries {
     qDsirWeight, qDsirSelect,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qAuc, qJlProject,
+    qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qAuc, qPrCurve, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
     qChunkWindows, qPhraseMatch, qPhraseServed, qPhraseStore, qPhraseCompact,
     qDupSpans, qDupScrub)

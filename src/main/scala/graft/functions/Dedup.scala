@@ -282,6 +282,66 @@ object Dedup {
       .select("doc_a", "doc_b", "na", "nb")
   }
 
+  /** Exact shingle-CONTAINMENT join (Broder 1997's containment, the
+    * asymmetric complement of Jaccard resemblance): pairs (a, b) with
+    * |Sₐ ∩ S_b| / |Sₐ| ≥ t over distinct `n`-token shingle sets — the
+    * doc-INSIDE-doc signal (quotations, boilerplate wrappers, subset
+    * re-posts) that resemblance misses: a short doc quoted verbatim
+    * inside a long one has high containment but low Jaccard, so no
+    * resemblance threshold finds it. Output is DIRECTED:
+    * (doc_a, doc_b, containment_bp) says a is contained in b.
+    *
+    * Completeness (prefix lemma, containment form): C(a,b) ≥ t forces
+    * |Sₐ ∩ S_b| ≥ ⌈t·na⌉, so among a's first `na − ⌈t·na⌉ + 1` shingles
+    * in the global rare-first order at least one lies in S_b — the
+    * candidate equi-join on a's prefix shingles against the FULL
+    * shingle index has zero false negatives. Rare-first ordering keeps
+    * prefix buckets off the hot (boilerplate) shingles, the same
+    * discipline as [[prefixFilterPairs]].
+    *
+    * Scale shape: one map-side distinct-shingle explode, a df join +
+    * one doc-partitioned window pass (rn and na share the exchange),
+    * the asymmetric candidate equi-join (a-prefix × full index), pair
+    * dedup, then the verify re-join of both shingle sets — no all-pairs
+    * stage, doc sizes ride the pair, nothing per-corpus-doc is joined
+    * back or broadcast.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      thresholdBp: Long,
+      n: Int = 5): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"thresholdBp must be in (0, 10000], got $thresholdBp")
+    val sh = df.select(col(id),
+      explode(array_distinct(shinglesN(col(text), n))).as("tok"))
+    val dfreq = sh.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("df").asc, col("tok").asc)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+    val prefix = sh
+      .join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("na", count(lit(1)).over(wDoc))
+      .filter(col("rn") <=
+        expr(s"na - (na * $thresholdBp + 9999) DIV 10000 + 1"))
+      .select(col(id).as("doc_a"), col("tok"), col("na"))
+    val cand = prefix
+      .join(sh.select(col(id).as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("na")).as("na"))
+    cand
+      .join(sh.select(col(id).as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(sh.select(col(id).as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"), min(col("na")).as("na"))
+      .withColumn("containment_bp", expr("(common * 10000) DIV na"))
+      .filter(col("containment_bp") >= thresholdBp)
+      .select(col("doc_a"), col("doc_b"), col("containment_bp"))
+  }
+
   /** SimHash bit width used by [[simhashExpr]]. */
   val SimhashBits = 32
 

@@ -224,6 +224,40 @@ object Quality {
     * The raw rows are never globally sorted. One row out:
     * (n_pos, n_neg, auc_bp).
     */
+  /** The full precision/recall curve of an integer score against a
+    * boolean label — [[rocAuc]]'s threshold-sweep companion (AUC ranks
+    * the scorer; this is what picks the GATE threshold a curation
+    * pipeline actually deploys). One row per distinct score `thr`,
+    * descending-cumulative over the score histogram: predicting
+    * positive iff score ≥ thr gives (n_pred, tp, fp, precision_bp,
+    * recall_bp) — exact integer arithmetic throughout.
+    *
+    * Scale shape: the same ONE map-side-combined histogram aggregate as
+    * [[rocAuc]]; every window runs over the |distinct scores|-row
+    * histogram, never the corpus. Output is histogram-sized.
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .select(score.cast("long").as("thr"),
+        when(label, lit(1L)).otherwise(lit(0L)).as("y"))
+      .groupBy(col("thr"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val wTop = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("tp", sum(col("pos")).over(wTop))
+      .withColumn("n_pred", sum(col("cnt")).over(wTop))
+      .withColumn("np", sum(col("pos")).over(wAll))
+      .select(col("thr"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        expr("(tp * 10000) DIV n_pred").as("precision_bp"),
+        when(col("np") > 0, expr("(tp * 10000) DIV np"))
+          .otherwise(lit(-1L)).as("recall_bp"))
+  }
+
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df

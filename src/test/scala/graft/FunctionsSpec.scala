@@ -1303,6 +1303,94 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs == brute-force shingle containment; directed quote found, reverse not") {
+    import graft.functions.Dedup
+    // doc 1 is quoted verbatim inside doc 2 (plus a long tail): every
+    // 5-gram of doc 1 appears in doc 2 -> containment(1 in 2) = 10000,
+    // while containment(2 in 1) is low and Jaccard is low; doc 3 is an
+    // unrelated control
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val tail = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, quote),
+      (2L, s"intro tokens here $quote $tail"),
+      (3L, s"unrelated body $tail")).toDF("doc_id", "text")
+    def brute(tbp: Long): Set[(Long, Long, Long)] = {
+      val sets = Seq(
+        1L -> quote, 2L -> s"intro tokens here $quote $tail",
+        3L -> s"unrelated body $tail")
+        .map { case (i2, t2) =>
+          i2 -> t2.split("\\s+").sliding(5).map(_.mkString(" ")).toSet
+        }
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b && sa.nonEmpty
+        c = (sa & sb).size.toLong * 10000L / sa.size
+        if c >= tbp
+      } yield (a, b, c)).toSet
+    }
+    Seq(8000L, 5000L, 2000L).foreach { tbp =>
+      val got = Dedup.containmentPairs(docs2, "doc_id", "text", tbp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"tbp $tbp: ") { got shouldBe brute(tbp) }
+    }
+    // the directed claims, explicitly
+    val at8000 = Dedup.containmentPairs(docs2, "doc_id", "text", 8000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    at8000 should contain((1L, 2L))
+    at8000 should not contain ((2L, 1L))
+    // random corpora: prefix-lemma completeness == exhaustive
+    val rnd = new scala.util.Random(71)
+    val vocab = (0 until 12).map(i => s"t$i")
+    val rdocs = (0L until 25L).map { i2 =>
+      (i2, (0 until (5 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(12))).mkString(" "))
+    }
+    def bruteR(tbp: Long): Set[(Long, Long, Long)] = {
+      val sets = rdocs.map { case (i2, t2) =>
+        i2 -> (if (t2.split("\\s+").length >= 5)
+          t2.split("\\s+").sliding(5).map(_.mkString(" ")).toSet
+        else Set.empty[String])
+      }
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b && sa.nonEmpty
+        c = (sa & sb).size.toLong * 10000L / sa.size
+        if c >= tbp
+      } yield (a, b, c)).toSet
+    }
+    val gotR = Dedup.containmentPairs(rdocs.toDF("doc_id", "text"), "doc_id",
+      "text", 4000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    gotR shouldBe bruteR(4000L)
+  }
+
+  test("prCurve equals the scalar threshold sweep; monotone recall, endpoint sanity") {
+    import graft.functions.Quality
+    val rnd = new scala.util.Random(73)
+    val rows = (0 until 80).map { _ =>
+      val y = rnd.nextBoolean()
+      (rnd.nextInt(7).toLong + (if (y) rnd.nextInt(3) else 0), y)
+    }
+    val got = Quality.prCurve(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    val np = rows.count(_._2).toLong
+    val thrs = rows.map(_._1).distinct
+    got.keySet shouldBe thrs.toSet
+    thrs.foreach { t2 =>
+      val pred = rows.filter(_._1 >= t2)
+      val tp = pred.count(_._2).toLong
+      val exp = (pred.size.toLong, tp, pred.size - tp,
+        tp * 10000L / pred.size, tp * 10000L / np)
+      withClue(s"thr $t2: ") { got(t2) shouldBe exp }
+    }
+    // recall is monotone non-increasing in the threshold; the lowest
+    // threshold predicts everything (recall 10000)
+    val byThr = got.toSeq.sortBy(-_._1).map(_._2._5)
+    byThr shouldBe byThr.sorted
+    got(thrs.min)._5 shouldBe 10000L
+  }
+
   test("rocAuc equals pairwise-concordance AUC (midrank ties) on random data; pinned edge cases") {
     import graft.functions.Quality
     def auc(rows: Seq[(Long, Boolean)]): (Long, Long, Long) = {
