@@ -661,11 +661,18 @@ object Queries {
       // prefix shingles against the full shingle index (prefix lemma,
       // containment form — zero false negatives); the oracle is the
       // brute-force all-pairs shingle join at the sf0.01 scale.
+      // Input bounded like q_setsim_prefix: ScaleUp's replica cliques
+      // make the TRUE directed-containment output quadratic in the
+      // replica count (every replica is contained in its k-1 siblings)
+      // — a corpus property, not a plan property; the production
+      // answers are exact-dedup-first (q_dedup_order) or the
+      // maxShingleFreq candidate cap (containmentPairs' scaladoc).
       graft.functions.Dedup.containmentPairs(
-        t(s, d).documents, "doc_id", "text", ContainTbp),
+        t(s, d).documents.filter(col("doc_id") < 2000),
+        "doc_id", "text", ContainTbp),
     Some(
       raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-           |  FROM documents WHERE length(trim(text)) > 0),
+           |  FROM documents WHERE doc_id < 2000 AND length(trim(text)) > 0),
            |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
            |    range(1, len(t) - 3),
            |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]

@@ -1362,6 +1362,28 @@ class FunctionsSpec extends SparkSpec {
     gotR shouldBe bruteR(4000L)
   }
 
+  test("containmentPairs maxShingleFreq cap: clique pairs dropped, rare-shingle pairs exact") {
+    import graft.functions.Dedup
+    // a 6-replica clique (all shingles at df 6) plus one rare pair:
+    // the cap at 4 kills every clique candidate bucket but the rare
+    // pair survives with its exact containment
+    val cliqueBody = "alpha bravo charlie delta echo foxtrot golf"
+    val rare = "uniq1 uniq2 uniq3 uniq4 uniq5 uniq6"
+    val docs2 = ((0L until 6L).map(i => (i, cliqueBody)) ++ Seq(
+      (10L, rare), (11L, s"$rare tail1 tail2 tail3 tail4 tail5")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs2, "doc_id", "text", 8000L,
+      maxShingleFreq = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // clique ids 0-5 absent entirely; (10 in 11) found at exact 10000
+    capped.map(_._1) should not contain oneOf(0L, 1L, 2L)
+    capped should contain((10L, 11L, 10000L))
+    // uncapped finds the full clique too (sanity that the cap did it)
+    val exact = Dedup.containmentPairs(docs2, "doc_id", "text", 8000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should contain((0L, 1L))
+  }
+
   test("prCurve equals the scalar threshold sweep; monotone recall, endpoint sanity") {
     import graft.functions.Quality
     val rnd = new scala.util.Random(73)
