@@ -4257,6 +4257,38 @@ object Queries {
             |  FROM scored s JOIN boundary bd USING (dsir_bits))
             |WHERE cum_before + rcum <= $DsirBudget""".stripMargin))
 
+  private val qDrift = Q(
+    "q_drift",
+    "corpus-snapshot distribution drift: per-bucket bit-length log-ratio of the doc-length histogram, src0 baseline vs the rest",
+    (s, d) => {
+      // pipeline monitoring: has the incoming slice shifted against the
+      // baseline the filters were tuned on? Whole-bit log-ratios via
+      // integer bit lengths (the DSIR trick) — sum(n_cur*lam_bits)/N is
+      // KL-style drift in bits/doc, per-bucket rows localize the shift
+      val docs = t(s, d).documents
+      graft.functions.Quality.scoreDrift(
+        docs.filter(col("source") === DsirTarget),
+        docs.filter(col("source") =!= DsirTarget),
+        expr("n_chars DIV 16"))
+    },
+    Some(
+      raw"""WITH hb AS (SELECT n_chars // 16 AS s, CAST(count(*) AS BIGINT) AS n_base
+           |  FROM documents WHERE source = '$DsirTarget' GROUP BY 1),
+           |hc AS (SELECT n_chars // 16 AS s, CAST(count(*) AS BIGINT) AS n_cur
+           |  FROM documents WHERE source <> '$DsirTarget' GROUP BY 1),
+           |j AS (SELECT COALESCE(hb.s, hc.s) AS s,
+           |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+           |  FROM hb FULL OUTER JOIN hc ON hb.s = hc.s),
+           |t2 AS (SELECT CAST(sum(n_base) AS BIGINT) AS nb,
+           |    CAST(sum(n_cur) AS BIGINT) AS nc,
+           |    CAST(count(*) AS BIGINT) AS bk FROM j)
+           |SELECT s, n_base, n_cur,
+           |  CAST((length(bin(n_cur + 1)) - length(bin(nc + bk)))
+           |     - (length(bin(n_base + 1)) - length(bin(nb + bk))) AS BIGINT)
+           |    AS lam_bits
+           |FROM j, t2""".stripMargin))
+
+
   private val qBpePairs = Q(
     "q_bpe_pairs",
     "distributed BPE trainer step: adjacent char-pair frequencies over the word-frequency table",
@@ -5662,7 +5694,7 @@ object Queries {
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qTextrank, qSuffixArray, qSuffixLcp, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qGlobalShuffle,
-    qDsirWeight, qDsirSelect,
+    qDsirWeight, qDsirSelect, qDrift,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qAuc, qPrCurve, qJlProject,

@@ -224,6 +224,56 @@ object Quality {
     * The raw rows are never globally sorted. One row out:
     * (n_pos, n_neg, auc_bp).
     */
+  /** Distribution-DRIFT report between a baseline and a current corpus
+    * over an integer score — the monitoring step of a production data
+    * pipeline (has this month's crawl shifted against the corpus the
+    * filters were tuned on?). Per occupied score bucket `s`:
+    * `(s, n_base, n_cur, lam_bits)` where `lam_bits =
+    * ⌊log₂ p̂_cur(s)⌋ − ⌊log₂ p̂_base(s)⌋` under add-one-per-bucket
+    * smoothing, computed as exact integer BIT LENGTHS (the
+    * [[Dsir.lambdaTable]] trick — no float logs, both engines agree
+    * bit-for-bit). `Σ n_cur·lam_bits / N_cur` is the KL-style drift in
+    * whole bits per current doc; per-bucket rows localize WHERE the
+    * shift sits.
+    *
+    * Scale shape: one map-combined histogram aggregate per side, a
+    * full-outer join and windows over the joined HISTOGRAM only
+    * (bounded by the score domain, never the corpus).
+    */
+  def scoreDrift(base: DataFrame, cur: DataFrame, score: Column): DataFrame =
+    scoreDriftAgainstHist(
+      base.select(score.cast("long").as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("n_base")),
+      cur, score)
+
+  /** [[scoreDrift]] against a PRE-COMPUTED baseline histogram
+    * `(s, n_base)` — the streaming-monitor split
+    * ([[graft.streaming.Pipelines.driftMonitorIngest]]): the baseline
+    * is persisted once offline, each micro-batch brings only its own
+    * histogram.
+    */
+  def scoreDriftAgainstHist(
+      baseHist: DataFrame, cur: DataFrame, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hc = cur.select(score.cast("long").as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_cur"))
+    val joined = baseHist
+      .join(hc, Seq("s"), "full_outer")
+      .select(col("s"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("nb", sum(col("n_base")).over(wAll))
+      .withColumn("nc", sum(col("n_cur")).over(wAll))
+      .withColumn("bk", count(lit(1)).over(wAll))
+      .select(col("s"), col("n_base"), col("n_cur"),
+        ((length(expr("bin(n_cur + 1)")) - length(expr("bin(nc + bk)"))) -
+          (length(expr("bin(n_base + 1)")) - length(expr("bin(nb + bk)"))))
+          .cast("long").as("lam_bits"))
+  }
+
   /** The full precision/recall curve of an integer score against a
     * boolean label — [[rocAuc]]'s threshold-sweep companion (AUC ranks
     * the scorer; this is what picks the GATE threshold a curation

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -343,6 +343,54 @@ object Pipelines {
         ()
       }
   }
+
+  /** Streaming distribution-DRIFT monitor — the pipeline-health analog
+    * of [[nbClassifyIngest]]'s persisted-model split: an offline
+    * baseline histogram of an integer score
+    * ([[writeBaselineHist]] over the corpus the filters were tuned on)
+    * sits on disk, and each arriving micro-batch is histogrammed and
+    * scored against it ([[graft.functions.Quality.scoreDrift]]'s
+    * whole-bit log-ratios), producing a per-batch drift report at
+    * `<stateDir>/drift/batch=<id>`: one row per occupied score bucket
+    * `(s, n_base, n_cur, lam_bits)` — `sum(n_cur*lam_bits)` against the
+    * batch size is the batch's KL-style drift in bits/doc, and a bucket
+    * with large `n_cur·lam_bits` names WHERE the incoming data shifted.
+    *
+    * Per-trigger work is O(batch + baseline-histogram): the batch
+    * histogram is one map-combined aggregate, the baseline is a
+    * histogram-sized parquet read, the join/windows run over the joined
+    * histogram. Reports are published atomically exactly once
+    * ([[graft.functions.Stores.publishOnce]]) — a replayed batch is a
+    * no-op; the baseline is re-read per trigger, so an offline rebase
+    * is picked up at the next one.
+    */
+  def driftMonitorIngest(
+      docs: DataFrame,
+      baselineDir: String,
+      stateDir: String,
+      checkpoint: String,
+      score: Column)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val base = spark.read.parquet(baselineDir)
+        graft.functions.Stores.publishOnce(spark, s"$stateDir/drift/batch=$batchId")(
+          graft.functions.Quality.scoreDriftAgainstHist(base, batch, score)
+            .write.mode("overwrite").parquet(_))
+        ()
+      }
+
+  /** Persist the baseline score histogram [[driftMonitorIngest]] scores
+    * against: `(s, n_base)`, one row per occupied bucket.
+    */
+  def writeBaselineHist(
+      docs: DataFrame, score: Column, dir: String): Unit =
+    docs.select(score.cast("long").as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_base"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
 
   /** Streaming CDC chunk-store maintenance — the sub-document analog of
     * [[dedupIngest]]: each micro-batch is content-defined-chunked

@@ -1384,6 +1384,44 @@ class FunctionsSpec extends SparkSpec {
     exact should contain((0L, 1L))
   }
 
+  test("scoreDrift == scalar bit-length log-ratios; identical corpora flat, planted shift localized") {
+    import graft.functions.Quality
+    def drift(base: Seq[Long], cur: Seq[Long]): Map[Long, (Long, Long, Long)] =
+      Quality.scoreDrift(
+        base.map(v => (v, "x")).toDF("s0", "pad"),
+        cur.map(v => (v, "x")).toDF("s0", "pad"), col("s0"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    // scalar model: lam = (bitlen(nc_i+1) - bitlen(NC+B)) - (bitlen(nb_i+1) - bitlen(NB+B))
+    def brute(base: Seq[Long], cur: Seq[Long]): Map[Long, (Long, Long, Long)] = {
+      val hb = base.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val hc = cur.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keys = hb.keySet ++ hc.keySet
+      val (nb, nc, bk) = (base.size.toLong, cur.size.toLong, keys.size.toLong)
+      def bl(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      keys.map { k =>
+        val (b, c) = (hb.getOrElse(k, 0L), hc.getOrElse(k, 0L))
+        k -> ((b, c,
+          ((bl(c + 1) - bl(nc + bk)) - (bl(b + 1) - bl(nb + bk))).toLong))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(79)
+    val base = (0 until 200).map(_ => rnd.nextInt(10).toLong)
+    val same = (0 until 150).map(_ => rnd.nextInt(10).toLong)
+    val shifted = (0 until 150).map(_ => 5L + rnd.nextInt(10).toLong)
+    drift(base, same) shouldBe brute(base, same)
+    drift(base, shifted) shouldBe brute(base, shifted)
+    // planted shift: mass moved up — high buckets positive lam, base-only
+    // buckets negative; the KL-style total is clearly positive
+    val d2 = drift(base, shifted)
+    d2.filter(_._1 >= 10).values.foreach { case (_, _, lam) => lam should be >= 0L }
+    val total = d2.map { case (_, (_, c, lam)) => c * lam }.sum
+    total should be > 0L
+    // identical corpora: every lam is 0 (same histogram, same totals)
+    drift(base, base).values.foreach { case (_, _, lam) => lam shouldBe 0L }
+  }
+
   test("prCurve equals the scalar threshold sweep; monotone recall, endpoint sanity") {
     import graft.functions.Quality
     val rnd = new scala.util.Random(73)

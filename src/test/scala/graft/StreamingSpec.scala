@@ -635,6 +635,55 @@ class StreamingSpec extends SparkSpec {
     scores() shouldBe got
   }
 
+  test("driftMonitorIngest: per-batch drift reports against the persisted baseline == batch path") {
+    import graft.functions.Quality
+    val in      = memStream[(Long, Long)]
+    val state   = tmpDir("drift_state")
+    val baseDir = tmpDir("drift_base")
+    // offline baseline: scores concentrated low
+    val baseline = (0 until 100).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("doc_id", "sc")
+    Pipelines.writeBaselineHist(baseline, col("sc"), baseDir)
+    spark.read.parquet(baseDir).count() shouldBe 5L
+
+    val batch0 = (0 until 30).map(i => (100L + i, (i % 5).toLong))        // matches baseline
+    val batch1 = (0 until 30).map(i => (200L + i, 7L + (i % 3).toLong))   // shifted up
+    val q = Pipelines.driftMonitorIngest(
+      in.toDF().toDF("doc_id", "sc"), baseDir, state, tmpDir("drift_ckpt"),
+      col("sc")).start()
+    try {
+      in.addData(batch0: _*)
+      q.processAllAvailable()
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def report(b: Int) = spark.read.parquet(s"$state/drift/batch=$b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // each batch's report equals the batch-path computation against the
+    // same persisted baseline histogram
+    val baseHist = spark.read.parquet(baseDir)
+    Seq(0 -> batch0, 1 -> batch1).foreach { case (bid, rows) =>
+      val expected = Quality.scoreDriftAgainstHist(
+        baseHist, rows.toDF("doc_id", "sc"), col("sc"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      withClue(s"batch $bid: ") { report(bid) shouldBe expected }
+    }
+    // the in-distribution batch sits inside the whole-bit quantization
+    // band (|lam| <= 1 — the floor-log proxy is not shift-invariant
+    // across different totals, so exact 0 is only guaranteed for
+    // identical histograms); the shifted batch's KL-style total is
+    // strictly positive and its new buckets carry positive lam
+    report(0).foreach { case (_, _, _, lam) => math.abs(lam) should be <= 1L }
+    val shifted = report(1)
+    shifted.filter(t => t._1 >= 7).foreach { case (_, b, _, lam) =>
+      b shouldBe 0L; lam should be > 0L
+    }
+    shifted.map(t => t._3 * t._4).sum should be > 0L
+  }
+
   test("nbClassifyIngest: micro-batches classify against the persisted model, equal to the batch path") {
     import graft.functions.Curation
     val in       = memStream[(Long, String)]
