@@ -7,12 +7,21 @@ import org.apache.spark.sql.functions._
   * `runMain graft.DsirProf <sfDir> [reps]` re-runs the dsirSelect body
   * with a timer around each materialization so the wall time decomposes
   * into {scored checkpoint, cum histogram, keptFull, keptBoundary}.
+  * Budget is [[Queries.DsirBudget]] — the same configuration the
+  * catalog query runs.
+  *
+  * Every checkpoint is taken through `localCheckpointHandle` and freed
+  * at the end of its rep (plain `localCheckpoint` gives no handle to
+  * the block-manager copy), so later reps measure a clean block
+  * manager, not accumulated snapshot pressure.
   */
 object DsirProf {
+  import org.apache.spark.sql.graftbridge.GraftBridge.localCheckpointHandle
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 2
-    val budget = 10000L
+    val budget = Queries.DsirBudget
     val spark = GraftSession.local("graft-dsirprof")
     def tm[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -28,28 +37,23 @@ object DsirProf {
     (0 until reps).foreach { i =>
       println(s"--- rep $i load=${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}")
       tm("scored_plain_count")(Queries.dsirScored(spark, sfDir).count())
-      val cached = tm("scored_cache_count") {
-        val c = Queries.dsirScored(spark, sfDir).cache(); c.count(); c
-      }
-      cached.unpersist(blocking = true)
-      val tas = tm("scored_tas_ckpt") {
+      val (tas, tasRdd) = tm("scored_tas_ckpt") {
         val feats = graft.functions.Dsir.features(
           Tables(spark, sfDir).documents
             .withColumn("tgt", col("source") === "src0"),
           "doc_id", "text", carry = Seq("tgt"), buckets = 1024)
-        graft.functions.Dsir.trainAndScore(feats, "doc_id")
-          .localCheckpoint(eager = true)
+        localCheckpointHandle(graft.functions.Dsir.trainAndScore(feats, "doc_id"))
       }
-      tas.rdd.unpersist(false)
-      val scored = tm("scored_ckpt")(
-        Queries.dsirScored(spark, sfDir).localCheckpoint(eager = true))
+      tasRdd.unpersist(blocking = true)
+      val (scored, scoredRdd) = tm("scored_ckpt")(
+        localCheckpointHandle(Queries.dsirScored(spark, sfDir)))
       val hist = scored.groupBy(col("dsir_bits")).agg(
         count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
       val wOrd = Window.partitionBy(lit(1)).orderBy(col("dsir_bits").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = tm("cum_ckpt")(hist.withColumn("cum_before",
-        coalesce(sum(col("toks")).over(wOrd), lit(0L)))
-        .localCheckpoint(eager = true))
+      val (cum, cumRdd) = tm("cum_ckpt")(localCheckpointHandle(
+        hist.withColumn("cum_before",
+          coalesce(sum(col("toks")).over(wOrd), lit(0L)))))
       val full = cum.filter(col("cum_before") + col("toks") <= budget)
         .select(col("dsir_bits"))
       val boundary = cum
@@ -70,6 +74,8 @@ object DsirProf {
       val nb = tm("keptBoundary_count")(keptBoundary.count())
       val nu = tm("union_count")(keptFull.unionByName(keptBoundary).count())
       println(s"rows full=$nf boundary=$nb union=$nu")
+      scoredRdd.unpersist(blocking = true)
+      cumRdd.unpersist(blocking = true)
     }
     spark.stop()
   }

@@ -4162,7 +4162,7 @@ object Queries {
     Some(s"""WITH $sqlDsirCtes
             |SELECT doc_id, n_feats, dsir_bits FROM scored""".stripMargin))
 
-  private val DsirBudget = 10000L
+  private[graft] val DsirBudget = 10000L
 
   /** Budgeted DSIR selection at an arbitrary token budget — the catalog
     * query fixes budget = [[DsirBudget]]; the boundary-semantics spec

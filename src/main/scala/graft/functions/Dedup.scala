@@ -305,11 +305,13 @@ object Dedup {
     * dedup, then the verify re-join of both shingle sets — no all-pairs
     * stage, doc sizes ride the pair, nothing per-corpus-doc is joined
     * back or broadcast.
-    */
-  /** `maxShingleFreq > 0` is the PRODUCTION cap for mass-replica
+    *
+    * `maxShingleFreq > 0` is the PRODUCTION cap for mass-replica
     * corpora: shingles with document frequency above the cap are
-    * excluded from CANDIDATE generation (both the prefix and the
-    * indexed side), exactly the [[simhashBucketCandidates]] /
+    * excluded from the PREFIX side of candidate generation (capping
+    * that side alone bounds every candidate bucket, since a bucket's
+    * size is the shingle's document frequency), exactly the
+    * [[simhashBucketCandidates]] /
     * [[sharedWindowPairs]] discipline — on k-replica dup cliques the
     * exact candidate volume is inherently C(k,2)-quadratic (every
     * shingle's frequency ≈ k), and the cap bounds it at the cost of
@@ -333,7 +335,8 @@ object Dedup {
     // re-inlines split(trim(text)) inside every lambda element_at (no
     // CSE across lambda bodies — 5 splits per shingle), and this plan
     // evaluates the shingle stream five times; the native one-pass
-    // build measured q_containment 32.5 s -> 2.9 s at sf0.1
+    // build measured q_containment 32.5 s -> 1.5 s at sf0.1
+    // (3.0 s at sf10 — PERF.md round 13)
     val sh = df
       .select(col(id), tokens(col(text)).as("tk"))
       .select(col(id), explode(

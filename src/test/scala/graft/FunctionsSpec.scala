@@ -1376,7 +1376,7 @@ class FunctionsSpec extends SparkSpec {
       maxShingleFreq = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // clique ids 0-5 absent entirely; (10 in 11) found at exact 10000
-    capped.map(_._1) should not contain oneOf(0L, 1L, 2L)
+    capped.map(_._1) should contain noneOf (0L, 1L, 2L, 3L, 4L, 5L)
     capped should contain((10L, 11L, 10000L))
     // uncapped finds the full clique too (sanity that the cap did it)
     val exact = Dedup.containmentPairs(docs2, "doc_id", "text", 8000L)
