@@ -37,6 +37,18 @@ object Bench {
       try { q.spark(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
+    // between queries, free every RDD still pinned in the block manager:
+    // operators with a lazy result contract (MaxMatch vocab, Unigram
+    // refit rounds, Bpe delta state, the ivfPqProbeSweep assignment
+    // table) necessarily leave their internal localCheckpoints cached —
+    // after the query's count() they are dead weight, and over a
+    // 149-query session the accumulation is a systematic, ORDER-
+    // dependent memory pressure on later queries that reads as noise.
+    // Each query is measured as an independent job on a clean block
+    // manager, which is the cluster model the numbers stand for.
+    def freeStranded(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     // optional args: query names (exact) to bench — for iterating on one
     // query without paying for the full catalog; no args = full catalog
     val selected =
@@ -44,7 +56,9 @@ object Bench {
       else Queries.all.filter(q => args.contains(q.name))
     val loadBefore = loadAvg1m()
     val results = selected.map { q =>
-      q.name -> math.min(once(q), once(q))
+      val r = q.name -> math.min(once(q), once(q))
+      freeStranded()
+      r
     }
     val loadAfter = loadAvg1m()
     val failed = results.collect { case (k, v) if v < 0 => k }
