@@ -1052,6 +1052,41 @@ object Queries {
             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
             |FROM c GROUP BY 1, 2""".stripMargin))
 
+  private val qLengthBatch = Q(
+    "q_length_batch",
+    "length-grouped batching padding-waste report: arrival-order vs length-sorted fixed-size batches per shard",
+    (s, d) => graft.operators.Sharding.lengthBatchReport(
+      t(s, d).documents, "doc_id", "text", "lang", batchSize = 32),
+    Some(s"""WITH dd AS (SELECT lang AS shard, doc_id,
+            |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlToks) END AS BIGINT) AS nt
+            |  FROM documents),
+            |a1 AS (SELECT shard, nt,
+            |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM dd),
+            |a2 AS (SELECT shard, nt,
+            |    row_number() OVER (PARTITION BY shard ORDER BY nt DESC, doc_id) AS rn FROM dd),
+            |b1 AS (SELECT shard, (rn - 1) // 32 AS batch, CAST(count(*) AS BIGINT) AS bn,
+            |    CAST(max(nt) AS BIGINT) AS mx, CAST(sum(nt) AS BIGINT) AS st
+            |  FROM a1 GROUP BY 1, 2),
+            |b2 AS (SELECT shard, (rn - 1) // 32 AS batch, CAST(count(*) AS BIGINT) AS bn,
+            |    CAST(max(nt) AS BIGINT) AS mx, CAST(sum(nt) AS BIGINT) AS st
+            |  FROM a2 GROUP BY 1, 2),
+            |u AS (
+            |  SELECT shard, 'arrival' AS arm, CAST(count(*) AS BIGINT) AS n_batches,
+            |    CAST(sum(st) AS BIGINT) AS sum_tokens,
+            |    CAST(sum(bn * mx) AS BIGINT) AS slot_tokens,
+            |    CAST(sum(bn * mx - st) AS BIGINT) AS padded_tokens
+            |  FROM b1 GROUP BY 1
+            |  UNION ALL
+            |  SELECT shard, 'length' AS arm, CAST(count(*) AS BIGINT) AS n_batches,
+            |    CAST(sum(st) AS BIGINT) AS sum_tokens,
+            |    CAST(sum(bn * mx) AS BIGINT) AS slot_tokens,
+            |    CAST(sum(bn * mx - st) AS BIGINT) AS padded_tokens
+            |  FROM b2 GROUP BY 1)
+            |SELECT shard, arm, n_batches, sum_tokens, slot_tokens, padded_tokens,
+            |  CASE WHEN slot_tokens > 0 THEN (padded_tokens * 10000) // slot_tokens
+            |    ELSE 0 END AS waste_bp
+            |FROM u""".stripMargin))
+
   // Data-loader shard assignment — operators/Sharding.shardManifest
   // (see its scaladoc for the determinism and parallelism-=-shards
   // contract). The catalog pins 8 shards so the oracle stays literal;
@@ -4948,6 +4983,71 @@ object Queries {
            |FROM c GROUP BY 1 ORDER BY score_sc DESC, doc_id LIMIT $Bm25K""".stripMargin
     })
 
+  /** Arm depth / fused size / RRF constant for [[qHybridRrf]] — shared
+    * with the oracle so the two sides cannot drift. μ = 2000 is Zhai &
+    * Lafferty's default.
+    */
+  private val HybridN    = 20
+  private val HybridK    = 10
+  private val HybridRrfK = 60
+  private val HybridMu   = 2000
+
+  private val qHybridRrf = Q(
+    "q_hybrid_rrf",
+    "hybrid retrieval: BM25 + Dirichlet query-likelihood arms fused by reciprocal-rank fusion",
+    (s, d) => Curation.hybridRrfTopK(
+      t(s, d).documents, "doc_id", "text", Bm25Terms,
+      n = HybridN, k = HybridK, rrfK = HybridRrfK, mu = HybridMu),
+    Some {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      raw"""WITH toks AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+           |  WHERE tok IN ($termList) GROUP BY 1, 2),
+           |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |bmc AS (SELECT tf.doc_id,
+           |    CAST(round(
+           |      ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
+           |      * (CAST(44*t_toks*tf AS DOUBLE)
+           |         / CAST(20*t_toks*tf + 6*t_toks + 18*dl*n_docs AS DOUBLE))
+           |      * 10000) AS BIGINT) AS contrib
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot),
+           |bms AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+           |  FROM bmc GROUP BY 1),
+           |bmr AS (SELECT doc_id, rank FROM (SELECT doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bms)
+           |  WHERE rank <= $HybridN),
+           |cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM toks
+           |  WHERE tok IN ($termList) GROUP BY 1),
+           |qt AS (SELECT unnest([$termList]) AS tok),
+           |qtf AS (SELECT c.doc_id, q.tok, COALESCE(tf.tf, 0) AS tf
+           |  FROM (SELECT DISTINCT doc_id FROM tf) c CROSS JOIN qt q
+           |  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.tok = q.tok),
+           |qlc AS (SELECT qtf.doc_id,
+           |    CAST(round(ln(
+           |      CAST(tf * t_toks + $HybridMu * cf AS DOUBLE)
+           |      / CAST((dl + $HybridMu) * t_toks AS DOUBLE)) * 10000) AS BIGINT) AS contrib
+           |  FROM qtf JOIN dl USING (doc_id) JOIN cf USING (tok) CROSS JOIN tot),
+           |qls AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+           |  FROM qlc GROUP BY 1),
+           |qlr AS (SELECT doc_id, rank FROM (SELECT doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM qls)
+           |  WHERE rank <= $HybridN),
+           |u AS (SELECT doc_id, rank, 'bm25' AS arm FROM bmr
+           |  UNION ALL SELECT doc_id, rank, 'ql' AS arm FROM qlr),
+           |f AS (SELECT doc_id,
+           |    CAST(sum(1000000 // ($HybridRrfK + rank)) AS BIGINT) AS rrf_sc,
+           |    CAST(COALESCE(max(CASE WHEN arm = 'bm25' THEN rank END), 0) AS BIGINT) AS rank_bm25,
+           |    CAST(COALESCE(max(CASE WHEN arm = 'ql' THEN rank END), 0) AS BIGINT) AS rank_ql
+           |  FROM u GROUP BY 1)
+           |SELECT doc_id, rrf_sc, rank_bm25, rank_ql FROM f
+           |ORDER BY rrf_sc DESC, doc_id LIMIT $HybridK""".stripMargin
+    })
+
   private val qSplitLeakfree = Q(
     "q_split_leakfree",
     "dedup-aware train/val/test split: exact-dup groups assigned atomically by content-group hash",
@@ -5149,6 +5249,83 @@ object Queries {
             |SELECT n_true, n_cand, n_hit,
             |  CASE WHEN n_cand > 0 THEN (n_hit * 10000) // n_cand ELSE 0 END AS precision_bp,
             |  CASE WHEN n_true > 0 THEN (n_hit * 10000) // n_true ELSE 0 END AS recall_bp
+            |FROM m""".stripMargin))
+
+  private val qBcubed = Q(
+    "q_bcubed",
+    "B-cubed precision/recall/F1 of LSH dedup clusters vs exact-Jaccard ground-truth clusters",
+    (s, d) => {
+      // q_dedup_eval grades the candidate PAIRS; this grades what the
+      // pipeline actually acts on — the CLUSTER assignment (canonical-doc
+      // dedup keeps one doc per component). Same bounded ground-truth
+      // corpus, same generators: predicted components from the LSH band
+      // edges, true components from exact Jaccard >= 0.8 pairs.
+      val docs = t(s, d).documents.filter(col("doc_id") < 500)
+      val pred = Clustering.clustersOf(docs,
+        Dedup.minhashCandidates(docs, "doc_id", "text",
+          MinhashHashes, MinhashBands, maxBucket = 0),
+        "doc_id").select(col("doc_id"), col("cluster_id"))
+      val truth = Clustering.clustersOf(docs,
+        Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_id").select(col("doc_id"), col("cluster_id"))
+      graft.functions.Quality.bcubed(pred, truth)
+    },
+    Some(s"""WITH RECURSIVE toks AS (${sqlDocToks(500)}),
+            |${sqlMinhashSigs(MinhashHashes)},
+            |bands AS (
+            |${sqlMinhashBands(MinhashHashes, MinhashBands)}
+            |),
+            |p AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+            |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            |reach AS (
+            |  SELECT a AS node, a AS lab FROM e
+            |  UNION
+            |  SELECT e.b AS node, r.lab FROM reach r JOIN e ON e.a = r.node
+            |),
+            |cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+            |pa AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS ca
+            |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+            |  WHERE d.doc_id < 500),
+            |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+            |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |    CAST(count(*) AS BIGINT) AS common
+            |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |tp AS (SELECT doc_a, doc_b FROM c
+            |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+            |  WHERE common / (sa.nt + sb.nt - common) >= 0.8),
+            |te AS (SELECT doc_a AS a, doc_b AS b FROM tp
+            |  UNION SELECT doc_b, doc_a FROM tp),
+            |treach AS (
+            |  SELECT a AS node, a AS lab FROM te
+            |  UNION
+            |  SELECT te.b AS node, r.lab FROM treach r JOIN te ON te.a = r.node
+            |),
+            |tcc AS (SELECT node, min(lab) AS cluster_id FROM treach GROUP BY node),
+            |ta AS (SELECT d.doc_id, coalesce(tcc.cluster_id, d.doc_id) AS cb
+            |  FROM documents d LEFT JOIN tcc ON tcc.node = d.doc_id
+            |  WHERE d.doc_id < 500),
+            |j AS (SELECT pa.doc_id, ca, cb FROM pa JOIN ta USING (doc_id)),
+            |na AS (SELECT ca, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1),
+            |nb AS (SELECT cb, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1),
+            |ni AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+            |per AS (SELECT
+            |    CAST((ni.n * 10000) // na.n AS BIGINT) AS p_bp,
+            |    CAST((ni.n * 10000) // nb.n AS BIGINT) AS r_bp
+            |  FROM j JOIN ni USING (ca, cb) JOIN na USING (ca) JOIN nb USING (cb)),
+            |m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            |    CAST(sum(p_bp) AS BIGINT) AS sp, CAST(sum(r_bp) AS BIGINT) AS sr
+            |  FROM per)
+            |SELECT n_docs,
+            |  CAST(sp // n_docs AS BIGINT) AS bcubed_p_bp,
+            |  CAST(sr // n_docs AS BIGINT) AS bcubed_r_bp,
+            |  CAST(CASE WHEN sp // n_docs + sr // n_docs > 0
+            |    THEN (2 * (sp // n_docs) * (sr // n_docs))
+            |      // ((sp // n_docs) + (sr // n_docs))
+            |    ELSE 0 END AS BIGINT) AS bcubed_f1_bp
             |FROM m""".stripMargin))
 
   private val qJlProject = Q(
@@ -5677,7 +5854,7 @@ object Queries {
     qRetention, qRollingFp, qSkewSalted, qSlidingWindow, qSessionWindow,
     qAsofJoin, qAsofJoinExec, qPivot, qSetOps, qRangeJoin, qRangeJoinAuto, qHeavyHitters, qCube,
     qGroupingSets, qQuantileSketch,
-    qSampleSplit, qSampleStratified, qSampleWeighted, qPackBudget,
+    qSampleSplit, qSampleStratified, qSampleWeighted, qPackBudget, qLengthBatch,
     qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qEditCapped, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp,
@@ -5697,7 +5874,7 @@ object Queries {
     qDsirWeight, qDsirSelect, qDrift,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qBm25Indexed, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qAuc, qPrCurve, qJlProject,
+    qBm25Topk, qBm25Indexed, qHybridRrf, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qBcubed, qAuc, qPrCurve, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
     qChunkWindows, qPhraseMatch, qPhraseServed, qPhraseStore, qPhraseCompact,
     qDupSpans, qDupScrub)

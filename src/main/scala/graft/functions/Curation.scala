@@ -133,6 +133,128 @@ object Curation {
     bm25Search(docs, bm25Index(docs, idCol, textCol), idCol, textCol, terms, k)
 
   // ─────────────────────────────────────────────────────────────────
+  // Query-likelihood retrieval + reciprocal-rank fusion
+  // ─────────────────────────────────────────────────────────────────
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * SIGIR'01, eq. 6; μ defaults to their 2000) — the language-model
+    * ranker beside [[bm25Search]]'s probabilistic one, and the second
+    * arm every hybrid-retrieval stack fuses:
+    *
+    *   score(d|q) = Σ_{t∈q} ln( (tf_{t,d} + μ·cf_t/T) / (dl_d + μ) )
+    *              = Σ_{t∈q} ln( (tf_{t,d}·T + μ·cf_t) / ((dl_d + μ)·T) )
+    *
+    * — the argument an exact int64 rational (μ integral multiplies
+    * through), so the BM25 exactness contract holds verbatim: one
+    * division and one ln per (doc, term), each contribution rounded to
+    * int64 ten-thousandths BEFORE the per-doc sum. Terms the doc lacks
+    * still contribute their background mass (tf = 0), which is what
+    * separates QL from a coordination-level overlap score. Candidates
+    * are docs matching ≥ 1 query term (the inverted-index regime —
+    * every no-match doc would score the same query-independent
+    * background constant).
+    *
+    * Scale shape: ONE corpus scan builds (doc, dl, per-term tf) as
+    * conditional sums; corpus stats (cf per query term, total tokens)
+    * fold from that same per-doc table with a second small aggregate
+    * and broadcast. Scoring is a map-side projection over candidate
+    * docs. Output: (idCol, score_sc) top-k, (score desc, id) total
+    * order.
+    */
+  def qlDirichletTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      mu: Int = 2000): DataFrame = {
+    require(terms.nonEmpty, "qlDirichletTopK needs at least one query term")
+    val toks = docs.select(
+      col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val tfCols = terms.map(t =>
+      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val stats = perDoc.agg(
+      sum(col("dl")).as("t_toks"),
+      terms.map(t => sum(col(s"tf_$t")).as(s"cf_$t")): _*)
+    val anyMatch = terms.map(t => col(s"tf_$t") > 0L).reduce(_ || _)
+    val contribs = terms.map(t => expr(
+      s"""CAST(round(ln(
+         |  CAST(tf_$t * t_toks + $mu * cf_$t AS DOUBLE)
+         |  / CAST((dl + $mu) * t_toks AS DOUBLE)) * 10000) AS BIGINT)""".stripMargin))
+    perDoc.filter(anyMatch)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), contribs.reduce(_ + _).as("score_sc"))
+      .orderBy(col("score_sc").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR'09) of
+    * labeled (id, rank) lists: fused(d) = Σ_arms ⌊10⁶/(rrfK + rank)⌋,
+    * summed over the arms that retrieved d — exact integer floor
+    * division, so the fused score is order-independent and
+    * hash-comparable (the float 1/(k+r) sum would not be). Emits each
+    * arm's rank alongside (0 = not retrieved by that arm) so the fused
+    * list is auditable. rrfK defaults to the paper's 60.
+    *
+    * Scale shape: arms are top-N lists (constant-size by construction),
+    * so the union/aggregate is constant work per query regardless of
+    * corpus size — the corpus-scale work lives in the rankers.
+    */
+  def rrfFuse(
+      arms: Seq[(String, DataFrame)],
+      idCol: String,
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one ranking arm")
+    val tagged = arms.map { case (name, r) =>
+      r.select(col(idCol), col("rank").cast("long").as("rank"))
+        .withColumn("arm", lit(name))
+    }.reduce(_ unionByName _)
+    val armRanks = arms.map { case (name, _) =>
+      coalesce(max(when(col("arm") === name, col("rank"))), lit(0L))
+        .as(s"rank_$name")
+    }
+    tagged.groupBy(col(idCol))
+      .agg(sum(expr(s"1000000 DIV ($rrfK + rank)")).as("rrf_sc"), armRanks: _*)
+      .orderBy(col("rrf_sc").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** (id, rank) view of a scored list: rank = row_number over
+    * (scoreCol desc, id) — the deterministic total order every ranker
+    * in this module already emits. The window is over an
+    * already-top-N-limited frame (constant rows), not the corpus.
+    */
+  def rankOf(scored: DataFrame, idCol: String, scoreCol: String): DataFrame =
+    scored.select(col(idCol),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol))).cast("long").as("rank"))
+
+  /** Hybrid retrieval: BM25 ([[bm25TopK]]) and Dirichlet QL
+    * ([[qlDirichletTopK]]) top-n arms fused by RRF ([[rrfFuse]]) — the
+    * sparse-ensemble shape of a production retrieval stack (swap either
+    * arm for an ANN ranker over an embedding column to get the
+    * sparse+dense variant; RRF is ranker-agnostic, which is its point).
+    */
+  def hybridRrfTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      n: Int,
+      k: Int,
+      rrfK: Int = 60,
+      mu: Int = 2000): DataFrame =
+    rrfFuse(
+      Seq(
+        "bm25" -> rankOf(bm25TopK(docs, idCol, textCol, terms, n), idCol, "score_sc"),
+        "ql" -> rankOf(
+          qlDirichletTopK(docs, idCol, textCol, terms, n, mu), idCol, "score_sc")),
+      idCol, k, rrfK)
+
+  // ─────────────────────────────────────────────────────────────────
   // Positional inverted index + exact phrase matching
   // ─────────────────────────────────────────────────────────────────
 

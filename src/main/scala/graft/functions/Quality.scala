@@ -308,6 +308,64 @@ object Quality {
           .otherwise(lit(-1L)).as("recall_bp"))
   }
 
+  /** B-cubed precision/recall/F1 of a predicted clustering against a
+    * reference clustering (Bagga & Baldwin 1998; Amigó et al. 2009 show
+    * it is the extrinsic clustering metric satisfying all four
+    * cluster-evaluation constraints) — the CLUSTER-level companion of
+    * the pair-level detector harness (`q_dedup_eval`/[[rocAuc]]): a
+    * dedup pipeline deduplicates by CLUSTER (canonical doc per
+    * component), so its quality question is "how close are the
+    * components to the true duplicate groups", which pair precision/
+    * recall over-penalizes on large cliques (C(k,2) pair weight) and
+    * B-cubed weighs per document.
+    *
+    * Per doc d with predicted cluster C(d) and true cluster T(d):
+    * P(d) = |C(d)∩T(d)|/|C(d)|, R(d) = |C(d)∩T(d)|/|T(d)|; the report
+    * averages over docs. Exact integer basis points throughout (per-doc
+    * floor-division bp, then a floor-division mean — deterministic and
+    * mirrorable, the [[rocAuc]] convention); F1 is the harmonic mean of
+    * the two bp means, 0 when both are 0. One row:
+    * (n_docs, bcubed_p_bp, bcubed_r_bp, bcubed_f1_bp).
+    *
+    * Inputs are (docCol, clusterCol) assignment tables — compose with
+    * [[graft.functions.Clustering.clustersOf]] over any candidate
+    * generator for `pred` and over exact-verified pairs for `truth`.
+    * Docs missing from either side are dropped (inner join): the metric
+    * compares clusterings of the same universe.
+    *
+    * Scale shape: everything is keyed joins/aggregations on narrow
+    * (doc, cluster-id) rows — cluster sizes and intersection sizes are
+    * map-side-combined counts; no window over raw docs, no text in any
+    * shuffle. Output is one row.
+    */
+  def bcubed(
+      pred: DataFrame,
+      truth: DataFrame,
+      docCol: String = "doc_id",
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val a = pred.select(col(docCol).as("_d"), col(clusterCol).as("ca"))
+    val b = truth.select(col(docCol).as("_d"), col(clusterCol).as("cb"))
+    val j = a.join(b, "_d")
+    val szA   = j.groupBy(col("ca")).agg(count(lit(1)).as("na"))
+    val szB   = j.groupBy(col("cb")).agg(count(lit(1)).as("nb"))
+    val inter = j.groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("ni"))
+    j.join(inter, Seq("ca", "cb"))
+      .join(szA, Seq("ca"))
+      .join(szB, Seq("cb"))
+      .select(
+        expr("(ni * 10000) DIV na").as("p_bp"),
+        expr("(ni * 10000) DIV nb").as("r_bp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p_bp")).as("sp"), sum(col("r_bp")).as("sr"))
+      .select(col("n_docs"),
+        expr("sp DIV n_docs").as("bcubed_p_bp"),
+        expr("sr DIV n_docs").as("bcubed_r_bp"))
+      .withColumn("bcubed_f1_bp", expr(
+        """CASE WHEN bcubed_p_bp + bcubed_r_bp > 0
+          |  THEN (2 * bcubed_p_bp * bcubed_r_bp) DIV (bcubed_p_bp + bcubed_r_bp)
+          |  ELSE 0 END""".stripMargin))
+  }
+
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df

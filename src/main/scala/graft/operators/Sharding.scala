@@ -152,6 +152,66 @@ object Sharding {
     * volume × (chunkSize / stride) overlap factor, which the caller
     * dials explicitly.
     */
+  /** Length-grouped batching padding-waste report — the training-
+    * efficiency measurement behind "sort by length before batching"
+    * (dynamic batching / bucketed batching in every seq2seq and LLM
+    * fine-tuning loader): when fixed-size batches are padded to their
+    * longest member, arrival-order batching wastes compute on pad
+    * tokens that length-sorted batching avoids. Two arms over the same
+    * corpus, one row per (shard, arm):
+    *
+    *  - `arrival` — docs batched `batchSize` at a time in id order
+    *  - `length`  — docs batched after sorting by (token count desc, id)
+    *
+    * with `slot_tokens` = Σ batch_rows·batch_max (compute actually
+    * spent), `padded_tokens` = slot − real tokens, and `waste_bp` the
+    * padded share in basis points — exact integer arithmetic, floor
+    * division, hash-comparable cross-engine.
+    *
+    * With every batch full (shard size divisible by batchSize), sorted
+    * contiguous grouping provably minimizes Σ batch maxima, so the
+    * length arm's waste is a lower bound the arrival arm can only meet
+    * (spec-pinned); a short trailing batch can locally favor either arm.
+    *
+    * Scale shape: one narrow (shard, id, n_tokens) projection; each arm
+    * is a per-shard rank window + two keyed aggregations — text never
+    * shuffles. Window parallelism = shard count, so production calls
+    * pass the loader-shard key ([[shardManifest]]'s output, or
+    * (domain, shard)) rather than a low-cardinality label; the catalog
+    * query uses the language column as the shard for oracle literalness.
+    */
+  def lengthBatchReport(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      shardCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = docs.select(
+      col(shardCol).as("shard"), col(id).as("_id"),
+      graft.functions.TextFunctions.tokenCount(col(text)).cast("long").as("nt"))
+    def arm(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      base
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("shard")).orderBy(order: _*)))
+        .withColumn("batch", expr(s"(rn - 1) DIV $batchSize"))
+        .groupBy(col("shard"), col("batch"))
+        .agg(count(lit(1)).as("bn"), max(col("nt")).as("mx"), sum(col("nt")).as("st"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("st")).as("sum_tokens"),
+          sum(col("bn") * col("mx")).as("slot_tokens"),
+          sum(col("bn") * col("mx") - col("st")).as("padded_tokens"))
+        .withColumn("arm", lit(name))
+    arm("arrival", Seq(col("_id")))
+      .unionByName(arm("length", Seq(col("nt").desc, col("_id"))))
+      .withColumn("waste_bp", expr(
+        "CASE WHEN slot_tokens > 0 THEN (padded_tokens * 10000) DIV slot_tokens ELSE 0 END"))
+      .select(col("shard"), col("arm"), col("n_batches"), col("sum_tokens"),
+        col("slot_tokens"), col("padded_tokens"), col("waste_bp"))
+  }
+
   def chunkWindows(
       docs: DataFrame,
       id: String,

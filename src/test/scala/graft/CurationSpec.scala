@@ -478,4 +478,89 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  // ─────────────────────────────────────────────────────────────────
+  // Query-likelihood retrieval + RRF fusion
+  // ─────────────────────────────────────────────────────────────────
+
+  test("qlDirichletTopK equals the scalar Zhai–Lafferty formula; background mass scored for missing terms") {
+    // μ small relative to the tiny corpus so smoothing actually moves
+    // the ranking (the default 2000 would drown 16 tokens of signal)
+    val corpus = Seq(
+      (0L, "a b c a"),  // both terms, tf_a=2
+      (1L, "a a a a"),  // only a, heavily
+      (2L, "b c d e"),  // only b
+      (3L, "x y z"),    // no query term -> not a candidate
+      (4L, "a b"))      // both terms, short doc
+    val terms = Seq("a", "b")
+    val mu    = 10
+    val docs  = corpus.toDF("doc_id", "text")
+
+    // independent scalar model
+    val toks  = corpus.map { case (id, s) => id -> s.split(" ").toSeq }.toMap
+    val tTot  = toks.values.map(_.size).sum.toLong
+    val cf    = terms.map(t => t -> toks.values.map(_.count(_ == t)).sum.toLong).toMap
+    val expected = corpus
+      .map(_._1)
+      .filter(id => terms.exists(t => toks(id).contains(t)))
+      .map { id =>
+        val dl = toks(id).size.toLong
+        val sc = terms.map { t2 =>
+          val tf = toks(id).count(_ == t2).toLong
+          math.round(math.log(
+            (tf * tTot + mu * cf(t2)).toDouble / ((dl + mu) * tTot).toDouble) * 10000)
+        }.sum
+        (id, sc)
+      }
+      .sortBy { case (id, sc) => (-sc, id) }
+
+    val got = Curation.qlDirichletTopK(docs, "doc_id", "text", terms, k = 10, mu = mu)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+    // doc 3 (no query term) must not appear; docs with a missing term DO
+    // (their background mass scored it) — that's QL, not boolean overlap
+    got.map(_._1) should not contain 3L
+    got.map(_._1) should contain allOf (1L, 2L)
+  }
+
+  test("rrfFuse: hand-computed fusion, consensus beats single-arm top rank, per-arm ranks audited") {
+    val bm = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
+    val ql = Seq((12L, 1L), (10L, 2L), (13L, 3L)).toDF("doc_id", "rank")
+    val got = Curation.rrfFuse(Seq("bm25" -> bm, "ql" -> ql), "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 10 (ranks 1, 2): ⌊1e6/61⌋+⌊1e6/62⌋ = 16393+16129 = 32522
+    // doc 12 (ranks 3, 1): ⌊1e6/63⌋+⌊1e6/61⌋ = 15873+16393 = 32266
+    got(0) shouldBe ((10L, 32522L, 1L, 2L))
+    got(1) shouldBe ((12L, 32266L, 3L, 1L))
+    // consensus mid-rankers (10, 12) both beat the single-arm docs
+    got(2) shouldBe ((11L, 16129L, 2L, 0L)) // bm only: ⌊1e6/62⌋
+    got(3) shouldBe ((13L, 15873L, 0L, 3L)) // ql only: ⌊1e6/63⌋
+  }
+
+  test("hybridRrfTopK: per-arm ranks in the fused output match the standalone rankers") {
+    val docs = (0L until 40L).map { i =>
+      val pad = Seq.fill((i % 7).toInt + 1)("filler").mkString(" ")
+      val hot = if (i % 3 == 0) s"alpha ${"alpha " * (i % 5).toInt}" else ""
+      val beta = if (i % 4 == 0) "beta " else ""
+      (i, s"$hot$beta$pad doc$i")
+    }.toDF("doc_id", "text")
+    val terms = Seq("alpha", "beta")
+    val fused = Curation.hybridRrfTopK(docs, "doc_id", "text", terms,
+      n = 10, k = 10, mu = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    val bmRanks = Curation.rankOf(
+      Curation.bm25TopK(docs, "doc_id", "text", terms, 10), "doc_id", "score_sc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qlRanks = Curation.rankOf(
+      Curation.qlDirichletTopK(docs, "doc_id", "text", terms, 10, mu = 50),
+      "doc_id", "score_sc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fused should not be empty
+    fused.foreach { case (id, rb, rq) =>
+      rb shouldBe bmRanks.getOrElse(id, 0L)
+      rq shouldBe qlRanks.getOrElse(id, 0L)
+    }
+    // at least one doc fused from BOTH arms on this corpus
+    fused.exists { case (_, rb, rq) => rb > 0 && rq > 0 } shouldBe true
+  }
 }

@@ -1490,4 +1490,31 @@ class FunctionsSpec extends SparkSpec {
     auc(Seq((5L, true), (5L, false), (5L, true)))._3 shouldBe 5000L
     auc(Seq((1L, true), (2L, true)))._3 shouldBe -1L
   }
+
+  test("bcubed: hand-computed example, identity, singleton-vs-lump asymmetry, label invariance") {
+    import graft.functions.Quality
+    def asg(rows: Seq[(Long, Long)]) = rows.toDF("doc_id", "cluster_id")
+    def run(p: Seq[(Long, Long)], t2: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = Quality.bcubed(asg(p), asg(t2)).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // pred {1..5}{6,7} vs truth {1,2,3}{4,5}{6,7}:
+    // docs 1-3: P=3/5, R=1; docs 4-5: P=2/5, R=1; docs 6-7: P=R=1
+    // P̄ = (3·6000 + 2·4000 + 2·10000) // 7 = 6571, R̄ = 10000,
+    // F1 = 2·6571·10000 // 16571 = 7930
+    val pred  = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L, 7L -> 6L)
+    val truth = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L)
+    run(pred, truth) shouldBe ((7L, 6571L, 10000L, 7930L))
+    // swapping pred/truth swaps precision and recall exactly
+    run(truth, pred) shouldBe ((7L, 10000L, 6571L, 7930L))
+    // identical clusterings are perfect
+    run(truth, truth) shouldBe ((7L, 10000L, 10000L, 10000L))
+    // all-singletons pred vs one-lump truth: P̄=1, R̄=1/4, F1 harmonic
+    val singles = Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    val lump    = Seq(1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 9L)
+    run(singles, lump) shouldBe ((4L, 10000L, 2500L, 4000L))
+    // cluster LABELS don't matter, only the partition does
+    val relabeled = truth.map { case (d, c) => (d, c + 100L) }
+    run(pred, relabeled) shouldBe run(pred, truth)
+  }
 }

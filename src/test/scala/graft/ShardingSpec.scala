@@ -137,4 +137,45 @@ class ShardingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+
+  test("lengthBatchReport: hand-computed golden on one shard") {
+    // token counts by id order: 3, 1, 4, 1, 5; batchSize 2
+    val docs = Seq(
+      (0L, "s", "a a a"), (1L, "s", "b"), (2L, "s", "c c c c"),
+      (3L, "s", "d"), (4L, "s", "e e e e e")).toDF("doc_id", "shard", "text")
+    val got = Sharding.lengthBatchReport(docs, "doc_id", "text", "shard", 2)
+      .collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    // arrival: {3,1}{4,1}{5} -> slots 6+8+5=19, padded 19-14=5, bp 2631
+    got("arrival") shouldBe ((3L, 14L, 19L, 5L, 2631L))
+    // length-sorted: {5,4}{3,1}{1} -> slots 10+6+1=17, padded 3, bp 1764
+    got("length") shouldBe ((3L, 14L, 17L, 3L, 1764L))
+  }
+
+  test("lengthBatchReport property: with full batches, the length arm never wastes more than arrival") {
+    val rnd = new scala.util.Random(31)
+    // 2 shards x 64 docs (divisible by batchSize 8 -> every batch full,
+    // where sorted contiguous grouping provably minimizes Σ batch maxima;
+    // a short tail batch can locally favor either arm, so the catalog
+    // query reports rather than asserts)
+    val docs = (0 until 128).map { i =>
+      val nt = 1 + rnd.nextInt(40)
+      (i.toLong, s"sh${i % 2}", Seq.fill(nt)("w").mkString(" "))
+    }.toDF("doc_id", "shard", "text")
+    val rows = Sharding.lengthBatchReport(docs, "doc_id", "text", "shard", 8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    Seq("sh0", "sh1").foreach { sh =>
+      val (nbA, sumA, slotA, padA) = rows((sh, "arrival"))
+      val (nbL, sumL, slotL, padL) = rows((sh, "length"))
+      nbA shouldBe 8L
+      nbL shouldBe 8L
+      sumA shouldBe sumL            // same corpus either way
+      padA shouldBe slotA - sumA    // padding is exactly slot minus real
+      padL shouldBe slotL - sumL
+      padL should be <= padA        // sorted batching can only help
+    }
+  }
 }
