@@ -791,6 +791,73 @@ object Queries {
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
            |  FROM s) WHERE rank <= 5""".stripMargin))
 
+  /** [[qMmrRerank]] constants, shared with the unrolled oracle below. */
+  private val MmrQueries  = 8
+  private val MmrN        = 16
+  private val MmrK        = 5
+  private val MmrLambdaBp = 7000
+
+  /** The MMR greedy unrolled as DuckDB CTEs — one (ms, pick, sel) triple
+    * per rank 2‥k over the candidate/pair-sim CTEs, the mirror of
+    * [[graft.functions.Similarity.mmrRerank]]'s plan unrolling.
+    */
+  private def sqlMmrSteps(k: Int, lambdaBp: Int): String = {
+    val mu = 10000 - lambdaBp
+    (2 to k).map { i =>
+      s"""ms$i AS (SELECT r.query_id, r.neighbor_id, r.rel_sc,
+         |    CAST(max(ps.sim_sc) AS BIGINT) AS maxsim_sc
+         |  FROM cand r JOIN ps ON ps.query_id = r.query_id AND ps.a = r.neighbor_id
+         |  JOIN sel${i - 1} s ON s.query_id = ps.query_id AND s.neighbor_id = ps.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} z
+         |    WHERE z.query_id = r.query_id AND z.neighbor_id = r.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |pick$i AS (SELECT query_id, CAST($i AS BIGINT) AS mmr_rank, neighbor_id,
+         |    rel_sc, maxsim_sc,
+         |    $lambdaBp * rel_sc - $mu * maxsim_sc AS score_sc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $lambdaBp * rel_sc - $mu * maxsim_sc DESC, neighbor_id) AS rn
+         |  FROM ms$i) WHERE rn = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  private val qMmrRerank = Q(
+    "q_mmr_rerank",
+    "maximal-marginal-relevance diversification of the cosine top-n (greedy λ·rel − (1−λ)·max-sim)",
+    (s, d) => {
+      val e = t(s, d).embeddings
+      Similarity.mmrRerank(e.filter(col("vec_id") < MmrQueries), e,
+        "vec_id", "embedding", n = MmrN, k = MmrK, lambdaBp = MmrLambdaBp)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            |  FROM embeddings WHERE vec_id < $MmrQueries),
+            |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            |  FROM embeddings),
+            |s AS (SELECT query_id, neighbor_id, cv,
+            |  round(list_dot_product(qv, cv)
+            |    / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 4) AS cos_sim
+            |FROM q, c),
+            |cand AS (SELECT query_id, neighbor_id, cv,
+            |    CAST(round(cos_sim * 10000) AS BIGINT) AS rel_sc FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM s) WHERE rnk <= $MmrN),
+            |ps AS (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+            |    CAST(round(round(list_dot_product(x.cv, y.cv)
+            |      / sqrt(list_dot_product(x.cv, x.cv) * list_dot_product(y.cv, y.cv)), 4)
+            |      * 10000) AS BIGINT) AS sim_sc
+            |  FROM cand x JOIN cand y
+            |    ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id),
+            |sel1 AS (SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank, neighbor_id,
+            |    rel_sc, CAST(0 AS BIGINT) AS maxsim_sc,
+            |    $MmrLambdaBp * rel_sc AS score_sc FROM (
+            |  SELECT query_id, neighbor_id, rel_sc,
+            |    row_number() OVER (PARTITION BY query_id
+            |      ORDER BY $MmrLambdaBp * rel_sc DESC, neighbor_id) AS rn
+            |  FROM cand) WHERE rn = 1),
+            |${sqlMmrSteps(MmrK, MmrLambdaBp)}
+            |SELECT query_id, mmr_rank, neighbor_id, rel_sc, maxsim_sc, score_sc
+            |FROM sel$MmrK""".stripMargin))
+
   // Exhaustive all-pairs ground truth at a LOW threshold (0.4 = the random
   // tail on this data): inherently Θ(n²) — no sub-quadratic exact method
   // exists for low-threshold dense cosine (measured: every banded-LSH
@@ -4324,6 +4391,37 @@ object Queries {
            |FROM j, t2""".stripMargin))
 
 
+  private val qSourceJsd = Q(
+    "q_source_jsd",
+    "pairwise Jensen–Shannon divergence between source unigram distributions (micro-bits, add-one smoothing)",
+    (s, d) => graft.functions.Quality.jsDivergenceBySource(
+      t(s, d).documents, "source", "text"),
+    Some(raw"""WITH tk AS (SELECT source AS src,
+            |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+            |  FROM documents WHERE length(trim(text)) > 0),
+            |cnt AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+            |  FROM tk GROUP BY 1, 2),
+            |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+            |pr AS (SELECT a.src AS sa, b.src AS sb
+            |  FROM tot a JOIN tot b ON a.src < b.src),
+            |ty AS (SELECT pr.sa, pr.sb, c.tok,
+            |    CAST(COALESCE(sum(CASE WHEN c.src = pr.sa THEN c.c END), 0) AS BIGINT) AS ca,
+            |    CAST(COALESCE(sum(CASE WHEN c.src = pr.sb THEN c.c END), 0) AS BIGINT) AS cb
+            |  FROM pr JOIN cnt c ON c.src IN (pr.sa, pr.sb) GROUP BY 1, 2, 3),
+            |v AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS v_types
+            |  FROM ty GROUP BY 1, 2),
+            |w AS (SELECT ty.sa, ty.sb, v.v_types, ta.n AS na, tb.n AS nb,
+            |    (CAST(ca + 1 AS DOUBLE) / CAST(ta.n + v.v_types AS DOUBLE)) AS p,
+            |    (CAST(cb + 1 AS DOUBLE) / CAST(tb.n + v.v_types AS DOUBLE)) AS q
+            |  FROM ty JOIN v USING (sa, sb)
+            |    JOIN tot ta ON ta.src = ty.sa JOIN tot tb ON tb.src = ty.sb),
+            |ct AS (SELECT sa, sb, v_types, na, nb,
+            |    CAST(round((p * log2(2*p/(p+q)) + q * log2(2*q/(p+q)))
+            |      * 500000) AS BIGINT) AS mb
+            |  FROM w)
+            |SELECT sa, sb, v_types, na, nb, CAST(sum(mb) AS BIGINT) AS jsd_mub
+            |FROM ct GROUP BY 1, 2, 3, 4, 5""".stripMargin))
+
   private val qBpePairs = Q(
     "q_bpe_pairs",
     "distributed BPE trainer step: adjacent char-pair frequencies over the word-frequency table",
@@ -5046,6 +5144,74 @@ object Queries {
            |  FROM u GROUP BY 1)
            |SELECT doc_id, rrf_sc, rank_bm25, rank_ql FROM f
            |ORDER BY rrf_sc DESC, doc_id LIMIT $HybridK""".stripMargin
+    })
+
+  private val qRbo = Q(
+    "q_rbo",
+    "rank-biased overlap of the BM25 vs query-likelihood rankings, per depth (the fusion-arm agreement diagnostic)",
+    (s, d) => {
+      val docs = t(s, d).documents
+      val bm = Curation.rankOf(
+        Curation.bm25TopK(docs, "doc_id", "text", Bm25Terms, HybridN),
+        "doc_id", "score_sc")
+      val ql = Curation.rankOf(
+        Curation.qlDirichletTopK(docs, "doc_id", "text", Bm25Terms, HybridN, HybridMu),
+        "doc_id", "score_sc")
+      Curation.rboReport(bm, ql, "doc_id", HybridN)
+    },
+    Some {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val wList = Curation.rboWeightsMu(HybridN).mkString(", ")
+      raw"""WITH toks AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+           |  WHERE tok IN ($termList) GROUP BY 1, 2),
+           |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |bmc AS (SELECT tf.doc_id,
+           |    CAST(round(
+           |      ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
+           |      * (CAST(44*t_toks*tf AS DOUBLE)
+           |         / CAST(20*t_toks*tf + 6*t_toks + 18*dl*n_docs AS DOUBLE))
+           |      * 10000) AS BIGINT) AS contrib
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot),
+           |bms AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+           |  FROM bmc GROUP BY 1),
+           |bmr AS (SELECT doc_id, rank FROM (SELECT doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bms)
+           |  WHERE rank <= $HybridN),
+           |cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM toks
+           |  WHERE tok IN ($termList) GROUP BY 1),
+           |qt AS (SELECT unnest([$termList]) AS tok),
+           |qtf AS (SELECT c.doc_id, q.tok, COALESCE(tf.tf, 0) AS tf
+           |  FROM (SELECT DISTINCT doc_id FROM tf) c CROSS JOIN qt q
+           |  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.tok = q.tok),
+           |qlc AS (SELECT qtf.doc_id,
+           |    CAST(round(ln(
+           |      CAST(tf * t_toks + $HybridMu * cf AS DOUBLE)
+           |      / CAST((dl + $HybridMu) * t_toks AS DOUBLE)) * 10000) AS BIGINT) AS contrib
+           |  FROM qtf JOIN dl USING (doc_id) JOIN cf USING (tok) CROSS JOIN tot),
+           |qls AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+           |  FROM qlc GROUP BY 1),
+           |qlr AS (SELECT doc_id, rank FROM (SELECT doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM qls)
+           |  WHERE rank <= $HybridN),
+           |jm AS (SELECT greatest(a.rank, b.rank) AS m
+           |  FROM bmr a JOIN qlr b USING (doc_id)),
+           |dd AS (SELECT CAST(unnest(range(1, ${HybridN + 1})) AS BIGINT) AS d),
+           |o AS (SELECT d,
+           |    CAST(COALESCE((SELECT count(*) FROM jm WHERE jm.m <= dd.d), 0) AS BIGINT)
+           |      AS overlap
+           |  FROM dd),
+           |w AS (SELECT d, overlap,
+           |    CAST(([$wList])[CAST(d AS INT)] * overlap AS BIGINT) AS term_mub
+           |  FROM o)
+           |SELECT d, overlap, term_mub,
+           |  CAST(sum(term_mub) OVER (ORDER BY d) AS BIGINT) AS rbo_mub
+           |FROM w""".stripMargin
     })
 
   private val qSplitLeakfree = Q(
@@ -5847,7 +6013,7 @@ object Queries {
     qRegexClean, qHtmlUnescape, qReaggTopk, qFmtProject, qCondLabel, qFilterCount,
     qArgmaxLatest, qUnionSummary, qPricing, qJoinBroadcast, qJoinSemiAnti,
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
-    qDedupMinhash, qMinhashEst, qDedupSimhash, qSetsimPrefix, qKnnCosine,
+    qDedupMinhash, qMinhashEst, qDedupSimhash, qSetsimPrefix, qKnnCosine, qMmrRerank,
     qEmbedNearDup, qNearDupBanded,
     qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,
@@ -5871,10 +6037,10 @@ object Queries {
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qTextrank, qSuffixArray, qSuffixLcp, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qGlobalShuffle,
-    qDsirWeight, qDsirSelect, qDrift,
+    qDsirWeight, qDsirSelect, qDrift, qSourceJsd,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qBm25Indexed, qHybridRrf, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qBcubed, qAuc, qPrCurve, qJlProject,
+    qBm25Topk, qBm25Indexed, qHybridRrf, qRbo, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qBcubed, qAuc, qPrCurve, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
     qChunkWindows, qPhraseMatch, qPhraseServed, qPhraseStore, qPhraseCompact,
     qDupSpans, qDupScrub)

@@ -222,6 +222,66 @@ object Curation {
       .limit(k)
   }
 
+  /** Rank-biased-overlap weights in integer micro-units:
+    * w(d) = (1−p)·p^(d−1)/d at p = 9/10, computed as the exact rational
+    * 9^(d−1)/(10^d·d) in BigInt and rounded half-up to micro-units ONCE
+    * — the model-rounding contract (no float `pow`, whose last ulp can
+    * differ across engines). Shared by [[rboReport]] and the oracle
+    * mirror, so the two sides cannot drift.
+    */
+  def rboWeightsMu(depth: Int): Seq[Long] =
+    (1 to depth).map { d =>
+      val num = BigInt(1000000) * BigInt(9).pow(d - 1)
+      val den = BigInt(10).pow(d) * d
+      ((2 * num + den) / (2 * den)).toLong
+    }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel TOIS'10) of two
+    * (id, rank) lists, reported per depth — the ranking-agreement
+    * diagnostic beside [[rrfFuse]] (how differently do the fused arms
+    * actually rank?) and the rank-level fidelity audit for any
+    * approximate ranker against its exact baseline. Per depth d ≤
+    * `depth`: the prefix overlap |A₁..d ∩ B₁..d|, that depth's RBO term
+    * `w(d)·overlap` in micro-units, and the cumulative lower-bound
+    * RBO_min. Top-weightedness is the point: disagreement at rank 1
+    * costs more than at rank 20 (a plain set-overlap can't see the
+    * difference).
+    *
+    * Exact integers end to end: weights pre-rounded once
+    * ([[rboWeightsMu]]), overlaps are counts, terms are products.
+    *
+    * Scale shape: both inputs are top-N lists (constant rows); one
+    * equi-join on the id, a `greatest(rank_a, rank_b)` histogram, and
+    * cumulative windows over `depth` rows. Constant work — the
+    * corpus-scale cost lives in the rankers being compared.
+    */
+  def rboReport(
+      armA: DataFrame,
+      armB: DataFrame,
+      idCol: String,
+      depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val wArr = array(rboWeightsMu(depth).map(lit): _*)
+    val m = armA.select(col(idCol), col("rank").cast("long").as("ra"))
+      .join(armB.select(col(idCol), col("rank").cast("long").as("rb")), idCol)
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .filter(col("m") <= depth)
+      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+    val spark = armA.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val depths = (1L to depth.toLong).toDF("d")
+    val wCum = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    depths
+      .join(m, col("d") === col("m"), "left")
+      .withColumn("overlap",
+        sum(coalesce(col("cnt"), lit(0L))).over(wCum))
+      .withColumn("term_mub",
+        element_at(wArr, col("d").cast("int")) * col("overlap"))
+      .withColumn("rbo_mub", sum(col("term_mub")).over(wCum))
+      .select(col("d"), col("overlap"), col("term_mub"), col("rbo_mub"))
+  }
+
   /** (id, rank) view of a scored list: rank = row_number over
     * (scoreCol desc, id) — the deterministic total order every ranker
     * in this module already emits. The window is over an

@@ -866,4 +866,77 @@ object Dedup {
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new_chunks"),
         sum(col("clen")).as("bytes"),
         sum(when(col("seen").isNull, col("clen")).otherwise(0L)).as("new_bytes"))
+
+  /** Compact the streaming dedup index
+    * ([[graft.streaming.Pipelines.dedupIngest]]'s `fp/` and `bands/`
+    * stores) — the small-file fix the phrase-posting and IVF-PQ stores
+    * already have ([[Curation.compactPostingStore]],
+    * [[Similarity.compactIvfPqIndex]]): a long-running ingest leaves one
+    * `batch=<id>` directory per trigger, so every future batch's
+    * classification join opens O(batches) directories. Compaction
+    * collapses each store to ONE kept layer carrying the highest batch
+    * id seen, published atomically over the store root
+    * (`Stores.publishReplace` — a racing classification sees the old
+    * layout or the new, never a partial).
+    *
+    * The replay contract survives: `dedupIngest` treats rows with
+    * `batch < currentBatchId` as corpus, and compaction (run offline,
+    * i.e. between triggers, after those batches committed) stamps the
+    * kept layer with the max PUBLISHED id — any later or replayed
+    * trigger has a strictly larger id, so the compacted corpus is
+    * visible to exactly the batches that saw the original layers.
+    * Resumed ingest appends `batch=<id>` dirs above the kept one.
+    *
+    * `filesPerTable` sizes the rewrite (repartition on the lookup key);
+    * 1 suits test/demo stores — size to ~index volume / 1 GB in
+    * production. Returns per store (fp, bands): (kept batch id, files
+    * before, files after); (-1, 0, n) when the store is absent or empty.
+    */
+  def compactDedupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      filesPerTable: Int = 1): Map[String, (Long, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    require(filesPerTable >= 1, s"filesPerTable must be >= 1, got $filesPerTable")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sessionState.newHadoopConf())
+    def dataFiles(dir: String): Long = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) return 0L
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f  = it.next()
+        val nm = f.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".") &&
+          f.getPath.toString.contains("/batch=")) n += 1
+      }
+      n
+    }
+    def compactSub(sub: String, keyCols: Seq[String]): (Long, Long, Long) = {
+      val dir = s"$stateDir/$sub"
+      val before = dataFiles(dir)
+      if (!fs.exists(new Path(dir))) return (-1L, before, before)
+      val df =
+        try spark.read.parquet(dir)
+        catch {
+          // a crashed pre-atomic legacy write with no committed footers:
+          // nothing readable to compact
+          case _: org.apache.spark.sql.AnalysisException => return (-1L, before, before)
+        }
+      // partition discovery infers small `batch=` values as INTEGER
+      val mb = df.agg(max(col("batch").cast("long"))).head
+      if (mb.isNullAt(0)) return (-1L, before, before)
+      val maxBatch = mb.getLong(0)
+      val data = df.drop("batch")
+        .repartition(filesPerTable, keyCols.map(col): _*)
+      graft.functions.Stores.publishReplace(spark, dir) { tmp =>
+        data.write.mode("overwrite").parquet(s"$tmp/batch=$maxBatch")
+      }
+      (maxBatch, before, dataFiles(dir))
+    }
+    Map(
+      "fp"    -> compactSub("fp", Seq("fp")),
+      "bands" -> compactSub("bands", Seq("band", "bkey")))
+  }
 }

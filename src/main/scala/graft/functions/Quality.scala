@@ -308,6 +308,84 @@ object Quality {
           .otherwise(lit(-1L)).as("recall_bp"))
   }
 
+  /** Default [[jsDivergenceBySource]] source-count bound: the pair
+    * table is S², and every pair's per-type rows ride one shuffle — a
+    * SOURCE here is a top-level corpus provenance (crawl, wiki, code,
+    * books…), a dimension-sized set by construction.
+    */
+  val MaxJsSources: Int = 32
+
+  /** Pairwise Jensen–Shannon divergence between the unigram
+    * distributions of each corpus SOURCE — the corpus-comparison
+    * measurement behind data-selection and mixing decisions ("how far
+    * is this crawl from the reference domain?", Lin '91; the symmetric,
+    * bounded cousin of [[scoreDrift]]'s KL-style monitor, over token
+    * types instead of score buckets).
+    *
+    * Per source pair (a, b), over the UNION vocabulary V of the pair
+    * with add-one smoothing: p = (c_a+1)/(N_a+|V|), q = (c_b+1)/(N_b+|V|),
+    * and JSD = Σ_types ½(p·log₂(2p/(p+q)) + q·log₂(2q/(p+q))) — each
+    * per-TYPE term is rounded to integer micro-bits exactly once (the
+    * [[knBigramSurprisal]] contract: float ops confined to O(types)
+    * model roundings, identical expression shape both engines), so the
+    * per-pair sum is an order-independent exact integer. Identical
+    * distributions give exactly 0 (log₂ 1 = 0 before rounding);
+    * disjoint vocabularies approach the 10⁶-micro-bit maximum.
+    *
+    * Scale shape: one corpus scan builds (source, token, count); the
+    * source list is collected (bounded by `maxSources` — a limit+1
+    * contract check, sources are a provenance dimension) and the pair
+    * table built driver-side, so no theta join ever plans; per-pair
+    * per-type rows come from ONE equi-join of the count table onto the
+    * exploded pair-membership frame and ONE (pair, token) aggregation.
+    * Output: (sa, sb, v_types, na, nb, jsd_mub), one row per unordered
+    * pair.
+    */
+  def jsDivergenceBySource(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      maxSources: Int = MaxJsSources): DataFrame = {
+    val cnt = docs
+      .select(col(sourceCol).cast("string").as("src"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("src"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val srcs = tot.select(col("src")).limit(maxSources + 1).collect()
+      .map(_.getString(0)).sorted
+    require(srcs.length <= maxSources,
+      s"jsDivergenceBySource bounds the source dimension at maxSources=" +
+        s"$maxSources and the input exceeds it — sources are corpus " +
+        "provenances, not a data-scale key; raise maxSources deliberately")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairDf = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+    } yield (srcs(i), srcs(j))).toDF("sa", "sb")
+    val byType = pairDf
+      .select(col("sa"), col("sb"),
+        explode(array(col("sa"), col("sb"))).as("src"))
+      .join(cnt, "src")
+      .groupBy(col("sa"), col("sb"), col("tok"))
+      .agg(
+        sum(when(col("src") === col("sa"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("src") === col("sb"), col("c")).otherwise(0L)).as("cb"))
+    val v = byType.groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("v_types"))
+    byType
+      .join(broadcast(v), Seq("sa", "sb"))
+      .join(broadcast(tot.select(col("src").as("sa"), col("n").as("na"))), "sa")
+      .join(broadcast(tot.select(col("src").as("sb"), col("n").as("nb"))), "sb")
+      .withColumn("p",
+        (col("ca") + 1).cast("double") / (col("na") + col("v_types")).cast("double"))
+      .withColumn("q",
+        (col("cb") + 1).cast("double") / (col("nb") + col("v_types")).cast("double"))
+      .withColumn("mb", expr(
+        "CAST(round((p * log2(2*p/(p+q)) + q * log2(2*q/(p+q))) * 500000) AS BIGINT)"))
+      .groupBy(col("sa"), col("sb"), col("v_types"), col("na"), col("nb"))
+      .agg(sum(col("mb")).as("jsd_mub"))
+  }
+
   /** B-cubed precision/recall/F1 of a predicted clustering against a
     * reference clustering (Bagga & Baldwin 1998; Amigó et al. 2009 show
     * it is the extrinsic clustering metric satisfying all four

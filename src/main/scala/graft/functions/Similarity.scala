@@ -81,6 +81,103 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * SIGIR'98) of the brute-force top-n: greedily pick k of the n
+    * candidates maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` —
+    * the diversification step between an ANN candidate list and what a
+    * retrieval stack actually serves (near-duplicate corpus hits
+    * otherwise fill every slot; [[semanticDedup]] removes dups from the
+    * CORPUS, MMR removes redundancy from each RESULT LIST).
+    *
+    * Exactness: relevance and pairwise similarities are the 4-dp-rounded
+    * cosines as integer ten-thousandths; with `lambdaBp` in basis points
+    * the marginal score `lambdaBp·rel_sc − (10000−lambdaBp)·maxsim_sc`
+    * is pure int64 (no division anywhere — engines can disagree on
+    * negative integral division, so none is taken), ties to the lowest
+    * neighbor id. The first pick is the relevance argmax (max-sim term
+    * empty = 0), matching the paper.
+    *
+    * Scale shape: the corpus-scale work is [[knnCosine]] (one broadcast
+    * pass, per-query window top-n); everything after runs on the
+    * BOUNDED candidate table (|queries|·n rows, eagerly checkpointed
+    * once) — the n² pair similarities per query and k−1 plan-unrolled
+    * greedy rounds (anti-join + max-sim aggregate + per-query argmax
+    * window, the [[graft.functions.Graph.pageRank]] unrolling idiom;
+    * each round's selection is checkpointed and its predecessor freed,
+    * so the plan stays round-local). Queries are independent — the
+    * greedy is sequential in k but parallel across queries.
+    *
+    * Output: (query_id, mmr_rank 1‥k, neighbor_id, rel_sc, maxsim_sc,
+    * score_sc).
+    */
+  def mmrRerank(
+      queries: DataFrame,
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      n: Int,
+      k: Int,
+      lambdaBp: Int = 7000): DataFrame = {
+    require(n >= 1 && k >= 1 && k <= n, s"need 1 <= k <= n, got k=$k n=$n")
+    require(lambdaBp >= 0 && lambdaBp <= 10000, s"lambdaBp in [0,10000], got $lambdaBp")
+    import org.apache.spark.sql.graftbridge.GraftBridge.localCheckpointHandle
+    val muBp = 10000 - lambdaBp
+
+    val cands0 = knnCosine(queries, corpus, id, vec, n)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim") * 10000).cast("long").as("rel_sc"))
+    val cv = corpus.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("nv"))
+    // bounded candidate list broadcasts onto the corpus scan to pick up
+    // vectors; from here on every frame is |queries|·n (or ·n²) rows
+    val (cands, candsRdd) = localCheckpointHandle(
+      cv.join(broadcast(cands0), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rel_sc"), col("nv")))
+    val a = cands.select(col("query_id"), col("neighbor_id").as("a"), col("nv").as("av"))
+    val b = cands.select(col("query_id"), col("neighbor_id").as("b"), col("nv").as("bv"))
+    val (pairs, pairsRdd) = localCheckpointHandle(
+      a.join(b, "query_id")
+        .filter(col("a") =!= col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          round(round(cosine(col("av"), col("bv")), 4) * 10000)
+            .cast("long").as("sim_sc")))
+
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_sc").desc, col("neighbor_id"))
+    def pick(scored: DataFrame, rank: Int): DataFrame = scored
+      .withColumn("score_sc",
+        lit(lambdaBp.toLong) * col("rel_sc") - lit(muBp.toLong) * col("maxsim_sc"))
+      .withColumn("_rn", row_number().over(byScore))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), lit(rank.toLong).as("mmr_rank"),
+        col("neighbor_id"), col("rel_sc"), col("maxsim_sc"), col("score_sc"))
+
+    var (sel, selRdd) = localCheckpointHandle(
+      pick(cands.withColumn("maxsim_sc", lit(0L)), 1))
+    for (i <- 2 to k) {
+      val rem = cands
+        .join(sel.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = rem
+        .join(pairs
+          .join(sel.select(col("query_id"), col("neighbor_id").as("b")),
+            Seq("query_id", "b"))
+          .select(col("query_id"), col("a").as("neighbor_id"), col("sim_sc")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel_sc"))
+        .agg(max(col("sim_sc")).as("maxsim_sc"))
+      val (nextSel, nextRdd) = localCheckpointHandle(
+        sel.unionByName(pick(ms, i)))
+      selRdd.unpersist()
+      sel = nextSel
+      selRdd = nextRdd
+    }
+    val (out, _) = localCheckpointHandle(sel)
+    selRdd.unpersist()
+    candsRdd.unpersist()
+    pairsRdd.unpersist()
+    out
+  }
+
   /** Embedding-level eval-set decontamination: for every corpus vector,
     * its maximum cosine similarity against the (small) eval/benchmark
     * embedding set, the arg-max eval id (ties to the lowest), and the

@@ -537,6 +537,37 @@ class CurationSpec extends SparkSpec {
     got(3) shouldBe ((13L, 15873L, 0L, 3L)) // ql only: ⌊1e6/63⌋
   }
 
+  test("rboWeightsMu: exact rational 9^(d-1)/(10^d·d) rounded to micro-units") {
+    Curation.rboWeightsMu(3) shouldBe Seq(100000L, 45000L, 27000L)
+    // monotone decreasing, all positive at practical depths
+    val w = Curation.rboWeightsMu(20)
+    w.sliding(2).foreach { case Seq(a, b) => b should be < a }
+    all(w) should be > 0L
+  }
+
+  test("rboReport: hand-computed overlaps, identity and disjoint edges, top-weightedness") {
+    def ranks(xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toDF("doc_id", "rank")
+    def rbo(a: Seq[Long], b: Seq[Long], depth: Int) =
+      Curation.rboReport(ranks(a), ranks(b), "doc_id", depth)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // A=[1,2,3], B=[2,1,4]: docs 1,2 shared with max-rank 2; doc 3/4 unshared
+    // overlaps by depth: 0, 2, 2; terms: 0, 2·45000, 2·27000; cum 0/90000/144000
+    rbo(Seq(1L, 2L, 3L), Seq(2L, 1L, 4L), 3).toSeq shouldBe Seq(
+      (1L, 0L, 0L, 0L), (2L, 2L, 90000L, 90000L), (3L, 2L, 54000L, 144000L))
+    // identical rankings: overlap_d = d everywhere
+    val idt = rbo(Seq(5L, 6L, 7L), Seq(5L, 6L, 7L), 3)
+    idt.map(r => (r._1, r._2)).toSeq shouldBe Seq((1L, 1L), (2L, 2L), (3L, 3L))
+    idt.last._4 shouldBe (100000L * 1 + 45000L * 2 + 27000L * 3)
+    // disjoint rankings: zero everywhere
+    rbo(Seq(1L, 2L), Seq(8L, 9L), 2).map(_._4).toSeq shouldBe Seq(0L, 0L)
+    // top-weightedness: agreeing only at rank 1 beats agreeing only at rank 3
+    val top = rbo(Seq(1L, 2L, 3L), Seq(1L, 8L, 9L), 3).last._4
+    val bot = rbo(Seq(1L, 2L, 3L), Seq(8L, 9L, 3L), 3).last._4
+    top should be > bot
+  }
+
   test("hybridRrfTopK: per-arm ranks in the fused output match the standalone rankers") {
     val docs = (0L until 40L).map { i =>
       val pad = Seq.fill((i % 7).toInt + 1)("filler").mkString(" ")

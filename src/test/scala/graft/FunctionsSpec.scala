@@ -1491,6 +1491,120 @@ class FunctionsSpec extends SparkSpec {
     auc(Seq((1L, true), (2L, true)))._3 shouldBe -1L
   }
 
+  test("mmrRerank == independent scalar greedy; diversification skips the near-duplicate hit") {
+    import graft.functions.Similarity
+    // geometry engineered so the twins sit OFF the query axis (if
+    // every candidate hugs the query, max-sim ≈ rel and MMR degenerates
+    // to a rescaled top-k): equal-relevance twins A≈B and a mirror C,
+    // sim(A,B) ≈ 1 but sim(A,C) = 0.28 — relevance order is A,B,C,
+    // MMR must emit A,C,B
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),    // the query (not in corpus)
+      (1L, Array(0.8f, 0.6f, 0.0f, 0.0f)),    // twin A, rel 0.8
+      (2L, Array(0.8f, 0.6f, 0.01f, 0.0f)),   // twin B ~ duplicate of A
+      (3L, Array(0.8f, -0.6f, 0.0f, 0.0f)),   // mirror C, rel 0.8, far from A
+      (4L, Array(0.2f, 0.1f, 0.9f, 0.0f)))    // low-rel distractor
+    val df = vecs.toDF("vec_id", "embedding")
+    val lambdaBp = 7000
+    val got = Similarity.mmrRerank(
+      df.filter(col("vec_id") === 0L), df.filter(col("vec_id") =!= 0L),
+      "vec_id", "embedding", n = 4, k = 4, lambdaBp = lambdaBp)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+
+    // independent scalar model: left-to-right double fold, 4-dp HALF_UP
+    // round, integer ten-thousandths, greedy with lowest-id tie-break
+    def cos4(x: Array[Float], y: Array[Float]): Long = {
+      def dot(u: Array[Float], v: Array[Float]) =
+        u.zip(v).foldLeft(0.0) { case (acc, (p, q2)) => acc + p.toDouble * q2.toDouble }
+      val c = dot(x, y) / math.sqrt(dot(x, x) * dot(y, y))
+      val r4 = BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.round(r4 * 10000)
+    }
+    val q = vecs.head._2
+    val corpus = vecs.tail
+    val rel = corpus.map { case (id2, v) => id2 -> cos4(q, v) }.toMap
+    val byId = corpus.toMap
+    var selected = Vector.empty[(Long, Long, Long, Long)] // (id, rel, maxsim, score)
+    (1 to 4).foreach { _ =>
+      val remaining = corpus.map(_._1).filterNot(selected.map(_._1).contains)
+      val scored = remaining.map { id2 =>
+        val ms = if (selected.isEmpty) 0L
+          else selected.map(s => cos4(byId(id2), byId(s._1))).max
+        (id2, rel(id2), ms, lambdaBp * rel(id2) - (10000 - lambdaBp) * ms)
+      }
+      selected :+= scored.minBy { case (id2, _, _, sc) => (-sc, id2) }
+    }
+    val expected = selected.zipWithIndex.map { case ((id2, r, ms, sc), i) =>
+      (i + 1L, id2, r, ms, sc) }
+    got.toSeq shouldBe expected
+    // rank 1 is the pure relevance argmax: twin A (equal rel, lowest id)
+    got.head._2 shouldBe 1L
+    // the diversification claim itself: relevance order is A,B,C but MMR
+    // promotes the mirror C over near-duplicate twin B at rank 2
+    got(1)._2 shouldBe 3L
+    got(2)._2 shouldBe 2L
+  }
+
+  test("jsDivergenceBySource: zero on identical sources, scalar-model parity, disjoint-vocab ceiling") {
+    import graft.functions.Quality
+    // identical token distributions -> exactly 0 (log2(1) before rounding)
+    val same = Seq(
+      (0L, "a", "x y z x"), (1L, "a", "y x"),
+      (2L, "b", "x y z x"), (3L, "b", "y x")).toDF("doc_id", "source", "text")
+    val r0 = Quality.jsDivergenceBySource(same, "source", "text").collect()
+    r0.length shouldBe 1
+    r0.head.getAs[Long]("jsd_mub") shouldBe 0L
+
+    // disjoint vocabularies -> near the 1-bit ceiling once the corpora
+    // are big enough that add-one smoothing stops dominating (4-token
+    // sources score only ~0.12 bits; 100-token sources clear 0.5)
+    val disj = Seq(
+      (0L, "a", (Seq.fill(50)("p") ++ Seq.fill(50)("q")).mkString(" ")),
+      (1L, "b", (Seq.fill(50)("s") ++ Seq.fill(50)("t")).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val rd = Quality.jsDivergenceBySource(disj, "source", "text")
+      .collect().head.getAs[Long]("jsd_mub")
+    rd should be > 500000L
+    rd should be <= 1000000L
+
+    // scalar-model parity on seeded random corpora (the KN-spec contract:
+    // math.log/math.log(2) matches the engine's log2 at micro-bit rounding)
+    val rnd = new scala.util.Random(43)
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0 until 60).map { i =>
+      val src = s"s${i % 3}"
+      val bias = (i % 3) + 1 // different sources prefer different words
+      val txt = Seq.fill(5 + rnd.nextInt(10))(
+        words(math.min(rnd.nextInt(3 * bias), words.size - 1))).mkString(" ")
+      (i.toLong, src, txt)
+    }.toDF("doc_id", "source", "text")
+    val got = Quality.jsDivergenceBySource(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    got.size shouldBe 3 // C(3,2)
+    val rows = docs.collect().map(r => (r.getString(1), r.getString(2)))
+    val cnt = rows.flatMap { case (s2, t2) => t2.split("\\s+").map(s2 -> _) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val srcs = rows.map(_._1).distinct.sorted
+    for (i <- srcs.indices; j <- (i + 1) until srcs.size) {
+      val (sa, sb) = (srcs(i), srcs(j))
+      val na = cnt.collect { case ((s2, _), c) if s2 == sa => c }.sum
+      val nb = cnt.collect { case ((s2, _), c) if s2 == sb => c }.sum
+      val vocab = cnt.keys.collect { case (s2, w) if s2 == sa || s2 == sb => w }.toSet
+      val v = vocab.size.toLong
+      val jsd = vocab.toSeq.map { w =>
+        val p = (cnt.getOrElse((sa, w), 0L) + 1).toDouble / (na + v).toDouble
+        val q = (cnt.getOrElse((sb, w), 0L) + 1).toDouble / (nb + v).toDouble
+        def lg2(x: Double) = math.log(x) / math.log(2.0)
+        math.round((p * lg2(2 * p / (p + q)) + q * lg2(2 * q / (p + q))) * 500000)
+      }.sum
+      got((sa, sb)) shouldBe ((v, na, nb, jsd))
+    }
+  }
+
   test("bcubed: hand-computed example, identity, singleton-vs-lump asymmetry, label invariance") {
     import graft.functions.Quality
     def asg(rows: Seq[(Long, Long)]) = rows.toDF("doc_id", "cluster_id")

@@ -123,6 +123,67 @@ class StoresSpec extends SparkSpec {
     Curation.compactPostingStore(spark, tmpDir("graft_absent") + "/nope")._1 shouldBe -1L
   }
 
+  test("compactDedupIndex: classifications unchanged, files collapse, ingest resumes above the kept id") {
+    import graft.functions.Dedup
+    val state = tmpDir("graft_dedup_compact")
+    def publishIndexBatch(b: Long, docs: org.apache.spark.sql.DataFrame): Unit = {
+      Stores.publishOnce(spark, s"$state/fp/batch=$b")(
+        Dedup.fingerprintTable(docs, "doc_id", "text")
+          .withColumnRenamed("doc_id", "cid")
+          .write.mode("overwrite").parquet(_)) shouldBe true
+      Stores.publishOnce(spark, s"$state/bands/batch=$b")(
+        Dedup.bandTable(docs, "doc_id", "text", 16, 4)
+          .withColumnRenamed("doc_id", "cid")
+          .write.mode("overwrite").parquet(_)) shouldBe true
+    }
+    val corpusBatches = (0 until 5).map { b =>
+      Seq((b * 2L, s"alpha beta doc$b one"), (b * 2 + 1L, s"unique tokens w$b v$b"))
+        .toDF("doc_id", "text")
+    }
+    corpusBatches.zipWithIndex.foreach { case (docs, b) => publishIndexBatch(b.toLong, docs) }
+    // what the NEXT trigger would classify against: an exact copy of doc 0's
+    // token bag, a novel doc, and a copy of doc 9's
+    val probeBatch = Seq(
+      (100L, "one beta doc0 alpha"), (101L, "never seen before anywhere"),
+      (102L, "v4 w4 tokens unique")).toDF("doc_id", "text")
+    def classify(): Map[Long, (String, Long)] = {
+      val fp = spark.read.parquet(s"$state/fp").select(col("cid"), col("fp"))
+      val bands = spark.read.parquet(s"$state/bands")
+        .select(col("cid"), col("band"), col("bkey"))
+      Dedup.incrementalDedupAgainst(probeBatch, fp, bands, "doc_id", "text", 16, 4)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    }
+    val before = classify()
+    before(100L) shouldBe (("exact", 0L))
+    before(101L)._1 shouldBe "new"
+    before(102L) shouldBe (("exact", 9L))
+
+    val rep = Dedup.compactDedupIndex(spark, state)
+    rep("fp")._1 shouldBe 4L    // the highest committed batch id survives
+    rep("bands")._1 shouldBe 4L
+    rep("fp")._3 should be < rep("fp")._2       // O(batches) dirs -> one layer
+    rep("bands")._3 should be < rep("bands")._2
+    classify() shouldBe before  // identical classification from the kept layer
+
+    // compaction is idempotent
+    Dedup.compactDedupIndex(spark, state)
+    classify() shouldBe before
+
+    // a resumed ingest appends ABOVE the kept id and is immediately corpus
+    publishIndexBatch(5L, Seq((200L, "post compaction corpus doc")).toDF("doc_id", "text"))
+    val after = Dedup.incrementalDedupAgainst(
+      Seq((300L, "doc corpus compaction post")).toDF("doc_id", "text"),
+      spark.read.parquet(s"$state/fp").select(col("cid"), col("fp")),
+      spark.read.parquet(s"$state/bands").select(col("cid"), col("band"), col("bkey")),
+      "doc_id", "text", 16, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    after(300L) shouldBe (("exact", 200L))
+
+    // missing stores are graceful no-ops
+    Dedup.compactDedupIndex(spark, tmpDir("graft_absent2") + "/nope")
+      .values.map(_._1).toSet shouldBe Set(-1L)
+  }
+
   test("publishReplace: a probe during a one-shot index REBUILD sees the old snapshot until the swap") {
     val root = tmpDir("graft_store_rebuild")
     val dir = s"$root/postings"
