@@ -5081,6 +5081,59 @@ object Queries {
            |FROM c GROUP BY 1 ORDER BY score_sc DESC, doc_id LIMIT $Bm25K""".stripMargin
     })
 
+  /** [[qBm25Stream]]'s layered-store snapshot: batch 0 = docs < 200,
+    * batch 1 = 200 ≤ doc < 350 — the union is the index snapshot the
+    * oracle mirrors (deliberately different from [[qBm25Indexed]]'s 400
+    * so the two queries' oracles differ).
+    */
+  private val Bm25StreamB0 = 200L
+  private val Bm25StreamB1 = 350L
+
+  private val qBm25Stream = Q(
+    "q_bm25_stream",
+    "BM25 search served from a STREAMED additive index store: per-batch df/tot layers summed at read",
+    (s, d) => {
+      // the layered store exactly as Pipelines.bm25Ingest publishes it:
+      // one additive (df, tot) layer per batch, publishOnce semantics
+      // (a same-JVM re-run exercises the replay no-op path)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25s_" +
+        s"${ProcessHandle.current().pid()}_${new java.io.File(d).getName}"
+      val docs = t(s, d).documents
+      Curation.writeBm25Batch(
+        Curation.bm25Index(docs.filter(col("doc_id") < Bm25StreamB0),
+          "doc_id", "text"), dir, 0L)
+      Curation.writeBm25Batch(
+        Curation.bm25Index(docs.filter(col("doc_id") >= Bm25StreamB0 &&
+          col("doc_id") < Bm25StreamB1), "doc_id", "text"), dir, 1L)
+      Curation.bm25Search(docs, Curation.readBm25Store(s, dir),
+        "doc_id", "text", Bm25Terms, Bm25K)
+    },
+    Some {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      raw"""WITH toks AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |ixdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks
+           |  WHERE doc_id < $Bm25StreamB1 GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS t_toks FROM ixdl),
+           |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |  FROM toks WHERE doc_id < $Bm25StreamB1 AND tok IN ($termList)
+           |  GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+           |  WHERE tok IN ($termList) GROUP BY 1, 2),
+           |c AS (SELECT tf.doc_id,
+           |    CAST(round(
+           |      ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
+           |      * (CAST(44*t_toks*tf AS DOUBLE)
+           |         / CAST(20*t_toks*tf + 6*t_toks + 18*dl*n_docs AS DOUBLE))
+           |      * 10000) AS BIGINT) AS contrib
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot)
+           |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_sc
+           |FROM c GROUP BY 1 ORDER BY score_sc DESC, doc_id LIMIT $Bm25K""".stripMargin
+    })
+
   /** Arm depth / fused size / RRF constant for [[qHybridRrf]] — shared
     * with the oracle so the two sides cannot drift. μ = 2000 is Zhai &
     * Lafferty's default.
@@ -6040,7 +6093,7 @@ object Queries {
     qDsirWeight, qDsirSelect, qDrift, qSourceJsd,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qBm25Indexed, qHybridRrf, qRbo, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qBcubed, qAuc, qPrCurve, qJlProject,
+    qBm25Topk, qBm25Indexed, qBm25Stream, qHybridRrf, qRbo, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qBcubed, qAuc, qPrCurve, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
     qChunkWindows, qPhraseMatch, qPhraseServed, qPhraseStore, qPhraseCompact,
     qDupSpans, qDupScrub)

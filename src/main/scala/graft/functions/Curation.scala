@@ -132,6 +132,40 @@ object Curation {
       k: Int): DataFrame =
     bm25Search(docs, bm25Index(docs, idCol, textCol), idCol, textCol, terms, k)
 
+  /** Publish one corpus batch's BM25 statistics as an ADDITIVE layer of
+    * a streaming index store: `df/batch=<id>` (tok, df over the batch's
+    * docs) and `tot/batch=<id>` (one row of batch n_docs/t_toks),
+    * atomically via `Stores.publishOnce` — a replayed batch is a no-op
+    * and a racing reader sees the layer complete or absent. df and
+    * totals are pure sums, so layers ADD: the served index is the
+    * column-wise sum over layers ([[readBm25Store]]), equal by algebra
+    * to the index built on the batches' union. Contract: batches carry
+    * NEW documents only (the accepted output of a dedup ingest) — a
+    * re-sent document would double-count, exactly as it would in any
+    * additive aggregate.
+    */
+  def writeBm25Batch(ix: Bm25Index, dir: String, batchId: Long): Unit = {
+    Stores.publishOnce(ix.df.sparkSession, s"$dir/df/batch=$batchId")(
+      ix.df.write.mode("overwrite").parquet(_))
+    Stores.publishOnce(ix.tot.sparkSession, s"$dir/tot/batch=$batchId")(
+      ix.tot.write.mode("overwrite").parquet(_))
+    ()
+  }
+
+  /** Serve a [[Bm25Index]] from a layered store written by
+    * [[writeBm25Batch]]: df layers sum per token, totals layers sum to
+    * one row. Both reads are vocab- (not corpus-) scale; the fold is a
+    * keyed aggregation a search plan then broadcasts, same as the
+    * monolithic index.
+    */
+  def readBm25Store(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index =
+    Bm25Index(
+      spark.read.parquet(s"$dir/df")
+        .groupBy(col("tok")).agg(sum(col("df")).as("df")),
+      spark.read.parquet(s"$dir/tot")
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_toks")).as("t_toks")))
+
   // ─────────────────────────────────────────────────────────────────
   // Query-likelihood retrieval + reciprocal-rank fusion
   // ─────────────────────────────────────────────────────────────────

@@ -344,6 +344,40 @@ object Pipelines {
       }
   }
 
+  /** Streaming BM25 index maintenance — the retrieval-serving analog of
+    * the other ingest pipelines: each micro-batch of NEW documents (the
+    * accepted output of [[dedupIngest]] — a re-sent doc would
+    * double-count, like any additive aggregate) publishes its df and
+    * totals as one additive layer
+    * ([[graft.functions.Curation.writeBm25Batch]]), and searches serve
+    * from the layered store ([[Curation.readBm25Store]]) — by the sum
+    * algebra of df/totals the served index equals the one built on all
+    * batches' union bit-for-bit (spec-pinned). O(batch tokens) work per
+    * trigger; a replayed batch is a publishOnce no-op; empty batches
+    * publish nothing (an all-null totals layer would poison the sum).
+    */
+  def bm25Ingest(
+      docs: DataFrame,
+      stateDir: String,
+      checkpoint: String,
+      id: String = "doc_id",
+      text: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Curation
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try Curation.writeBm25Batch(
+            Curation.bm25Index(batch, id, text), stateDir, batchId)
+          finally batch.unpersist()
+          ()
+        }
+      }
+  }
+
   /** Streaming distribution-DRIFT monitor — the pipeline-health analog
     * of [[nbClassifyIngest]]'s persisted-model split: an offline
     * baseline histogram of an integer score

@@ -486,6 +486,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bm25Ingest: streamed additive layers == the index built on the union, search bit-identical") {
+    import graft.functions.Curation
+    val in = memStream[(Long, String)]
+    val state = tmpDir("bm25_state")
+    val q = Pipelines
+      .bm25Ingest(in.toDF().toDF("doc_id", "text"), state, tmpDir("bm25_ckpt"))
+      .start()
+    val b0 = Seq((1L, "spark window dup dup"), (2L, "merge sort window"))
+    val b1 = Seq((3L, "dup dup dup spark"), (4L, "totally different words"))
+    try {
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      in.addData(b1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val union = (b0 ++ b1).toDF("doc_id", "text")
+    val mono  = Curation.bm25Index(union, "doc_id", "text")
+    val store = Curation.readBm25Store(spark, state)
+    // df and totals identical to the monolithic build
+    store.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      mono.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    store.tot.collect().head.toSeq shouldBe mono.tot.collect().head.toSeq
+    // and the served search is bit-identical to the monolithic index's
+    val terms = Seq("dup", "spark", "window")
+    def results(ix: Curation.Bm25Index) =
+      Curation.bm25Search(union, ix, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    results(store) shouldBe results(mono)
+    // a replayed batch is a publishOnce no-op: republishing batch 1's
+    // layer changes nothing
+    Curation.writeBm25Batch(
+      Curation.bm25Index(b1.toDF("doc_id", "text"), "doc_id", "text"), state, 1L)
+    results(Curation.readBm25Store(spark, state)) shouldBe results(mono)
+  }
+
   test("phraseAuditIngest: per-batch decontamination reports + store probe over all batches") {
     import graft.functions.Curation
     val in = memStream[(Long, String)]
