@@ -46,7 +46,7 @@ object SuffixProf {
         val docs = all.filter(col("doc_id") < 500L * k)
           .groupBy((col("doc_id") / k).cast("long").as("doc_id"))
           .agg(concat_ws(" ", collect_list(col("text"))).as("text"))
-        val st = docs.agg(sum(length(col("text"))), max(length(col("text")))).head
+        val st = docs.agg(sum(length(col("text"))), max(length(col("text")))).head()
         val (chars, maxLen) = (st.getLong(0), st.getInt(1))
         def mintime(label: String)(f: => Any): Double = {
           val a = time(s"$label-a")(f); val b = time(s"$label-b")(f)
@@ -63,7 +63,7 @@ object SuffixProf {
     } else {
       args.map(_.toLong).foreach { bound =>
         val docs = all.filter(col("doc_id") < bound)
-        val chars = docs.agg(sum(length(col("text")))).head.getLong(0)
+        val chars = docs.agg(sum(length(col("text")))).head().getLong(0)
         def mintime(label: String)(f: => Any): Double = {
           val a = time(s"$label-a")(f); val b = time(s"$label-b")(f)
           math.min(a, b)

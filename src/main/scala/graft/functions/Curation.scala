@@ -582,7 +582,7 @@ object Curation {
       StructField("pos", LongType), StructField("batch", LongType),
       StructField("tb", LongType)))
     val store = spark.read.schema(schema).parquet(storeDir)
-    val mb = store.agg(max(col("batch"))).head
+    val mb = store.agg(max(col("batch"))).head()
     if (mb.isNullAt(0)) return (-1L, 0L, dataFiles())
     val maxBatch = mb.getLong(0)
     val before = dataFiles()

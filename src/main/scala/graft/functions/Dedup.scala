@@ -925,7 +925,7 @@ object Dedup {
           case _: org.apache.spark.sql.AnalysisException => return (-1L, before, before)
         }
       // partition discovery infers small `batch=` values as INTEGER
-      val mb = df.agg(max(col("batch").cast("long"))).head
+      val mb = df.agg(max(col("batch").cast("long"))).head()
       if (mb.isNullAt(0)) return (-1L, before, before)
       val maxBatch = mb.getLong(0)
       val data = df.drop("batch")
