@@ -5094,10 +5094,16 @@ object Queries {
     "BM25 search served from a STREAMED additive index store: per-batch df/tot layers summed at read",
     (s, d) => {
       // the layered store exactly as Pipelines.bm25Ingest publishes it:
-      // one additive (df, tot) layer per batch, publishOnce semantics
-      // (a same-JVM re-run exercises the replay no-op path)
+      // one additive (df, tot) layer per batch. The dir is wiped first —
+      // publishOnce would silently SKIP a pre-existing batch dir, and a
+      // stale store (same pid+basename, regenerated dataset) would then
+      // serve the old corpus's stats as a confusing oracle mismatch; the
+      // replay no-op path is spec-covered (StreamingSpec/StoresSpec)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25s_" +
         s"${ProcessHandle.current().pid()}_${new java.io.File(d).getName}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       val docs = t(s, d).documents
       Curation.writeBm25Batch(
         Curation.bm25Index(docs.filter(col("doc_id") < Bm25StreamB0),
@@ -5143,6 +5149,51 @@ object Queries {
   private val HybridRrfK = 60
   private val HybridMu   = 2000
 
+  /** The BM25 + Dirichlet-QL ranking-arm CTE chain (`toks` … `bmr`,
+    * `qlr`) shared verbatim by the [[qHybridRrf]] and [[qRbo]] oracles —
+    * one copy so the two cannot desynchronize.
+    */
+  private val sqlHybridArmCtes: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    raw"""toks AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+         |  WHERE tok IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |bmc AS (SELECT tf.doc_id,
+         |    CAST(round(
+         |      ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
+         |      * (CAST(44*t_toks*tf AS DOUBLE)
+         |         / CAST(20*t_toks*tf + 6*t_toks + 18*dl*n_docs AS DOUBLE))
+         |      * 10000) AS BIGINT) AS contrib
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot),
+         |bms AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+         |  FROM bmc GROUP BY 1),
+         |bmr AS (SELECT doc_id, rank FROM (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bms)
+         |  WHERE rank <= $HybridN),
+         |cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM toks
+         |  WHERE tok IN ($termList) GROUP BY 1),
+         |qt AS (SELECT unnest([$termList]) AS tok),
+         |qtf AS (SELECT c.doc_id, q.tok, COALESCE(tf.tf, 0) AS tf
+         |  FROM (SELECT DISTINCT doc_id FROM tf) c CROSS JOIN qt q
+         |  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.tok = q.tok),
+         |qlc AS (SELECT qtf.doc_id,
+         |    CAST(round(ln(
+         |      CAST(tf * t_toks + $HybridMu * cf AS DOUBLE)
+         |      / CAST((dl + $HybridMu) * t_toks AS DOUBLE)) * 10000) AS BIGINT) AS contrib
+         |  FROM qtf JOIN dl USING (doc_id) JOIN cf USING (tok) CROSS JOIN tot),
+         |qls AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+         |  FROM qlc GROUP BY 1),
+         |qlr AS (SELECT doc_id, rank FROM (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM qls)
+         |  WHERE rank <= $HybridN)""".stripMargin
+  }
+
   private val qHybridRrf = Q(
     "q_hybrid_rrf",
     "hybrid retrieval: BM25 + Dirichlet query-likelihood arms fused by reciprocal-rank fusion",
@@ -5150,44 +5201,7 @@ object Queries {
       t(s, d).documents, "doc_id", "text", Bm25Terms,
       n = HybridN, k = HybridK, rrfK = HybridRrfK, mu = HybridMu),
     Some {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      raw"""WITH toks AS (SELECT doc_id,
-           |    unnest(string_split_regex(trim(text), '\s+')) AS tok
-           |  FROM documents WHERE length(trim(text)) > 0),
-           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
-           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           |    CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
-           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
-           |  WHERE tok IN ($termList) GROUP BY 1, 2),
-           |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-           |bmc AS (SELECT tf.doc_id,
-           |    CAST(round(
-           |      ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
-           |      * (CAST(44*t_toks*tf AS DOUBLE)
-           |         / CAST(20*t_toks*tf + 6*t_toks + 18*dl*n_docs AS DOUBLE))
-           |      * 10000) AS BIGINT) AS contrib
-           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot),
-           |bms AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
-           |  FROM bmc GROUP BY 1),
-           |bmr AS (SELECT doc_id, rank FROM (SELECT doc_id,
-           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bms)
-           |  WHERE rank <= $HybridN),
-           |cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM toks
-           |  WHERE tok IN ($termList) GROUP BY 1),
-           |qt AS (SELECT unnest([$termList]) AS tok),
-           |qtf AS (SELECT c.doc_id, q.tok, COALESCE(tf.tf, 0) AS tf
-           |  FROM (SELECT DISTINCT doc_id FROM tf) c CROSS JOIN qt q
-           |  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.tok = q.tok),
-           |qlc AS (SELECT qtf.doc_id,
-           |    CAST(round(ln(
-           |      CAST(tf * t_toks + $HybridMu * cf AS DOUBLE)
-           |      / CAST((dl + $HybridMu) * t_toks AS DOUBLE)) * 10000) AS BIGINT) AS contrib
-           |  FROM qtf JOIN dl USING (doc_id) JOIN cf USING (tok) CROSS JOIN tot),
-           |qls AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
-           |  FROM qlc GROUP BY 1),
-           |qlr AS (SELECT doc_id, rank FROM (SELECT doc_id,
-           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM qls)
-           |  WHERE rank <= $HybridN),
+      raw"""WITH $sqlHybridArmCtes,
            |u AS (SELECT doc_id, rank, 'bm25' AS arm FROM bmr
            |  UNION ALL SELECT doc_id, rank, 'ql' AS arm FROM qlr),
            |f AS (SELECT doc_id,
@@ -5213,45 +5227,8 @@ object Queries {
       Curation.rboReport(bm, ql, "doc_id", HybridN)
     },
     Some {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       val wList = Curation.rboWeightsMu(HybridN).mkString(", ")
-      raw"""WITH toks AS (SELECT doc_id,
-           |    unnest(string_split_regex(trim(text), '\s+')) AS tok
-           |  FROM documents WHERE length(trim(text)) > 0),
-           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
-           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           |    CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
-           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
-           |  WHERE tok IN ($termList) GROUP BY 1, 2),
-           |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-           |bmc AS (SELECT tf.doc_id,
-           |    CAST(round(
-           |      ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
-           |      * (CAST(44*t_toks*tf AS DOUBLE)
-           |         / CAST(20*t_toks*tf + 6*t_toks + 18*dl*n_docs AS DOUBLE))
-           |      * 10000) AS BIGINT) AS contrib
-           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot),
-           |bms AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
-           |  FROM bmc GROUP BY 1),
-           |bmr AS (SELECT doc_id, rank FROM (SELECT doc_id,
-           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bms)
-           |  WHERE rank <= $HybridN),
-           |cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM toks
-           |  WHERE tok IN ($termList) GROUP BY 1),
-           |qt AS (SELECT unnest([$termList]) AS tok),
-           |qtf AS (SELECT c.doc_id, q.tok, COALESCE(tf.tf, 0) AS tf
-           |  FROM (SELECT DISTINCT doc_id FROM tf) c CROSS JOIN qt q
-           |  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.tok = q.tok),
-           |qlc AS (SELECT qtf.doc_id,
-           |    CAST(round(ln(
-           |      CAST(tf * t_toks + $HybridMu * cf AS DOUBLE)
-           |      / CAST((dl + $HybridMu) * t_toks AS DOUBLE)) * 10000) AS BIGINT) AS contrib
-           |  FROM qtf JOIN dl USING (doc_id) JOIN cf USING (tok) CROSS JOIN tot),
-           |qls AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
-           |  FROM qlc GROUP BY 1),
-           |qlr AS (SELECT doc_id, rank FROM (SELECT doc_id,
-           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM qls)
-           |  WHERE rank <= $HybridN),
+      raw"""WITH $sqlHybridArmCtes,
            |jm AS (SELECT greatest(a.rank, b.rank) AS m
            |  FROM bmr a JOIN qlr b USING (doc_id)),
            |dd AS (SELECT CAST(unnest(range(1, ${HybridN + 1})) AS BIGINT) AS d),

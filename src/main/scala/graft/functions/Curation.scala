@@ -101,11 +101,14 @@ object Curation {
       terms: Seq[String],
       k: Int): DataFrame = {
     val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    val tfCols = terms.map(t =>
-      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    // indexed per-term columns (tf_0, tf_1, …): terms are corpus tokens
+    // and may carry characters illegal in a column name
+    val tfCols = terms.indices.map(i =>
+      sum(when(col("tok") === terms(i), 1L).otherwise(0L)).as(s"tf_$i"))
     val perDoc = toks.groupBy(col(idCol))
       .agg(count(lit(1)).as("dl"), tfCols: _*)
-    val stackArgs = terms.map(t => s"'$t', tf_$t").mkString(", ")
+    val stackArgs = terms.indices
+      .map(i => s"'${terms(i).replace("'", "''")}', tf_$i").mkString(", ")
     val tf = perDoc
       .select(col(idCol), col("dl"),
         expr(s"stack(${terms.size}, $stackArgs) AS (tok, tf)"))
@@ -133,37 +136,41 @@ object Curation {
     bm25Search(docs, bm25Index(docs, idCol, textCol), idCol, textCol, terms, k)
 
   /** Publish one corpus batch's BM25 statistics as an ADDITIVE layer of
-    * a streaming index store: `df/batch=<id>` (tok, df over the batch's
-    * docs) and `tot/batch=<id>` (one row of batch n_docs/t_toks),
-    * atomically via `Stores.publishOnce` — a replayed batch is a no-op
-    * and a racing reader sees the layer complete or absent. df and
-    * totals are pure sums, so layers ADD: the served index is the
-    * column-wise sum over layers ([[readBm25Store]]), equal by algebra
-    * to the index built on the batches' union. Contract: batches carry
-    * NEW documents only (the accepted output of a dedup ingest) — a
-    * re-sent document would double-count, exactly as it would in any
-    * additive aggregate.
+    * a streaming index store: ONE `batch=<id>` directory holding both
+    * the batch's `df/` (tok, df over the batch's docs) and `tot/` (one
+    * row of batch n_docs/t_toks), published in a SINGLE
+    * `Stores.publishOnce` rename — a replayed batch is a no-op, and a
+    * racing reader sees df AND totals together or neither (two separate
+    * publishes would open a window where df includes a batch whose
+    * totals don't, skewing every idf/avgdl until the second rename).
+    * df and totals are pure sums, so layers ADD: the served index is
+    * the column-wise sum over layers ([[readBm25Store]]), equal by
+    * algebra to the index built on the batches' union. Contract:
+    * batches carry NEW documents only (the accepted output of a dedup
+    * ingest) — a re-sent document would double-count, exactly as it
+    * would in any additive aggregate.
     */
   def writeBm25Batch(ix: Bm25Index, dir: String, batchId: Long): Unit = {
-    Stores.publishOnce(ix.df.sparkSession, s"$dir/df/batch=$batchId")(
-      ix.df.write.mode("overwrite").parquet(_))
-    Stores.publishOnce(ix.tot.sparkSession, s"$dir/tot/batch=$batchId")(
-      ix.tot.write.mode("overwrite").parquet(_))
+    Stores.publishOnce(ix.df.sparkSession, s"$dir/batch=$batchId") { tmp =>
+      ix.df.write.mode("overwrite").parquet(s"$tmp/df")
+      ix.tot.write.mode("overwrite").parquet(s"$tmp/tot")
+    }
     ()
   }
 
   /** Serve a [[Bm25Index]] from a layered store written by
     * [[writeBm25Batch]]: df layers sum per token, totals layers sum to
-    * one row. Both reads are vocab- (not corpus-) scale; the fold is a
-    * keyed aggregation a search plan then broadcasts, same as the
-    * monolithic index.
+    * one row (both globbed across the committed `batch=*` dirs — temp
+    * siblings never match the glob). Both reads are vocab- (not
+    * corpus-) scale; the fold is a keyed aggregation a search plan then
+    * broadcasts, same as the monolithic index.
     */
   def readBm25Store(
       spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index =
     Bm25Index(
-      spark.read.parquet(s"$dir/df")
+      spark.read.parquet(s"$dir/batch=*/df")
         .groupBy(col("tok")).agg(sum(col("df")).as("df")),
-      spark.read.parquet(s"$dir/tot")
+      spark.read.parquet(s"$dir/batch=*/tot")
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_toks")).as("t_toks")))
 
   // ─────────────────────────────────────────────────────────────────
@@ -203,20 +210,29 @@ object Curation {
       k: Int,
       mu: Int = 2000): DataFrame = {
     require(terms.nonEmpty, "qlDirichletTopK needs at least one query term")
+    require(mu >= 1, s"mu must be >= 1 (mu = 0 makes ln(0) of a no-match term), got $mu")
     val toks = docs.select(
       col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    val tfCols = terms.map(t =>
-      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    // terms are corpus tokens, so they can carry any non-whitespace
+    // character — the per-term columns are indexed (tf_0, cf_0), never
+    // named after the raw term
+    val ti = terms.indices
+    val tfCols = ti.map(i =>
+      sum(when(col("tok") === terms(i), 1L).otherwise(0L)).as(s"tf_$i"))
     val perDoc = toks.groupBy(col(idCol))
       .agg(count(lit(1)).as("dl"), tfCols: _*)
     val stats = perDoc.agg(
       sum(col("dl")).as("t_toks"),
-      terms.map(t => sum(col(s"tf_$t")).as(s"cf_$t")): _*)
-    val anyMatch = terms.map(t => col(s"tf_$t") > 0L).reduce(_ || _)
-    val contribs = terms.map(t => expr(
-      s"""CAST(round(ln(
-         |  CAST(tf_$t * t_toks + $mu * cf_$t AS DOUBLE)
-         |  / CAST((dl + $mu) * t_toks AS DOUBLE)) * 10000) AS BIGINT)""".stripMargin))
+      ti.map(i => sum(col(s"tf_$i")).as(s"cf_$i")): _*)
+    val anyMatch = ti.map(i => col(s"tf_$i") > 0L).reduce(_ || _)
+    // a query term ABSENT from the corpus (cf = 0) carries no background
+    // mass — ln(0) would NULL-poison every score — and contributes 0,
+    // exactly the oracle's inner-join-to-cf semantics
+    val contribs = ti.map(i => expr(
+      s"""CASE WHEN cf_$i > 0 THEN CAST(round(ln(
+         |  CAST(tf_$i * t_toks + $mu * cf_$i AS DOUBLE)
+         |  / CAST((dl + $mu) * t_toks AS DOUBLE)) * 10000) AS BIGINT)
+         |ELSE CAST(0 AS BIGINT) END""".stripMargin))
     perDoc.filter(anyMatch)
       .crossJoin(broadcast(stats))
       .select(col(idCol), contribs.reduce(_ + _).as("score_sc"))

@@ -352,8 +352,12 @@ object Quality {
       .groupBy(col("src"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy(col("src")).agg(sum(col("c")).as("n"))
-    val srcs = tot.select(col("src")).limit(maxSources + 1).collect()
-      .map(_.getString(0)).sorted
+    // the bound check reads the source DIMENSION only — a column-pruned
+    // distinct over the source column, NOT the tokenization aggregate
+    // (collecting from `tot` would run the full corpus tokenization a
+    // second time just to read ≤ maxSources names)
+    val srcs = docs.select(col(sourceCol).cast("string").as("src")).distinct()
+      .limit(maxSources + 1).collect().map(_.getString(0)).sorted
     require(srcs.length <= maxSources,
       s"jsDivergenceBySource bounds the source dimension at maxSources=" +
         s"$maxSources and the input exceeds it — sources are corpus " +

@@ -128,54 +128,64 @@ object Similarity {
         round(col("cos_sim") * 10000).cast("long").as("rel_sc"))
     val cv = corpus.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("nv"))
     // bounded candidate list broadcasts onto the corpus scan to pick up
-    // vectors; from here on every frame is |queries|·n (or ·n²) rows
+    // vectors; from here on every frame is |queries|·n (or ·n²) rows.
+    // Every intermediate checkpoint is freed on every path (try/finally);
+    // the RETURNED frame is itself one bounded (|queries|·k rows)
+    // checkpoint — callers that loop re-ranks should drop it when done
+    // (the Bench/Verify mains sweep stranded checkpoints between queries)
     val (cands, candsRdd) = localCheckpointHandle(
       cv.join(broadcast(cands0), Seq("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), col("rel_sc"), col("nv")))
-    val a = cands.select(col("query_id"), col("neighbor_id").as("a"), col("nv").as("av"))
-    val b = cands.select(col("query_id"), col("neighbor_id").as("b"), col("nv").as("bv"))
-    val (pairs, pairsRdd) = localCheckpointHandle(
-      a.join(b, "query_id")
-        .filter(col("a") =!= col("b"))
-        .select(col("query_id"), col("a"), col("b"),
-          round(round(cosine(col("av"), col("bv")), 4) * 10000)
-            .cast("long").as("sim_sc")))
+    var selRdd: org.apache.spark.rdd.RDD[_] = null
+    try {
+      val a = cands.select(col("query_id"), col("neighbor_id").as("a"), col("nv").as("av"))
+      val b = cands.select(col("query_id"), col("neighbor_id").as("b"), col("nv").as("bv"))
+      val (pairs, pairsRdd) = localCheckpointHandle(
+        a.join(b, "query_id")
+          .filter(col("a") =!= col("b"))
+          .select(col("query_id"), col("a"), col("b"),
+            round(round(cosine(col("av"), col("bv")), 4) * 10000)
+              .cast("long").as("sim_sc")))
+      try {
+        val byScore = Window.partitionBy(col("query_id"))
+          .orderBy(col("score_sc").desc, col("neighbor_id"))
+        def pick(scored: DataFrame, rank: Int): DataFrame = scored
+          .withColumn("score_sc",
+            lit(lambdaBp.toLong) * col("rel_sc") - lit(muBp.toLong) * col("maxsim_sc"))
+          .withColumn("_rn", row_number().over(byScore))
+          .filter(col("_rn") === 1)
+          .select(col("query_id"), lit(rank.toLong).as("mmr_rank"),
+            col("neighbor_id"), col("rel_sc"), col("maxsim_sc"), col("score_sc"))
 
-    val byScore = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_sc").desc, col("neighbor_id"))
-    def pick(scored: DataFrame, rank: Int): DataFrame = scored
-      .withColumn("score_sc",
-        lit(lambdaBp.toLong) * col("rel_sc") - lit(muBp.toLong) * col("maxsim_sc"))
-      .withColumn("_rn", row_number().over(byScore))
-      .filter(col("_rn") === 1)
-      .select(col("query_id"), lit(rank.toLong).as("mmr_rank"),
-        col("neighbor_id"), col("rel_sc"), col("maxsim_sc"), col("score_sc"))
-
-    var (sel, selRdd) = localCheckpointHandle(
-      pick(cands.withColumn("maxsim_sc", lit(0L)), 1))
-    for (i <- 2 to k) {
-      val rem = cands
-        .join(sel.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_anti")
-      val ms = rem
-        .join(pairs
-          .join(sel.select(col("query_id"), col("neighbor_id").as("b")),
-            Seq("query_id", "b"))
-          .select(col("query_id"), col("a").as("neighbor_id"), col("sim_sc")),
-          Seq("query_id", "neighbor_id"))
-        .groupBy(col("query_id"), col("neighbor_id"), col("rel_sc"))
-        .agg(max(col("sim_sc")).as("maxsim_sc"))
-      val (nextSel, nextRdd) = localCheckpointHandle(
-        sel.unionByName(pick(ms, i)))
-      selRdd.unpersist()
-      sel = nextSel
-      selRdd = nextRdd
+        val first = localCheckpointHandle(
+          pick(cands.withColumn("maxsim_sc", lit(0L)), 1))
+        var sel = first._1
+        selRdd = first._2
+        for (i <- 2 to k) {
+          val rem = cands
+            .join(sel.select(col("query_id"), col("neighbor_id")),
+              Seq("query_id", "neighbor_id"), "left_anti")
+          val ms = rem
+            .join(pairs
+              .join(sel.select(col("query_id"), col("neighbor_id").as("b")),
+                Seq("query_id", "b"))
+              .select(col("query_id"), col("a").as("neighbor_id"), col("sim_sc")),
+              Seq("query_id", "neighbor_id"))
+            .groupBy(col("query_id"), col("neighbor_id"), col("rel_sc"))
+            .agg(max(col("sim_sc")).as("maxsim_sc"))
+          val (nextSel, nextRdd) = localCheckpointHandle(
+            sel.unionByName(pick(ms, i)))
+          selRdd.unpersist()
+          sel = nextSel
+          selRdd = nextRdd
+        }
+        val (out, _) = localCheckpointHandle(sel)
+        out
+      } finally pairsRdd.unpersist()
+    } finally {
+      if (selRdd != null) selRdd.unpersist()
+      candsRdd.unpersist()
     }
-    val (out, _) = localCheckpointHandle(sel)
-    selRdd.unpersist()
-    candsRdd.unpersist()
-    pairsRdd.unpersist()
-    out
   }
 
   /** Embedding-level eval-set decontamination: for every corpus vector,

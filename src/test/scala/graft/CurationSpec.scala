@@ -523,6 +523,24 @@ class CurationSpec extends SparkSpec {
     got.map(_._1) should contain allOf (1L, 2L)
   }
 
+  test("qlDirichletTopK: a query term absent from the corpus contributes zero, never NULL-poisons scores") {
+    val docs = Seq(
+      (0L, "a b c a"), (1L, "a a a"), (2L, "b c")).toDF("doc_id", "text")
+    // "zzz" has corpus frequency 0: ln(0) would NULL every score; the
+    // contract (matching the oracle's inner join to cf) is that the term
+    // contributes nothing at all
+    val withAbsent = Curation
+      .qlDirichletTopK(docs, "doc_id", "text", Seq("a", "zzz"), k = 10, mu = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val without = Curation
+      .qlDirichletTopK(docs, "doc_id", "text", Seq("a"), k = 10, mu = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    withAbsent shouldBe without
+    withAbsent.foreach { case (_, sc) => sc should not be 0L } // real scores, not zeros
+    intercept[IllegalArgumentException](
+      Curation.qlDirichletTopK(docs, "doc_id", "text", Seq("a"), 10, mu = 0))
+  }
+
   test("rrfFuse: hand-computed fusion, consensus beats single-arm top rank, per-arm ranks audited") {
     val bm = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
     val ql = Seq((12L, 1L), (10L, 2L), (13L, 3L)).toDF("doc_id", "rank")
