@@ -586,6 +586,15 @@ class CurationSpec extends SparkSpec {
     top should be > bot
   }
 
+  test("rrfFuse degeneracy: a single arm fuses to its own rank order") {
+    val arm = Seq((5L, 1L), (9L, 2L), (3L, 3L), (7L, 4L)).toDF("doc_id", "rank")
+    val got = Curation.rrfFuse(Seq("only" -> arm), "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // fused score ⌊1e6/(60+rank)⌋ is strictly decreasing in rank, so the
+    // fused order IS the arm order; rank_only column echoes the input
+    got.toSeq shouldBe Seq((5L, 1L), (9L, 2L), (3L, 3L), (7L, 4L))
+  }
+
   test("hybridRrfTopK: per-arm ranks in the fused output match the standalone rankers") {
     val docs = (0L until 40L).map { i =>
       val pad = Seq.fill((i % 7).toInt + 1)("filler").mkString(" ")

@@ -1547,6 +1547,33 @@ class FunctionsSpec extends SparkSpec {
     got(2)._2 shouldBe 2L
   }
 
+  test("mmrRerank degeneracies: lambda=10000 is exactly the relevance top-k; k=1 is the top hit") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 2L)
+    val corpus  = df.filter(col("vec_id") >= 2L)
+    // λ = 10000: the max-sim term carries weight 0, so the greedy must
+    // reproduce the plain cosine ranking order exactly
+    val pure = Similarity.mmrRerank(queries, corpus, "vec_id", "embedding",
+      n = 8, k = 5, lambdaBp = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._2).map(_._3).toSeq }
+    val knn = Similarity.knnCosine(queries, corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._2).map(_._3).toSeq }
+    pure shouldBe knn
+    // k = 1 at any λ > 0 is the relevance argmax
+    val one = Similarity.mmrRerank(queries, corpus, "vec_id", "embedding",
+      n = 8, k = 1, lambdaBp = 7000)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    one shouldBe knn.map { case (q, ids) => q -> ids.head }
+  }
+
   test("jsDivergenceBySource: zero on identical sources, scalar-model parity, disjoint-vocab ceiling") {
     import graft.functions.Quality
     // identical token distributions -> exactly 0 (log2(1) before rounding)
