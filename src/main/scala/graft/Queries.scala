@@ -19,6 +19,11 @@ import graft.operators.{Multimodal => MM, Serving, SteamOps}
   *    ns-vs-µs parquet physical types);
   *  - every top-k has a total-order tie-break;
   *  - float similarity rounded to 4 decimals before ranking/thresholding;
+  *  - oracle-side rounded floats that can be non-positive carry a
+  *    trailing `+ 0`: DuckDB's `round` preserves the sign of −0.0 while
+  *    Spark's (BigDecimal HALF_UP) returns +0.0, and the driver's hash
+  *    renders "−0.0" ≠ "0.0" (first observed on q_lsh_srp at sf0.1 — a
+  *    near-orthogonal pair rounding to exactly zero);
   *  - content hashing via md5 (bit-identical in every engine).
   */
 object Queries {
@@ -785,7 +790,7 @@ object Queries {
            |  FROM embeddings WHERE vec_id < 10),
            |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
            |s AS (SELECT query_id, neighbor_id,
-           |  round(list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 4) AS cos_sim
+           |  round(list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 4) + 0 AS cos_sim
            |FROM q, c)
            |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -1427,7 +1432,7 @@ object Queries {
          |      ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS prn
          |  FROM bn b, c2 c WHERE b.cid < 10) WHERE prn <= 4),
          |sr AS (SELECT query_id, cid AS neighbor_id,
-         |  round(list_dot_product(pr.qv, af.v) / sqrt(pr.qn2 * af.vn2), 4) AS cos_sim
+         |  round(list_dot_product(pr.qv, af.v) / sqrt(pr.qn2 * af.vn2), 4) + 0 AS cos_sim
          |FROM pr JOIN af USING (cell))
          |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2177,7 +2182,7 @@ object Queries {
          |q AS (SELECT doc_id AS query_id, fv AS qv FROM f WHERE doc_id < 10),
          |s AS (SELECT query_id, doc_id AS neighbor_id,
          |  round(list_dot_product(qv, fv) /
-         |    sqrt(list_dot_product(qv, qv) * list_dot_product(fv, fv)), 4) AS cos_sim
+         |    sqrt(list_dot_product(qv, qv) * list_dot_product(fv, fv)), 4) + 0 AS cos_sim
          |FROM q, f)
          |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2206,7 +2211,7 @@ object Queries {
          |FROM e)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(list_dot_product(a.v, b.v) /
-         |    sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) AS cos_sim
+         |    sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) + 0 AS cos_sim
          |FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id""".stripMargin
     })
 
@@ -2395,7 +2400,7 @@ object Queries {
            |  FROM embeddings WHERE vec_id < 8),
            |s AS (SELECT c.vec_id, e.eval_id,
            |    round(list_dot_product(c.v, e.ev)
-           |      / sqrt(list_dot_product(c.v, c.v) * list_dot_product(e.ev, e.ev)), 4) AS sim
+           |      / sqrt(list_dot_product(c.v, c.v) * list_dot_product(e.ev, e.ev)), 4) + 0 AS sim
            |  FROM c, e),
            |r AS (SELECT vec_id, eval_id, sim,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
