@@ -31,11 +31,26 @@ object Bench {
     catch { case _: Throwable => () }
 
     // a throwing query reports -1 (and is listed in "failed"), never a
-    // fast-looking wall time
+    // fast-looking wall time.
+    //
+    // Drive mode: MATERIALIZE through the built-in `noop` sink, not
+    // count(). Under count() Catalyst legally prunes every
+    // count-invariant subtree — for q_rbo that eliminated BOTH ranker
+    // arms (the report's left join to a unique-keyed histogram
+    // preserves cardinality, so the plan didn't even scan documents:
+    // benched 0.2 s vs 3.8 s materialized), and for q_dsir_weight the
+    // whole λ-training pass (7.4 s vs 14.5 s, PERF.md round 13). The
+    // noop sink consumes every output row with all columns computed —
+    // the cost a real consumer (a parquet write, a downstream stage)
+    // pays — while discarding bytes, so the number prices the actual
+    // plan and nothing else. AQE still runs (the write executes the
+    // adaptive plan).
     def once(q: Queries.Q): Double = {
       val t0 = System.nanoTime()
-      try { q.spark(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      try {
+        q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
     // between queries, free every RDD still pinned in the block manager:
     // operators with a lazy result contract (MaxMatch vocab, Unigram
@@ -67,7 +82,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val load = s"""{"before":$loadBefore,"after":$loadAfter}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":$load,"runs_per_query":2}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":$load,"runs_per_query":2,"drive":"materialize-noop"}""")
     spark.stop()
   }
 }

@@ -5145,6 +5145,55 @@ object Queries {
            |FROM c GROUP BY 1 ORDER BY score_sc DESC, doc_id LIMIT $Bm25K""".stripMargin
     })
 
+  private val qBm25Compact = Q(
+    "q_bm25_compact",
+    "BM25 layered-store compaction: per-batch df/tot layers folded to one (small-file fix), search answers unchanged",
+    (s, d) => {
+      // fresh fixture store per invocation (compaction MUTATES the
+      // store — sharing q_bm25_stream's dir would corrupt its replay
+      // no-op contract): two additive ingest layers, folded to one
+      // atomically-published layer, searched through the same serving
+      // fold. The oracle is q_bm25_stream's snapshot SQL verbatim —
+      // compaction must be invisible to a searcher.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25c_" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}_${new java.io.File(d).getName}"
+      val docs = t(s, d).documents
+      Curation.writeBm25Batch(
+        Curation.bm25Index(docs.filter(col("doc_id") < Bm25StreamB0),
+          "doc_id", "text"), dir, 0L)
+      Curation.writeBm25Batch(
+        Curation.bm25Index(docs.filter(col("doc_id") >= Bm25StreamB0 &&
+          col("doc_id") < Bm25StreamB1), "doc_id", "text"), dir, 1L)
+      Curation.compactBm25Store(s, dir)
+      Curation.bm25Search(docs, Curation.readBm25Store(s, dir),
+        "doc_id", "text", Bm25Terms, Bm25K)
+    },
+    Some {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      raw"""WITH toks AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |ixdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks
+           |  WHERE doc_id < $Bm25StreamB1 GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS t_toks FROM ixdl),
+           |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |  FROM toks WHERE doc_id < $Bm25StreamB1 AND tok IN ($termList)
+           |  GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+           |  WHERE tok IN ($termList) GROUP BY 1, 2),
+           |c AS (SELECT tf.doc_id,
+           |    CAST(round(
+           |      ln(CAST(2*n_docs + 2 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
+           |      * (CAST(44*t_toks*tf AS DOUBLE)
+           |         / CAST(20*t_toks*tf + 6*t_toks + 18*dl*n_docs AS DOUBLE))
+           |      * 10000) AS BIGINT) AS contrib
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN tot)
+           |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_sc
+           |FROM c GROUP BY 1 ORDER BY score_sc DESC, doc_id LIMIT $Bm25K""".stripMargin
+    })
+
   /** Arm depth / fused size / RRF constant for [[qHybridRrf]] — shared
     * with the oracle so the two sides cannot drift. μ = 2000 is Zhai &
     * Lafferty's default.
@@ -6075,7 +6124,7 @@ object Queries {
     qDsirWeight, qDsirSelect, qDrift, qSourceJsd,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
-    qBm25Topk, qBm25Indexed, qBm25Stream, qHybridRrf, qRbo, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qBcubed, qAuc, qPrCurve, qJlProject,
+    qBm25Topk, qBm25Indexed, qBm25Stream, qBm25Compact, qHybridRrf, qRbo, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qBcubed, qAuc, qPrCurve, qJlProject,
     qMaxmatchTokenize, qUnigramTokenize, qUnigramRefit, qCdcDedup, qCdcIncremental,
     qChunkWindows, qPhraseMatch, qPhraseServed, qPhraseStore, qPhraseCompact,
     qDupSpans, qDupScrub)

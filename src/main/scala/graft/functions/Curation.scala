@@ -173,6 +173,57 @@ object Curation {
       spark.read.parquet(s"$dir/batch=*/tot")
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_toks")).as("t_toks")))
 
+  /** Compact a layered BM25 store ([[writeBm25Batch]]'s `batch=N/{df,tot}`
+    * layout) to ONE layer — the small-file fix every other streamed
+    * store already has ([[compactPostingStore]],
+    * [[Dedup.compactDedupIndex]], the IVF-PQ index): each trigger adds
+    * a df + tot layer, and [[readBm25Store]]'s serving fold sums across
+    * ALL of them forever, so both file count and fold width grow
+    * O(triggers). The fold is additive algebra (df and totals are pure
+    * sums), so pre-folding the layers into one `batch=<max id>` layer
+    * is exact: searches served before and after are bit-identical.
+    *
+    * Publication and replay mirror [[compactPostingStore]]: the
+    * compacted tree is built in a hidden temp sibling and swapped over
+    * the store root atomically ([[Stores.publishReplace]] — a racing
+    * reader sees the old store or the compacted one, never partial),
+    * the kept layer carries the HIGHEST committed batch id so a resumed
+    * ingest (strictly larger ids) appends above it, and — as with any
+    * sink-side compaction — it runs between ingest runs (single-writer
+    * discipline). `dfFiles` sizes the folded df rewrite (coalesce — the
+    * fold's agg output narrows without a shuffle); 1 suits test stores,
+    * size to ~vocab volume / 1 GB in production.
+    *
+    * Returns (kept batch id, data files before, after);
+    * (-1, 0, n) for a missing or empty store.
+    */
+  def compactBm25Store(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      dfFiles: Int = 1): (Long, Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    require(dfFiles >= 1, s"dfFiles must be >= 1, got $dfFiles")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sessionState.newHadoopConf())
+    def dataFiles(): Long = Stores.committedDataFiles(spark, dir)
+    if (!fs.exists(new Path(dir))) return (-1L, 0L, 0L)
+    // committed layers only (hidden temp siblings are workspace)
+    val batches = fs.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    if (batches.isEmpty) return (-1L, 0L, dataFiles())
+    val maxBatch = batches.max
+    val folded = readBm25Store(spark, dir)
+    val before = dataFiles()
+    Stores.publishReplace(spark, dir) { tmp =>
+      folded.df.coalesce(dfFiles)
+        .write.mode("overwrite").parquet(s"$tmp/batch=$maxBatch/df")
+      folded.tot.coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/batch=$maxBatch/tot")
+    }
+    (maxBatch, before, dataFiles())
+  }
+
   // ─────────────────────────────────────────────────────────────────
   // Query-likelihood retrieval + reciprocal-rank fusion
   // ─────────────────────────────────────────────────────────────────
@@ -577,21 +628,9 @@ object Curation {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sessionState.newHadoopConf())
-    def dataFiles(): Long = {
-      val p = new Path(storeDir)
-      if (!fs.exists(p)) return 0L
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) {
-        val f  = it.next()
-        val nm = f.getPath.getName
-        // count only files under committed batch dirs (temp siblings are
-        // workspace, not store)
-        if (!nm.startsWith("_") && !nm.startsWith(".") &&
-          f.getPath.toString.contains("/batch=")) n += 1
-      }
-      n
-    }
+    // count only files under committed batch dirs — hidden-ancestor
+    // aware, so a crashed publish's temp sibling never inflates it
+    def dataFiles(): Long = Stores.committedDataFiles(spark, storeDir)
     if (!fs.exists(new Path(storeDir))) return (-1L, 0L, 0L)
     val schema = StructType(Seq(
       StructField("term", StringType), StructField("doc_id", LongType),

@@ -900,19 +900,11 @@ object Dedup {
     require(filesPerTable >= 1, s"filesPerTable must be >= 1, got $filesPerTable")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sessionState.newHadoopConf())
-    def dataFiles(dir: String): Long = {
-      val p = new Path(dir)
-      if (!fs.exists(p)) return 0L
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) {
-        val f  = it.next()
-        val nm = f.getPath.getName
-        if (!nm.startsWith("_") && !nm.startsWith(".") &&
-          f.getPath.toString.contains("/batch=")) n += 1
-      }
-      n
-    }
+    // hidden-ancestor-aware: a crashed publish's temp-sibling contents
+    // (`_tmp_*/batch=<id>/…`) are workspace, not store, and must not
+    // inflate the before/after accounting
+    def dataFiles(dir: String): Long =
+      graft.functions.Stores.committedDataFiles(spark, dir)
     def compactSub(sub: String, keyCols: Seq[String]): (Long, Long, Long) = {
       val dir = s"$stateDir/$sub"
       val before = dataFiles(dir)

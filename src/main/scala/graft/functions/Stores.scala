@@ -84,6 +84,34 @@ object Stores {
     * [[graft.streaming.ParquetUpsertSink]] snapshot + pointer idiom
     * instead.)
     */
+  /** Count committed data files under `dir` whose path contains
+    * `marker` (default: inside a `batch=` layer). A file counts only if
+    * NO directory component strictly below `dir` is hidden (`_`/`.`
+    * prefix) — a crashed publish attempt leaves a hidden temp sibling
+    * (`_tmp_*`, `_tmp_*.old`) whose contents are workspace, not store,
+    * and a marker-substring test alone would count them (the
+    * [[publishReplace]] temp holds a real `batch=<id>` subtree).
+    * Used by the store compactors' before/after file accounting.
+    */
+  def committedDataFiles(
+      spark: SparkSession, dir: String, marker: String = "/batch="): Long = {
+    val fs = fsOf(spark, dir)
+    val root = fs.makeQualified(new Path(dir))
+    if (!fs.exists(root)) return 0L
+    val rootStr = root.toString
+    val it = fs.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) {
+      val p = fs.makeQualified(it.next().getPath).toString
+      if (p.startsWith(rootStr + "/")) {
+        val rel = p.substring(rootStr.length + 1).split('/')
+        val visible = rel.forall(c => !c.startsWith("_") && !c.startsWith("."))
+        if (visible && p.contains(marker)) n += 1
+      }
+    }
+    n
+  }
+
   def publishReplace(spark: SparkSession, finalDir: String)(write: String => Unit): Unit = {
     val fs  = fsOf(spark, finalDir)
     val dst = new Path(finalDir)

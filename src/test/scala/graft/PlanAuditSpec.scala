@@ -56,6 +56,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q_bm25_topk",        // one-row corpus totals crossed into the tf table
     "q_bm25_indexed",     // one-row persisted-index totals crossed into the tf table
     "q_bm25_stream",      // one-row layered-store totals crossed into the tf table
+    "q_bm25_compact",     // same totals cross, served from the compacted store
     "q_hybrid_rrf",       // one-row corpus totals crossed into the QL arm's scoring
     "q_rbo",              // same QL arm inside the ranking-agreement report
     "q_domain_mix_alpha", // one-row n_min frame crossed into the thresholds

@@ -123,6 +123,66 @@ class StoresSpec extends SparkSpec {
     Curation.compactPostingStore(spark, tmpDir("graft_absent") + "/nope")._1 shouldBe -1L
   }
 
+  test("compactBm25Store: search bit-identical, files collapse, ingest resumes above the kept id") {
+    val dir = tmpDir("graft_bm25_compact") + "/bm25"
+    val batches = (0 until 6).map { b =>
+      (0 until 4).map(i =>
+        ((b * 4 + i).toLong, s"spark dup window doc$b word$i"))
+        .toDF("doc_id", "text")
+    }
+    batches.zipWithIndex.foreach { case (docs, b) =>
+      Curation.writeBm25Batch(
+        Curation.bm25Index(docs, "doc_id", "text"), dir, b.toLong)
+    }
+    val corpus = batches.reduce(_ unionByName _)
+    val terms = Seq("dup", "spark", "doc2")
+    def results() =
+      Curation.bm25Search(corpus, Curation.readBm25Store(spark, dir),
+        "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = results()
+    val (kept, filesBefore, filesAfter) = Curation.compactBm25Store(spark, dir)
+    kept shouldBe 5L // the highest committed batch id survives
+    filesAfter should be < filesBefore // O(batches) layers -> one
+    results() shouldBe before // serving fold bit-identical post-compaction
+    // the compacted store is ONE committed layer (df + tot, one file each)
+    filesAfter shouldBe 2L
+    // a resumed ingest appends ABOVE the kept id (publishOnce accepts id 6)
+    Curation.writeBm25Batch(
+      Curation.bm25Index(Seq((100L, "dup dup dup spark"))
+        .toDF("doc_id", "text"), "doc_id", "text"), dir, 6L)
+    val grown = corpus.unionByName(
+      Seq((100L, "dup dup dup spark")).toDF("doc_id", "text"))
+    Curation.bm25Search(grown, Curation.readBm25Store(spark, dir),
+      "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Curation.bm25Search(grown,
+        Curation.bm25Index(grown, "doc_id", "text"),
+        "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // missing and empty stores are graceful no-ops
+    Curation.compactBm25Store(spark, tmpDir("graft_absent") + "/no_bm25")._1 shouldBe -1L
+  }
+
+  test("committedDataFiles skips crashed temp siblings (their contents hold real batch= paths)") {
+    val dir = tmpDir("graft_count_tmp") + "/store"
+    Curation.writeBm25Batch(
+      Curation.bm25Index(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+        "doc_id", "text"), dir, 0L)
+    val committed = Stores.committedDataFiles(spark, dir)
+    committed should be > 0L
+    // simulate a crashed publishReplace attempt: a hidden temp sibling
+    // holding a full batch= subtree with parquet files inside
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sessionState.newHadoopConf())
+    Seq((2L, "gamma delta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/_tmp_crashed/batch=9/df")
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_tmp_crashed/batch=9/df")) shouldBe true
+    // the workspace files must not inflate the store's accounting
+    Stores.committedDataFiles(spark, dir) shouldBe committed
+  }
+
   test("compactDedupIndex: classifications unchanged, files collapse, ingest resumes above the kept id") {
     import graft.functions.Dedup
     val state = tmpDir("graft_dedup_compact")
