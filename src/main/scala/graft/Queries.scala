@@ -1159,6 +1159,56 @@ object Queries {
             |    ELSE 0 END AS waste_bp
             |FROM u""".stripMargin))
 
+  /** Shard count for [[qLengthBatchSharded]] — the production
+    * parameterization of the padding-waste report: window parallelism
+    * equals the shard-key cardinality, so the 5-value `lang` label of
+    * [[qLengthBatch]] (kept for oracle literalness, flagged as the
+    * scale-skewed shape — one task sorts an entire language) is
+    * replaced by the loader-manifest hash shard. 32 here; production =
+    * loader-worker count (hundreds-thousands), same code path.
+    */
+  private val LengthShardCount = 32
+
+  private val qLengthBatchSharded = Q(
+    "q_length_batch_sharded",
+    "padding-waste report under the PRODUCTION shard key: loader-manifest hash shards (32-way window parallelism), no per-label single-task sort",
+    (s, d) => graft.operators.Sharding.lengthBatchReport(
+      t(s, d).documents.withColumn("loader_shard",
+        graft.operators.Sharding.shardKey(col("doc_id"), LengthShardCount)),
+      "doc_id", "text", "loader_shard", batchSize = 32),
+    Some(s"""WITH dd AS (SELECT
+            |    CAST('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            |      % $LengthShardCount AS shard,
+            |    doc_id,
+            |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($sqlToks) END AS BIGINT) AS nt
+            |  FROM documents),
+            |a1 AS (SELECT shard, nt,
+            |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM dd),
+            |a2 AS (SELECT shard, nt,
+            |    row_number() OVER (PARTITION BY shard ORDER BY nt DESC, doc_id) AS rn FROM dd),
+            |b1 AS (SELECT shard, (rn - 1) // 32 AS batch, CAST(count(*) AS BIGINT) AS bn,
+            |    CAST(max(nt) AS BIGINT) AS mx, CAST(sum(nt) AS BIGINT) AS st
+            |  FROM a1 GROUP BY 1, 2),
+            |b2 AS (SELECT shard, (rn - 1) // 32 AS batch, CAST(count(*) AS BIGINT) AS bn,
+            |    CAST(max(nt) AS BIGINT) AS mx, CAST(sum(nt) AS BIGINT) AS st
+            |  FROM a2 GROUP BY 1, 2),
+            |u AS (
+            |  SELECT shard, 'arrival' AS arm, CAST(count(*) AS BIGINT) AS n_batches,
+            |    CAST(sum(st) AS BIGINT) AS sum_tokens,
+            |    CAST(sum(bn * mx) AS BIGINT) AS slot_tokens,
+            |    CAST(sum(bn * mx - st) AS BIGINT) AS padded_tokens
+            |  FROM b1 GROUP BY 1
+            |  UNION ALL
+            |  SELECT shard, 'length' AS arm, CAST(count(*) AS BIGINT) AS n_batches,
+            |    CAST(sum(st) AS BIGINT) AS sum_tokens,
+            |    CAST(sum(bn * mx) AS BIGINT) AS slot_tokens,
+            |    CAST(sum(bn * mx - st) AS BIGINT) AS padded_tokens
+            |  FROM b2 GROUP BY 1)
+            |SELECT shard, arm, n_batches, sum_tokens, slot_tokens, padded_tokens,
+            |  CASE WHEN slot_tokens > 0 THEN (padded_tokens * 10000) // slot_tokens
+            |    ELSE 0 END AS waste_bp
+            |FROM u""".stripMargin))
+
   // Data-loader shard assignment — operators/Sharding.shardManifest
   // (see its scaladoc for the determinism and parallelism-=-shards
   // contract). The catalog pins 8 shards so the oracle stays literal;
@@ -4427,6 +4477,45 @@ object Queries {
             |SELECT sa, sb, v_types, na, nb, CAST(sum(mb) AS BIGINT) AS jsd_mub
             |FROM ct GROUP BY 1, 2, 3, 4, 5""".stripMargin))
 
+  /** Reference source for [[qSourceJsdRef]] — the production drift
+    * shape: S−1 pairs against one named reference, not the S²
+    * all-pairs survey ([[qSourceJsd]], kept as the one-off corpus
+    * audit). Shares [[DsirTarget]]'s source so the catalog has one
+    * "reference domain".
+    */
+  private val JsdRefSource = DsirTarget
+
+  private val qSourceJsdRef = Q(
+    "q_source_jsd_ref",
+    "Jensen–Shannon divergence of every source against ONE reference source (S-1 pairs — the linear drift-monitoring shape)",
+    (s, d) => graft.functions.Quality.jsDivergenceAgainstRef(
+      t(s, d).documents, "source", "text", JsdRefSource),
+    Some(raw"""WITH tk AS (SELECT source AS src,
+            |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+            |  FROM documents WHERE length(trim(text)) > 0),
+            |cnt AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+            |  FROM tk GROUP BY 1, 2),
+            |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+            |pr AS (SELECT '$JsdRefSource' AS sa, src AS sb
+            |  FROM tot WHERE src <> '$JsdRefSource'),
+            |ty AS (SELECT pr.sa, pr.sb, c.tok,
+            |    CAST(COALESCE(sum(CASE WHEN c.src = pr.sa THEN c.c END), 0) AS BIGINT) AS ca,
+            |    CAST(COALESCE(sum(CASE WHEN c.src = pr.sb THEN c.c END), 0) AS BIGINT) AS cb
+            |  FROM pr JOIN cnt c ON c.src IN (pr.sa, pr.sb) GROUP BY 1, 2, 3),
+            |v AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS v_types
+            |  FROM ty GROUP BY 1, 2),
+            |w AS (SELECT ty.sa, ty.sb, v.v_types, ta.n AS na, tb.n AS nb,
+            |    (CAST(ca + 1 AS DOUBLE) / CAST(ta.n + v.v_types AS DOUBLE)) AS p,
+            |    (CAST(cb + 1 AS DOUBLE) / CAST(tb.n + v.v_types AS DOUBLE)) AS q
+            |  FROM ty JOIN v USING (sa, sb)
+            |    JOIN tot ta ON ta.src = ty.sa JOIN tot tb ON tb.src = ty.sb),
+            |ct AS (SELECT sa, sb, v_types, na, nb,
+            |    CAST(round((p * log2(2*p/(p+q)) + q * log2(2*q/(p+q)))
+            |      * 500000) AS BIGINT) AS mb
+            |  FROM w)
+            |SELECT sa, sb, v_types, na, nb, CAST(sum(mb) AS BIGINT) AS jsd_mub
+            |FROM ct GROUP BY 1, 2, 3, 4, 5""".stripMargin))
+
   private val qBpePairs = Q(
     "q_bpe_pairs",
     "distributed BPE trainer step: adjacent char-pair frequencies over the word-frequency table",
@@ -5052,8 +5141,10 @@ object Queries {
     "BM25 search served from a PERSISTED parquet index snapshot (stale-stats serving): corpus scanned once, df/totals read from the index",
     (s, d) => {
       val docs = t(s, d).documents
+      // UUID nonce: same per-invocation-unique contract as the layered
+      // stores below (concurrent evaluations must not race the rewrite)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_" +
-        new java.io.File(d).getName
+        s"${java.util.UUID.randomUUID().toString.take(8)}_${new java.io.File(d).getName}"
       Curation.writeBm25Index(
         Curation.bm25Index(docs.filter(col("doc_id") < Bm25SnapDoc),
           "doc_id", "text"), dir)
@@ -5099,16 +5190,16 @@ object Queries {
     "BM25 search served from a STREAMED additive index store: per-batch df/tot layers summed at read",
     (s, d) => {
       // the layered store exactly as Pipelines.bm25Ingest publishes it:
-      // one additive (df, tot) layer per batch. The dir is wiped first —
-      // publishOnce would silently SKIP a pre-existing batch dir, and a
-      // stale store (same pid+basename, regenerated dataset) would then
-      // serve the old corpus's stats as a confusing oracle mismatch; the
-      // replay no-op path is spec-covered (StreamingSpec/StoresSpec)
+      // one additive (df, tot) layer per batch. The dir is UNIQUE per
+      // invocation (UUID nonce, the q_phrase_compact idiom): a shared
+      // pid+basename key raced two concurrent evaluations of this
+      // lambda (wipe-then-rewrite vs an in-flight reader) and collided
+      // two datasets sharing a basename in one JVM; a fresh dir never
+      // pre-exists, so publishOnce's replay no-op path can't silently
+      // serve stale stats either (that path is spec-covered in
+      // StreamingSpec/StoresSpec)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25s_" +
-        s"${ProcessHandle.current().pid()}_${new java.io.File(d).getName}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(dir), s.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        s"${java.util.UUID.randomUUID().toString.take(8)}_${new java.io.File(d).getName}"
       val docs = t(s, d).documents
       Curation.writeBm25Batch(
         Curation.bm25Index(docs.filter(col("doc_id") < Bm25StreamB0),
@@ -6105,6 +6196,7 @@ object Queries {
     qAsofJoin, qAsofJoinExec, qPivot, qSetOps, qRangeJoin, qRangeJoinAuto, qHeavyHitters, qCube,
     qGroupingSets, qQuantileSketch,
     qSampleSplit, qSampleStratified, qSampleWeighted, qPackBudget, qLengthBatch,
+    qLengthBatchSharded,
     qEmbedCentroid, qProfile,
     qWindowFuncs, qEditDistance, qEditCapped, qVariance, qTokenBudget, qMedian,
     qCorrelation, qMediaAnn, qLshSrp,
@@ -6121,7 +6213,7 @@ object Queries {
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qTextrank, qSuffixArray, qSuffixLcp, qScd2History, qSpanScrub, qKmvOverlap,
     qKmvOverlapSketch, qBandSweep, qDedupOrder, qShardAssign, qGlobalShuffle,
-    qDsirWeight, qDsirSelect, qDrift, qSourceJsd,
+    qDsirWeight, qDsirSelect, qDrift, qSourceJsd, qSourceJsdRef,
     qBpePairs, qBpeTrain, qBpeTokenize, qPqEncode, qPqAnn, qIvfPqAnn, qIvfPqIndexed, qIvfPqSweep,
     qIvfPqRerank, qIvfPqResidual,
     qBm25Topk, qBm25Indexed, qBm25Stream, qBm25Compact, qHybridRrf, qRbo, qSplitLeakfree, qDomainMixAlpha, qNbClassify, qNbShuffle, qKnSurprisal, qDedupEval, qBcubed, qAuc, qPrCurve, qJlProject,

@@ -309,6 +309,18 @@ object Curation {
       k: Int,
       rrfK: Int = 60): DataFrame = {
     require(arms.nonEmpty, "rrfFuse needs at least one ranking arm")
+    // arm names become column aliases (rank_<name>) — restrict them to
+    // safe identifiers so a name with dots, spaces, or backticks can't
+    // yield broken or ambiguous output columns (same hazard class as
+    // raw query terms in column names, handled there by tf_$i indexing;
+    // here the names are part of the auditable output contract)
+    arms.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"rrfFuse arm name '$name' must match [A-Za-z0-9_]+ — it is " +
+          "used as the rank_<name> output column alias")
+    }
+    require(arms.map(_._1).distinct.length == arms.length,
+      "rrfFuse arm names must be distinct")
     val tagged = arms.map { case (name, r) =>
       r.select(col(idCol), col("rank").cast("long").as("rank"))
         .withColumn("arm", lit(name))

@@ -346,27 +346,78 @@ object Quality {
       sourceCol: String,
       textCol: String,
       maxSources: Int = MaxJsSources): DataFrame = {
+    val srcs = collectSources(docs, sourceCol, maxSources)
+    jsdOverPairs(docs, sourceCol, textCol,
+      for { i <- srcs.indices; j <- (i + 1) until srcs.length }
+        yield (srcs(i), srcs(j)))
+  }
+
+  /** [[jsDivergenceBySource]]'s PRODUCTION drift-monitoring shape: every
+    * source compared against ONE named reference source — S−1 pairs
+    * instead of the survey's S², so per-pair token volume (the real
+    * cost: each pair re-keys its two sources' type rows) grows linearly
+    * in the source count. Same smoothing, same exact micro-bit
+    * contract, same output columns; `sa` is always `refSource`. The
+    * all-pairs form stays for the one-off corpus survey; this is the
+    * one to schedule.
+    */
+  def jsDivergenceAgainstRef(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      refSource: String,
+      maxSources: Int = MaxJsSources): DataFrame = {
+    val srcs = collectSources(docs, sourceCol, maxSources)
+    require(srcs.contains(refSource),
+      s"refSource '$refSource' is not among the input's sources: " +
+        srcs.mkString("[", ", ", "]"))
+    jsdOverPairs(docs, sourceCol, textCol,
+      srcs.filterNot(_ == refSource).map(o => (refSource, o)))
+  }
+
+  /** The bounded source dimension both JSD entry points collect — a
+    * column-pruned distinct over the source column ONLY (collecting
+    * from the tokenization aggregate would run it a second time just to
+    * read ≤ maxSources names). Null sources are dropped explicitly
+    * BEFORE the collect: a null provenance has no distribution to
+    * compare (and would otherwise NPE the sort here while silently
+    * vanishing from the pair table's inner joins).
+    */
+  private def collectSources(
+      docs: DataFrame, sourceCol: String, maxSources: Int): Seq[String] = {
+    val srcs = docs
+      .select(col(sourceCol).cast("string").as("src"))
+      .filter(col("src").isNotNull)
+      .distinct()
+      .limit(maxSources + 1).collect().map(_.getString(0)).toSeq.sorted
+    require(srcs.length <= maxSources,
+      s"jsDivergenceBySource bounds the source dimension at maxSources=" +
+        s"$maxSources and the input exceeds it — sources are corpus " +
+        "provenances, not a data-scale key; raise maxSources deliberately")
+    srcs
+  }
+
+  /** Shared JSD machinery over an explicit (sa, sb) pair list: one
+    * corpus scan builds (source, token, count); the driver-side pair
+    * table explodes into pair membership, so no theta join ever plans;
+    * per-pair per-type rows come from ONE equi-join of the count table
+    * onto the membership frame and ONE (pair, token) aggregation.
+    */
+  private def jsdOverPairs(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      pairs: Seq[(String, String)]): DataFrame = {
     val cnt = docs
+      .filter(col(sourceCol).isNotNull)
       .select(col(sourceCol).cast("string").as("src"),
         explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("src"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy(col("src")).agg(sum(col("c")).as("n"))
-    // the bound check reads the source DIMENSION only — a column-pruned
-    // distinct over the source column, NOT the tokenization aggregate
-    // (collecting from `tot` would run the full corpus tokenization a
-    // second time just to read ≤ maxSources names)
-    val srcs = docs.select(col(sourceCol).cast("string").as("src")).distinct()
-      .limit(maxSources + 1).collect().map(_.getString(0)).sorted
-    require(srcs.length <= maxSources,
-      s"jsDivergenceBySource bounds the source dimension at maxSources=" +
-        s"$maxSources and the input exceeds it — sources are corpus " +
-        "provenances, not a data-scale key; raise maxSources deliberately")
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairDf = (for {
-      i <- srcs.indices; j <- (i + 1) until srcs.length
-    } yield (srcs(i), srcs(j))).toDF("sa", "sb")
+    val pairDf = pairs.toDF("sa", "sb")
     val byType = pairDf
       .select(col("sa"), col("sb"),
         explode(array(col("sa"), col("sb"))).as("src"))

@@ -50,6 +50,26 @@ object Sharding {
       math.max(1L, (corpusRows + rowsPerShard - 1) / rowsPerShard)).toInt
   }
 
+  /** The loader-manifest shard key as a standalone map-side column —
+    * the SAME epoch-salted-md5 rule [[shardManifest]] assigns (spec-
+    * pinned equal), for consumers that need a doc's loader shard
+    * WITHOUT the manifest's per-shard position window (the padding-
+    * waste report, shard-local joins, co-partitioned writes). Pure
+    * projection: zero shuffles, zero joins — at 100 TB the key costs
+    * one md5 per row, map-side, wherever the corpus already is.
+    */
+  def shardKey(
+      id: org.apache.spark.sql.Column,
+      numShards: Int,
+      epoch: Int = 0): org.apache.spark.sql.Column = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    pmod(
+      conv(substring(
+        md5(concat(lit(s"ep$epoch:"), id.cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(numShards.toLong))
+  }
+
   /** The per-epoch loader manifest: (id, shard, pos).
     *
     * `numShards > 0` pins the shard count (shards = loader workers, the

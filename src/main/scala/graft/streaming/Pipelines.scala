@@ -417,6 +417,46 @@ object Pipelines {
         ()
       }
 
+  /** Retention for [[driftMonitorIngest]]'s per-batch report
+    * directories — the report store's answer to the small-file growth
+    * every other streamed store handles by COMPACTION
+    * ([[graft.functions.Curation.compactPostingStore]],
+    * [[graft.functions.Curation.compactBm25Store]],
+    * [[graft.functions.Dedup.compactDedupIndex]]): drift reports are
+    * NOT additive index state — nothing folds them at read; each is an
+    * independent point-in-time diagnostic whose operational value decays
+    * (the monitor's consumer is "the last few triggers") — so retention
+    * here is deletion of committed `drift/batch=<id>` directories older
+    * than the newest `keepLast`, not folding.
+    *
+    * Run between ingest runs (the single-writer-between-runs discipline
+    * of every store-maintenance entry point). A checkpoint rollback
+    * re-delivering a pruned batch id would re-publish it via the
+    * publishOnce path — harmless: the report recomputes
+    * deterministically from the same batch against the same baseline.
+    * Returns (kept, deleted) directory counts; (0, 0) for a missing or
+    * empty report store.
+    */
+  def pruneDriftReports(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      keepLast: Int = 32): (Long, Long) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val dir = s"$stateDir/drift"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) return (0L, 0L)
+    val committed = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => s.getPath.getName.stripPrefix("batch=").toLong -> s.getPath)
+      .sortBy(_._1)
+    val (keep, drop) = committed.splitAt(math.max(0, committed.length - keepLast))
+      match { case (old, recent) => (recent, old) }
+    drop.foreach { case (_, path) => fs.delete(path, true) }
+    (keep.length.toLong, drop.length.toLong)
+  }
+
   /** Persist the baseline score histogram [[driftMonitorIngest]] scores
     * against: `(s, n_base)`, one row per occupied bucket.
     */

@@ -1632,6 +1632,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("jsDivergenceAgainstRef: S-1 pairs matching the all-pairs survey, null sources dropped, absent ref rejected") {
+    import graft.functions.Quality
+    val rnd = new scala.util.Random(47)
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0 until 80).map { i =>
+      val src = s"s${i % 4}"
+      val bias = (i % 4) + 1
+      val txt = Seq.fill(5 + rnd.nextInt(10))(
+        words(math.min(rnd.nextInt(2 * bias), words.size - 1))).mkString(" ")
+      (i.toLong, src, txt)
+    }.toDF("doc_id", "source", "text")
+    val ref = "s1"
+    val got = Quality.jsDivergenceAgainstRef(docs, "source", "text", ref)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    got.keySet shouldBe Set(ref -> "s0", ref -> "s2", ref -> "s3") // S-1 rows, sa = ref
+    // each row equals the all-pairs survey's value for that pair —
+    // orientation-normalized (the survey sorts sa < sb; JSD is
+    // symmetric, na/nb swap with the orientation)
+    val all = Quality.jsDivergenceBySource(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    got.foreach { case ((sa, sb), (v, na, nb, jsd)) =>
+      val expected =
+        if (sa < sb) all((sa, sb))
+        else { val (v2, na2, nb2, j2) = all((sb, sa)); (v2, nb2, na2, j2) }
+      (v, na, nb, jsd) shouldBe expected
+    }
+    // a null source neither NPEs the dimension collect nor appears as a
+    // pair member (a null provenance has no distribution to compare)
+    val withNull = docs.unionByName(Seq(
+      (900L, null.asInstanceOf[String], "a b c")).toDF("doc_id", "source", "text"))
+    Quality.jsDivergenceAgainstRef(withNull, "source", "text", ref)
+      .collect().map(r => r.getString(1)).toSet shouldBe Set("s0", "s2", "s3")
+    Quality.jsDivergenceBySource(withNull, "source", "text")
+      .collect().length shouldBe 6 // C(4,2), null never a member
+    // a reference absent from the corpus is a contract violation
+    val boom = intercept[IllegalArgumentException] {
+      Quality.jsDivergenceAgainstRef(docs, "source", "text", "nope")
+    }
+    boom.getMessage should include("nope")
+  }
+
   test("bcubed: hand-computed example, identity, singleton-vs-lump asymmetry, label invariance") {
     import graft.functions.Quality
     def asg(rows: Seq[(Long, Long)]) = rows.toDF("doc_id", "cluster_id")

@@ -178,4 +178,43 @@ class ShardingSpec extends SparkSpec {
       padL should be <= padA        // sorted batching can only help
     }
   }
+
+  test("shardKey equals shardManifest's shard assignment (the manifest key without the position window)") {
+    val docs = (0 until 500).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val viaKey = docs
+      .select($"doc_id", Sharding.shardKey($"doc_id", 16, epoch = 2).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaManifest = Sharding.shardManifest(docs, "doc_id", numShards = 16, epoch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaKey shouldBe viaManifest
+    // and the key is a pure projection: zero shuffles in its plan
+    val plan = docs
+      .select($"doc_id", Sharding.shardKey($"doc_id", 16).as("shard"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("sharded length-batch report: window parallelism = shard-key cardinality (no per-label single-task sort)") {
+    // the q_length_batch_sharded shape: the report's window partitions
+    // on the 32-way loader hash shard, so no task ever sorts more than
+    // ~corpus/32 rows — vs the lang-keyed catalog twin where one task
+    // sorts an entire language
+    val docs = (0 until 640).map { i =>
+      (i.toLong, Seq.fill(1 + i % 7)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val keyed = docs.withColumn("loader_shard",
+      Sharding.shardKey($"doc_id", 32))
+    val rep = Sharding.lengthBatchReport(
+      keyed, "doc_id", "text", "loader_shard", batchSize = 8)
+    val shards = rep.select($"shard").distinct().collect().map(_.getLong(0))
+    shards.length should be >= 16 // >=16-way window parallelism at 640 docs
+    // hash balance: no shard holds more than 3x the mean (md5 jitter
+    // bound at 20 docs/shard expectation)
+    val sizes = keyed.groupBy($"loader_shard").count()
+      .collect().map(_.getLong(1))
+    sizes.max should be <= 60L
+    // the report's rank windows partition on the shard key (each task
+    // sorts one shard, never the corpus)
+    rep.queryExecution.optimizedPlan.toString should include ("windowspecdefinition(shard")
+  }
 }

@@ -719,6 +719,33 @@ class StreamingSpec extends SparkSpec {
     shifted.map(t => t._3 * t._4).sum should be > 0L
   }
 
+  test("pruneDriftReports: keeps the newest keepLast reports, deletes the rest, graceful on missing stores") {
+    import graft.functions.Stores
+    val state = tmpDir("drift_prune")
+    // five committed report layers, published exactly as the monitor
+    // publishes them
+    (0 until 5).foreach { b =>
+      Stores.publishOnce(spark, s"$state/drift/batch=$b") { tmp =>
+        Seq((b.toLong, 1L, 2L, 0L)).toDF("s", "n_base", "n_cur", "lam_bits")
+          .write.parquet(tmp)
+      }
+    }
+    Pipelines.pruneDriftReports(spark, state, keepLast = 2) shouldBe ((2L, 3L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(state), spark.sessionState.newHadoopConf())
+    def exists(b: Int) = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$state/drift/batch=$b"))
+    (0 until 3).foreach(b => withClue(s"batch $b: ") { exists(b) shouldBe false })
+    (3 until 5).foreach(b => withClue(s"batch $b: ") { exists(b) shouldBe true })
+    // surviving reports are readable and intact
+    spark.read.parquet(s"$state/drift/batch=4")
+      .collect().head.getLong(0) shouldBe 4L
+    // pruning below keepLast is a no-op
+    Pipelines.pruneDriftReports(spark, state, keepLast = 32) shouldBe ((2L, 0L))
+    // a missing store answers (0, 0) rather than failing
+    Pipelines.pruneDriftReports(spark, tmpDir("absent") + "/none") shouldBe ((0L, 0L))
+  }
+
   test("nbClassifyIngest: micro-batches classify against the persisted model, equal to the batch path") {
     import graft.functions.Curation
     val in       = memStream[(Long, String)]
