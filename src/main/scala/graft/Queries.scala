@@ -3773,6 +3773,19 @@ object Queries {
 
   private val SuffixMaxDoc = 500L
 
+  /** The span-ACCOUNTING query's slice — 4× the index-diagnostic slice
+    * above, the r12-verdict growth ask. Measured (SuffixProf growth
+    * mode, sf0.1, min of 2): dupSpans walls 500→1000→2000→4000 docs are
+    * 6.9→7.2→9.5→15.0 s — 8× the data for 2.2× the wall (driver-
+    * sequenced round latency dominates; rounds are capped at ~log₂ cap
+    * by the 2·cap rank truncation, so data volume only grows the
+    * per-round distributed work). 2000 keeps the cataloged wall inside
+    * the 10 s hot-path bound; the position-level diagnostic dumps
+    * (q_suffix_array/q_suffix_lcp, whose oracles materialize every
+    * suffix) stay at 500.
+    */
+  private val SuffixSpanMaxDoc = 2000L
+
   private val qSuffixArray = Q(
     "q_suffix_array",
     "distributed suffix array (prefix doubling): dense suffix ranks, oracle = brute suffix sort",
@@ -3845,12 +3858,12 @@ object Queries {
     * `Suffix.dupSpanIntervals`, consumed by both `q_dup_spans`
     * (accounting tail) and `q_dup_scrub` (text-rebuild tail).
     */
-  private val DupSpanCtes =
+  private def dupSpanCtes(maxDoc: Long) =
     raw"""WITH p AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
          |    substr(text, g.i) AS suf
          |  FROM documents CROSS JOIN LATERAL
          |    (SELECT unnest(generate_series(1, length(text))) AS i) g
-         |  WHERE doc_id < $SuffixMaxDoc AND length(text) >= 1),
+         |  WHERE doc_id < $maxDoc AND length(text) >= 1),
          |rk AS (SELECT doc_id, pos, suf,
          |    CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) - 1 AS srank FROM p),
          |rep AS (SELECT srank, suf FROM (
@@ -3865,7 +3878,7 @@ object Queries {
          |  GROUP BY 1),
          |mult AS (SELECT srank, count(*) AS m FROM rk GROUP BY 1),
          |dl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
-         |  FROM documents WHERE doc_id < $SuffixMaxDoc AND length(text) >= 1),
+         |  FROM documents WHERE doc_id < $maxDoc AND length(text) >= 1),
          |per AS (SELECT rk.doc_id, rk.pos,
          |    greatest(
          |      CASE WHEN mult.m >= 2 THEN least(dl.len - rk.pos + 1, $LcpCap)
@@ -3895,10 +3908,10 @@ object Queries {
       // capped at LcpCap — exact for the union as long as cap >= minSpan
       // (see Suffix.dupSpans's doc)
       graft.functions.Suffix.dupSpans(
-        t(s, d).documents.filter(col("doc_id") < SuffixMaxDoc),
+        t(s, d).documents.filter(col("doc_id") < SuffixSpanMaxDoc),
         "doc_id", "text", MinSpan, LcpCap),
     Some(
-      raw"""$DupSpanCtes,
+      raw"""${dupSpanCtes(SuffixSpanMaxDoc)},
            |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
            |    CAST(sum(e2 - s) AS BIGINT) AS dup_chars FROM i GROUP BY 1)
            |SELECT d.doc_id, d.len AS n_chars,
@@ -3925,7 +3938,7 @@ object Queries {
       // the oracle rebuilds the kept text per POSITION (brute force is
       // fine at sf0.01's bounded slice): a position survives iff no
       // merged interval covers it; string_agg in position order
-      raw"""$DupSpanCtes,
+      raw"""${dupSpanCtes(SuffixMaxDoc)},
            |pos2 AS (SELECT dl.doc_id, CAST(g.i AS BIGINT) AS pos
            |  FROM dl CROSS JOIN LATERAL
            |    (SELECT unnest(generate_series(1, dl.len)) AS i) g),
