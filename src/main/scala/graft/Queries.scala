@@ -3853,12 +3853,25 @@ object Queries {
 
   private val MinSpan = 20L
 
+  /** [[qDupSpans]]'s walk cap. The merged-region union is provably
+    * cap-INVARIANT for any cap ≥ minSpan (Suffix.dupSpans scaladoc;
+    * spec-pinned cap-invariance), so the span-accounting query takes
+    * the cheapest admissible cap: 32 halves the 2·cap rank-truncation
+    * horizon vs [[LcpCap]]'s 64 and drops one doubling + one walk
+    * round — output bit-identical (oracle-green at sf0.01 and sf0.1
+    * with the oracle run at the same cap); clean-boot wall in
+    * BENCH_local_r15_sf0.1.json.
+    * [[LcpCap]] stays 64 for [[qSuffixLcp]], whose OUTPUT (the capped
+    * LCP values themselves) genuinely depends on the cap.
+    */
+  private val DupSpanCap = 32L
+
   /** Shared oracle CTE chain computing the merged duplicated-span
     * intervals per doc (`i`: doc_id, grp, s, e2) — the SQL mirror of
     * `Suffix.dupSpanIntervals`, consumed by both `q_dup_spans`
     * (accounting tail) and `q_dup_scrub` (text-rebuild tail).
     */
-  private def dupSpanCtes(maxDoc: Long) =
+  private def dupSpanCtes(maxDoc: Long, cap: Long) =
     raw"""WITH p AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
          |    substr(text, g.i) AS suf
          |  FROM documents CROSS JOIN LATERAL
@@ -3874,14 +3887,14 @@ object Queries {
          |    CAST(COALESCE(max(CASE WHEN substr(a.suf, 1, g.i) = substr(b.suf, 1, g.i)
          |      THEN g.i END), 0) AS BIGINT) AS l
          |  FROM rep a JOIN rep b ON b.srank = a.srank + 1
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, $LcpCap)) AS i) g
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, $cap)) AS i) g
          |  GROUP BY 1),
          |mult AS (SELECT srank, count(*) AS m FROM rk GROUP BY 1),
          |dl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
          |  FROM documents WHERE doc_id < $maxDoc AND length(text) >= 1),
          |per AS (SELECT rk.doc_id, rk.pos,
          |    greatest(
-         |      CASE WHEN mult.m >= 2 THEN least(dl.len - rk.pos + 1, $LcpCap)
+         |      CASE WHEN mult.m >= 2 THEN least(dl.len - rk.pos + 1, $cap)
          |        ELSE 0 END,
          |      COALESCE(u.l, 0), COALESCE(d2.l, 0)) AS dlen
          |  FROM rk JOIN mult USING (srank) JOIN dl USING (doc_id)
@@ -3909,9 +3922,9 @@ object Queries {
       // (see Suffix.dupSpans's doc)
       graft.functions.Suffix.dupSpans(
         t(s, d).documents.filter(col("doc_id") < SuffixSpanMaxDoc),
-        "doc_id", "text", MinSpan, LcpCap),
+        "doc_id", "text", MinSpan, DupSpanCap),
     Some(
-      raw"""${dupSpanCtes(SuffixSpanMaxDoc)},
+      raw"""${dupSpanCtes(SuffixSpanMaxDoc, DupSpanCap)},
            |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
            |    CAST(sum(e2 - s) AS BIGINT) AS dup_chars FROM i GROUP BY 1)
            |SELECT d.doc_id, d.len AS n_chars,
@@ -3938,7 +3951,7 @@ object Queries {
       // the oracle rebuilds the kept text per POSITION (brute force is
       // fine at sf0.01's bounded slice): a position survives iff no
       // merged interval covers it; string_agg in position order
-      raw"""${dupSpanCtes(SuffixMaxDoc)},
+      raw"""${dupSpanCtes(SuffixMaxDoc, LcpCap)},
            |pos2 AS (SELECT dl.doc_id, CAST(g.i AS BIGINT) AS pos
            |  FROM dl CROSS JOIN LATERAL
            |    (SELECT unnest(generate_series(1, dl.len)) AS i) g),
