@@ -61,6 +61,10 @@ object SuffixProf {
           f"ranks=$ra%.2f lcp64=$lc%.2f")
       }
     } else {
+      // GRAFT_SUFFIX_BUCKETS overrides the 512-bucket default — the
+      // bucket-count sensitivity probe for bounded slices (512 tiny
+      // tasks per round is scheduling overhead at 32 threads)
+      val buckets = sys.env.get("GRAFT_SUFFIX_BUCKETS").map(_.toInt).getOrElse(512)
       args.map(_.toLong).foreach { bound =>
         val docs = all.filter(col("doc_id") < bound)
         val chars = docs.agg(sum(length(col("text")))).head().getLong(0)
@@ -69,14 +73,16 @@ object SuffixProf {
           math.min(a, b)
         }
         val ra = mintime(s"ranks@$bound")(
-          graft.functions.Suffix.suffixRanks(docs, "doc_id", "text").count())
-        val lc = mintime(s"lcp@$bound")(
-          graft.functions.Suffix.adjacentLcp(docs, "doc_id", "text").count())
-        val ds = mintime(s"dupspans@$bound")(
-          graft.functions.Suffix.dupSpans(docs, "doc_id", "text", minSpan, cap)
+          graft.functions.Suffix.suffixRanks(docs, "doc_id", "text", buckets)
             .count())
-        println(f"GROWTH docs=$bound chars=$chars ranks=$ra%.2f lcp=$lc%.2f " +
-          f"dupspans=$ds%.2f")
+        val lc = mintime(s"lcp@$bound")(
+          graft.functions.Suffix.adjacentLcp(docs, "doc_id", "text", buckets)
+            .count())
+        val ds = mintime(s"dupspans@$bound")(
+          graft.functions.Suffix.dupSpans(docs, "doc_id", "text", minSpan, cap,
+            buckets).count())
+        println(f"GROWTH docs=$bound chars=$chars buckets=$buckets " +
+          f"ranks=$ra%.2f lcp=$lc%.2f dupspans=$ds%.2f")
       }
     }
     spark.stop()
