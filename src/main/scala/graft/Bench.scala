@@ -45,12 +45,23 @@ object Bench {
     // pays — while discarding bytes, so the number prices the actual
     // plan and nothing else. AQE still runs (the write executes the
     // adaptive plan).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(q: Queries.Q): Double = {
       val t0 = System.nanoTime()
       try {
         q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch {
+        case e: Throwable =>
+          // record the root cause so a failed row is diagnosable from
+          // the committed JSON alone (first failure per query wins —
+          // the retry's error is usually the same)
+          var c: Throwable = e
+          while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+          errors.getOrElseUpdate(q.name,
+            s"${c.getClass.getSimpleName}: ${Option(c.getMessage).getOrElse("").take(300)}")
+          -1.0
+      }
     }
     // between queries, free every RDD still pinned in the block manager:
     // operators with a lazy result contract (MaxMatch vocab, Unigram
@@ -80,9 +91,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errorsJson = errors
+      .map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ") + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val load = s"""{"before":$loadBefore,"after":$loadAfter}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":$load,"runs_per_query":2,"drive":"materialize-noop"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir","load":$load,"runs_per_query":2,"drive":"materialize-noop"}""")
     spark.stop()
   }
 }

@@ -81,7 +81,14 @@ object Queries {
     * final trained-cell assignment. Prefix of the IVF-search and
     * semantic-dedup oracles.
     */
-  private val sqlIvfCellCtes: String = {
+  private val sqlIvfCellCtes: String = sqlIvfCellCtesWith(s"$IvfNumCells")
+
+  /** [[sqlIvfCellCtes]] with an explicit cell-count LIMIT expression —
+    * the semantic-dedup oracle passes the dynamic √N rule
+    * (`Similarity.autoCellCount` mirrored in SQL) where the IVF-search
+    * oracles keep the fixed literal.
+    */
+  private def sqlIvfCellCtesWith(limitExpr: String): String = {
     val sums = (1 to 64).map(i => s"sum(qv[$i])").mkString(", ")
     def asg(cent: String): String =
       s"""SELECT cid, qv, qn2, cell FROM (
@@ -96,7 +103,7 @@ object Queries {
        |    v, list_dot_product(v, v) AS vn2 FROM base),
        |c0 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
        |  SELECT cid AS cell, qv AS cv FROM bn
-       |  ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT $IvfNumCells)),
+       |  ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT $limitExpr)),
        |a1 AS (${asg("c0")}),
        |c1 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
        |  SELECT cell, list_value($sums) AS cv FROM a1 GROUP BY cell)),
@@ -935,11 +942,27 @@ object Queries {
   // planes (planeComponent is engine-independent by construction).
   private val SweepWidths = Seq(12, 16, 20, 24)
   private val SweepBands  = 8
+
+  /** The sweep's DECLARED input slice (the suffix-family bounded-
+    * diagnostic convention): the sweep deliberately includes too-narrow
+    * band widths whose candidate sets are the n²/2^bits random floor —
+    * the POINT of the diagnostic — so its verify stage is quadratic in
+    * the slice by design and must not ride corpus growth (materializing
+    * 12-bit candidates over sf10's 2M vectors is ~10¹⁰ cosines — the
+    * noop-drive bench OOMed exactly there; count() had been silently
+    * pruning the unique-key vector joins and the cosines with them).
+    * 20k = the full sf0.1 table, so sf0.1 numbers are unchanged and
+    * bigger SFs measure the same knee on the same slice. Production
+    * tuning stays with the capped queries (q_neardup_banded).
+    */
+  private val SweepMaxVec = 20000L
+
   private val qBandSweep = Q(
     "q_band_sweep",
-    "SRP band-width sweep: candidate pairs vs true near-dups found per bitsPerBand",
+    "SRP band-width sweep: candidate pairs vs true near-dups found per bitsPerBand (declared bounded slice)",
     (s, d) => {
       val base = t(s, d).embeddings
+        .filter(col("vec_id") < SweepMaxVec)
         .select(col("vec_id").cast("long").as("vec_id"),
           Similarity.toDouble(col("embedding")).as("v"))
       // dynamic max+1 offset for the perturbed copies (same collision
@@ -979,7 +1002,8 @@ object Queries {
            |FROM k$bits k JOIN n x ON x.vec_id = k.a JOIN n y ON y.vec_id = k.b""".stripMargin
       }
       s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
-         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id < $SweepMaxVec),
          |aug AS (SELECT vec_id, v FROM base
          |  UNION ALL
          |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base),
@@ -2111,17 +2135,23 @@ object Queries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
           sum(col("c") * col("c")).as("s2"))
-        // sample variance from exact integer moments, in cents²; the
-        // double division is the only float op → engine-independent
+        // sample variance from exact integer MOMENTS; the s1² term is
+        // taken in DOUBLE on both engines — s1 is a corpus-scale sum
+        // whose square overflows int64 at sf10 volume (DuckDB silently
+        // promotes to HUGEINT; Spark's ANSI multiply throws — the
+        // divergence the noop-materialize bench drive exposed), and
+        // IEEE double arithmetic is engine-identical where the exact
+        // product is not. Exact below 2^53 (every verify SF), honest
+        // double beyond.
         .select(col("event_type"), col("n"),
-          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-            .as("var_cents2")),
+          ((col("s2") - col("s1").cast("double") * col("s1") / col("n"))
+            / (col("n") - 1)).as("var_cents2")),
     Some(s"""WITH x AS (SELECT event_type, ${sqlCents("value")} AS c FROM events),
             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
             |  CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
             |FROM x GROUP BY 1)
             |SELECT event_type, n,
-            |  (s2 - s1 * s1 / n) / (n - 1) AS var_cents2
+            |  (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var_cents2
             |FROM m""".stripMargin))
 
   private val qTokenBudget = Q(
@@ -2190,11 +2220,20 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
+        // every co-moment product is taken in DOUBLE on both engines —
+        // n·sxy, sx·sy, sx², sy² are products of corpus-scale sums that
+        // overflow int64 at sf10 volume (same divergence class as
+        // q_variance's s1²: DuckDB promotes to HUGEINT, Spark's ANSI
+        // multiply throws). IEEE doubles are engine-identical; exact
+        // below 2^53, honest double beyond.
         .select(col("event_type"), col("n"),
           round(
-            (col("n") * col("sxy") - col("sx") * col("sy")) /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            (col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+              sqrt((col("n").cast("double") * col("sxx") -
+                col("sx").cast("double") * col("sx")) *
+                (col("n").cast("double") * col("syy") -
+                  col("sy").cast("double") * col("sy"))), 6)
             .as("corr")),
     Some(s"""WITH x AS (SELECT event_type, ${sqlCents("value")} AS x,
             |    CAST(props->>'k' AS BIGINT) AS y
@@ -2205,8 +2244,9 @@ object Queries {
             |  CAST(sum(x * y) AS BIGINT) AS sxy
             |FROM x GROUP BY 1)
             |SELECT event_type, n,
-            |  round((n * sxy - sx * sy) /
-            |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS corr
+            |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+            |    sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr
             |FROM m""".stripMargin))
 
   private val qMediaAnn = Q(
@@ -3370,10 +3410,17 @@ object Queries {
       // candidates, and the keep rule (dup iff a smaller-id cell-mate has
       // cosine ≥ τ) is the parallel form of greedy keep-first — no
       // sequential pass, no unbounded all-pairs join.
+      // numCells = 0 → the √N auto-sizing production call
+      // (Similarity.autoCellCount): a FIXED cell count makes the
+      // within-cell verify quadratic in the corpus (measured 33×/decade
+      // at sf10 under the materialize drive); √N cells balance the
+      // k-means assignment and verify terms at N^1.5. The oracle
+      // mirrors the rule with a dynamic LIMIT.
       Similarity.semanticDedup(
         t(s, d).embeddings, "vec_id", "embedding", threshold = 0.4,
-        numCells = IvfNumCells),
-    Some(s"""WITH $sqlIvfCellCtes,
+        numCells = 0),
+    Some(s"""WITH ${sqlIvfCellCtesWith(
+             "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM bn)")},
             |p AS (SELECT a.cid AS da, b.cid AS db,
             |    round(list_dot_product(a.v, b.v) / sqrt(a.vn2 * b.vn2), 4) AS cos
             |  FROM af a JOIN af b ON a.cell = b.cell AND a.cid < b.cid),

@@ -516,6 +516,23 @@ object Similarity {
       .select(col("cid"), col("cell"), col("v"), col("vn2"))
   }
 
+  /** The √N cell-count rule [[semanticDedup]] auto-sizes with (numCells
+    * = 0): within-cell verify costs O(N²/cells · d) while k-means
+    * assignment costs O(N · cells · d · iters), so the total is
+    * minimized at cells ≈ √N — and the EXPONENT drops from the fixed-
+    * cell quadratic to N^1.5 (measured: the fixed-16-cell catalog
+    * parameterization read 33×/decade at sf10 under materialization;
+    * √N cells hold both terms balanced at any corpus size). Floor 16
+    * keeps tiny corpora from degenerating to one or two cells; the
+    * driver-held codebook stays bounded (√N rows — ~5k at a billion
+    * vectors, still model state, not data).
+    */
+  def autoCellCount(corpusRows: Long): Int = {
+    require(corpusRows >= 0, s"corpusRows must be >= 0, got $corpusRows")
+    math.max(16L, math.ceil(math.sqrt(corpusRows.toDouble)).toLong)
+      .min(1L << 20).toInt
+  }
+
   /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
     * the embedding space (deterministic k-means cells), compare only
     * WITHIN cells (the cells bound the quadratic work — |corpus|²/numCells
@@ -524,6 +541,11 @@ object Similarity {
     * `threshold` — the parallel, order-deterministic form of "greedily
     * keep the first of each near-dup group". Returns every corpus id:
     * (id, cell, n_prior_near, dup_of = min such neighbor or −1, kept).
+    *
+    * `numCells = 0` (the production call) auto-sizes via
+    * [[autoCellCount]] from one narrow count — a FIXED cell count makes
+    * the within-cell verify quadratic in the corpus; √N holds the whole
+    * pipeline at N^1.5 with the assignment and verify terms balanced.
     */
   def semanticDedup(
       corpus: DataFrame,
@@ -531,9 +553,11 @@ object Similarity {
       vec: String,
       threshold: Double,
       dims: Int = 64,
-      numCells: Int = 16,
+      numCells: Int = 0,
       iters: Int = 2): DataFrame = {
-    val asg = cellAssignments(corpus, id, vec, dims, numCells, iters)
+    val cells =
+      if (numCells > 0) numCells else autoCellCount(corpus.count())
+    val asg = cellAssignments(corpus, id, vec, dims, cells, iters)
     val a = asg.select(
       col("cid").as("doc_a"), col("cell"),
       col("v").as("va"), col("vn2").as("na"))

@@ -120,6 +120,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("autoCellCount: sqrt rule with floor 16; numCells=0 equals the explicit sqrt call") {
+    // the sizing rule the 100-TB claim rests on: fixed cells make the
+    // within-cell verify quadratic; sqrt(N) balances assignment and
+    // verify at N^1.5
+    Similarity.autoCellCount(0L) shouldBe 16
+    Similarity.autoCellCount(200L) shouldBe 16 // floor
+    Similarity.autoCellCount(1000000L) shouldBe 1000
+    Similarity.autoCellCount(2000000L) shouldBe 1415 // ceil
+    def vec(i: Int): Array[Double] = Array.tabulate(64) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ac$i:$d".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 0xffffffffL.toDouble - 0.5
+    }
+    // 400 rows -> auto = ceil(sqrt(400)) = 20 cells, above the floor —
+    // the auto call must equal the explicit call at that count
+    val df = (0 until 400).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val auto = Similarity
+      .semanticDedup(df, "vec_id", "embedding", threshold = 0.9, numCells = 0)
+      .collect().map(_.toSeq).toSet
+    val explicit = Similarity
+      .semanticDedup(df, "vec_id", "embedding", threshold = 0.9, numCells = 20)
+      .collect().map(_.toSeq).toSet
+    auto shouldBe explicit
+  }
+
   test("property: repetition/gopher basis points stay in range on random text") {
     import graft.functions.Quality
     (1L to 6L).foreach { seed =>
