@@ -67,7 +67,7 @@ object Bench {
     // operators with a lazy result contract (MaxMatch vocab, Unigram
     // refit rounds, Bpe delta state, the ivfPqProbeSweep assignment
     // table) necessarily leave their internal localCheckpoints cached —
-    // after the query's count() they are dead weight, and over a
+    // after the query's noop materialization they are dead weight, and over a
     // 149-query session the accumulation is a systematic, ORDER-
     // dependent memory pressure on later queries that reads as noise.
     // Each query is measured as an independent job on a clean block
@@ -82,7 +82,11 @@ object Bench {
       else Queries.all.filter(q => args.contains(q.name))
     val loadBefore = loadAvg1m()
     val results = selected.map { q =>
-      val r = q.name -> math.min(once(q), once(q))
+      // min over SUCCESSFUL runs only: one flaky run must not convert a
+      // measured query into failed:-1, and a flaky FIRST run must not
+      // discard the second run's valid timing. failed ⇔ both runs threw.
+      val ok = Seq(once(q), once(q)).filter(_ >= 0)
+      val r = q.name -> (if (ok.isEmpty) -1.0 else ok.min)
       freeStranded()
       r
     }
@@ -91,10 +95,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val errorsJson = errors
+    // only keep errors for queries that actually failed (both runs threw);
+    // a flaky single-run error beside a valid timing would mislead
+    val errorsJson = errors.filter { case (k, _) => failed.contains(k) }
       .map { case (k, v) =>
+        // strip ALL control chars (multi-line Spark ANSI errors carry
+        // \r\t etc.) so the bench line is always valid JSON
         "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", " ") + "\"" }
+          .replaceAll("\\p{Cntrl}", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val load = s"""{"before":$loadBefore,"after":$loadAfter}"""

@@ -1150,7 +1150,7 @@ object Queries {
 
   private val qLengthBatch = Q(
     "q_length_batch",
-    "length-grouped batching padding-waste report: arrival-order vs length-sorted fixed-size batches per shard",
+    "length-grouped batching padding-waste report, lang-keyed A/B arm (5 labels = per-language single-task sort, 2.1x slower at sf100; production uses q_length_batch_sharded)",
     (s, d) => graft.operators.Sharding.lengthBatchReport(
       t(s, d).documents, "doc_id", "text", "lang", batchSize = 32),
     Some(s"""WITH dd AS (SELECT lang AS shard, doc_id,
@@ -5215,9 +5215,10 @@ object Queries {
     (s, d) => {
       val docs = t(s, d).documents
       // UUID nonce: same per-invocation-unique contract as the layered
-      // stores below (concurrent evaluations must not race the rewrite)
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_" +
-        s"${java.util.UUID.randomUUID().toString.take(8)}_${new java.io.File(d).getName}"
+      // stores below (concurrent evaluations must not race the rewrite);
+      // swept at JVM exit by the scratch registry
+      val dir = graft.functions.Stores.scratchDir(
+        "graft_bm25_index_", new java.io.File(d).getName)
       Curation.writeBm25Index(
         Curation.bm25Index(docs.filter(col("doc_id") < Bm25SnapDoc),
           "doc_id", "text"), dir)
@@ -5270,9 +5271,9 @@ object Queries {
       // two datasets sharing a basename in one JVM; a fresh dir never
       // pre-exists, so publishOnce's replay no-op path can't silently
       // serve stale stats either (that path is spec-covered in
-      // StreamingSpec/StoresSpec)
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25s_" +
-        s"${java.util.UUID.randomUUID().toString.take(8)}_${new java.io.File(d).getName}"
+      // StreamingSpec/StoresSpec). Swept at JVM exit (scratch registry).
+      val dir = graft.functions.Stores.scratchDir(
+        "graft_bm25s_", new java.io.File(d).getName)
       val docs = t(s, d).documents
       Curation.writeBm25Batch(
         Curation.bm25Index(docs.filter(col("doc_id") < Bm25StreamB0),
@@ -5318,9 +5319,9 @@ object Queries {
       // no-op contract): two additive ingest layers, folded to one
       // atomically-published layer, searched through the same serving
       // fold. The oracle is q_bm25_stream's snapshot SQL verbatim —
-      // compaction must be invisible to a searcher.
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25c_" +
-        s"${java.util.UUID.randomUUID().toString.take(8)}_${new java.io.File(d).getName}"
+      // compaction must be invisible to a searcher. Swept at JVM exit.
+      val dir = graft.functions.Stores.scratchDir(
+        "graft_bm25c_", new java.io.File(d).getName)
       val docs = t(s, d).documents
       Curation.writeBm25Batch(
         Curation.bm25Index(docs.filter(col("doc_id") < Bm25StreamB0),
@@ -6210,9 +6211,10 @@ object Queries {
       // fresh fixture store per invocation (compaction MUTATES the
       // store, so sharing q_phrase_store's dir would double postings on
       // a re-run): build two ingest batches, collapse them to one
-      // atomically-published layer, probe the compacted store
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pcomp_" +
-        s"${java.util.UUID.randomUUID().toString.take(8)}_${new java.io.File(d).getName}"
+      // atomically-published layer, probe the compacted store.
+      // Swept at JVM exit (scratch registry).
+      val dir = graft.functions.Stores.scratchDir(
+        "graft_pcomp_", new java.io.File(d).getName)
       import graft.functions.Stores
       val docs = t(s, d).documents
       Stores.publishOnce(s, s"$dir/batch=0")(

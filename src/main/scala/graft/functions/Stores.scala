@@ -28,6 +28,50 @@ import org.apache.spark.sql.SparkSession
   */
 object Stores {
 
+  /** Nonce scratch dirs created by [[scratchDir]], recursively deleted
+    * by one JVM shutdown hook. Catalog queries that build a throwaway
+    * store (BM25 snapshot/stream/compaction, posting compaction) need a
+    * per-invocation-unique path — concurrent evaluations must not race a
+    * shared path's rewrite — but an un-swept nonce dir per evaluation
+    * accumulates unboundedly in /tmp across Bench/Verify rounds.
+    */
+  private val scratchRegistry =
+    java.util.Collections.synchronizedSet(new java.util.LinkedHashSet[String]())
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchRegistry.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }
+    }, "graft-scratch-sweep"))
+  }
+
+  /** A fresh per-invocation-unique local scratch directory path
+    * `<tmpdir>/<prefix><uuid8>_<basename>`, registered for recursive
+    * deletion at JVM exit. The dir itself is NOT created — the caller's
+    * store writer publishes into it — so the nonce never pre-exists and
+    * `publishOnce`'s replay no-op path cannot silently serve stale
+    * state.
+    */
+  def scratchDir(prefix: String, basename: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/$prefix" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}_$basename"
+    registerScratch(p)
+    p
+  }
+
+  /** Register an externally-created local path (a spec fixture dir) for
+    * the same at-exit recursive sweep [[scratchDir]] nonces get.
+    */
+  def registerScratch(path: String): Unit = {
+    scratchHook
+    scratchRegistry.add(path)
+    ()
+  }
+
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     FileSystem.get(new java.net.URI(dir), spark.sessionState.newHadoopConf())
 
@@ -84,6 +128,20 @@ object Stores {
     * [[graft.streaming.ParquetUpsertSink]] snapshot + pointer idiom
     * instead.)
     */
+  def publishReplace(spark: SparkSession, finalDir: String)(write: String => Unit): Unit = {
+    val fs  = fsOf(spark, finalDir)
+    val dst = new Path(finalDir)
+    val tmp = tmpSibling(finalDir)
+    write(tmp.toString)
+    if (fs.exists(dst)) {
+      val old = new Path(tmp.getParent, s"${tmp.getName}.old")
+      fs.delete(old, true)
+      rename(spark, fs, dst, old)
+      rename(spark, fs, tmp, dst)
+      fs.delete(old, true)
+    } else rename(spark, fs, tmp, dst)
+  }
+
   /** Count committed data files under `dir` whose path contains
     * `marker` (default: inside a `batch=` layer). A file counts only if
     * NO directory component strictly below `dir` is hidden (`_`/`.`
@@ -110,19 +168,5 @@ object Stores {
       }
     }
     n
-  }
-
-  def publishReplace(spark: SparkSession, finalDir: String)(write: String => Unit): Unit = {
-    val fs  = fsOf(spark, finalDir)
-    val dst = new Path(finalDir)
-    val tmp = tmpSibling(finalDir)
-    write(tmp.toString)
-    if (fs.exists(dst)) {
-      val old = new Path(tmp.getParent, s"${tmp.getName}.old")
-      fs.delete(old, true)
-      rename(spark, fs, dst, old)
-      rename(spark, fs, tmp, dst)
-      fs.delete(old, true)
-    } else rename(spark, fs, tmp, dst)
   }
 }

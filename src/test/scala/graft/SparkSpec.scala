@@ -25,6 +25,12 @@ object TestSpark {
 trait SparkSpec extends AnyFunSuite with Matchers {
   lazy val spark: SparkSession = TestSpark.spark
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  // registered for recursive deletion at JVM exit so repeated sbt test
+  // runs don't accumulate orphan spec dirs in /tmp (same registry the
+  // catalog's nonce store dirs use)
+  def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.functions.Stores.registerScratch(p)
+    p
+  }
 }
