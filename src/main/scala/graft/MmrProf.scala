@@ -21,11 +21,11 @@ object MmrProf {
     val spark = GraftSession.local("graft-mmr-prof")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     e.filter(col("vec_id") < 8).count() // session warm-up
-    def once(k: Int): Double = {
+    def once(k: Int, pickBatch: Int): Double = {
       val t0 = System.nanoTime()
       graft.functions.Similarity.mmrRerank(
         e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
-        n = 2 * k, k = k, lambdaBp = 7000).count()
+        n = 2 * k, k = k, lambdaBp = 7000, pickBatch = pickBatch).count()
       val s = (System.nanoTime() - t0) / 1e9
       // the returned frame is itself a checkpoint — free it between reps
       // exactly as Bench does, so later reps don't run under stranded
@@ -36,9 +36,14 @@ object MmrProf {
     }
     val ks = if (args.isEmpty) Array(8, 16, 32, 64) else args.map(_.toInt)
     ks.foreach { k =>
-      val (a, b) = (once(k), once(k))
-      println(f"MMR k=$k n=${2 * k} wall=${math.min(a, b)}%.2f s " +
-        f"(reps $a%.2f / $b%.2f) per-round=${math.min(a, b) / (k - 1)}%.3f")
+      // greedy (pickBatch = 1) vs batched at rounds held to 8 (b = k/8):
+      // the knee claim is per-PICK wall flat under the batched variant
+      val (a, b) = (once(k, 1), once(k, 1))
+      val bb = math.max(1, k / 8)
+      val (c, d) = (once(k, bb), once(k, bb))
+      println(f"MMR k=$k n=${2 * k} greedy wall=${math.min(a, b)}%.2f s " +
+        f"(reps $a%.2f / $b%.2f) per-pick=${math.min(a, b) / k}%.3f | " +
+        f"batched b=$bb wall=${math.min(c, d)}%.2f s per-pick=${math.min(c, d) / k}%.3f")
     }
     spark.stop()
   }

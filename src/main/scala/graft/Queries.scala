@@ -87,22 +87,31 @@ object Queries {
     * the semantic-dedup oracle passes the dynamic √N rule
     * (`Similarity.autoCellCount` mirrored in SQL) where the IVF-search
     * oracles keep the fixed literal.
+    *
+    * `trainWhere` (SQL predicate over `cid`, default all rows) narrows
+    * the TRAINING set — seeds and both Lloyd updates run over `bt`
+    * (= bn filtered) while the final `af` assignment routes EVERY
+    * vector to the trained cells: the incremental-dedup oracle trains
+    * on the indexed corpus split and assigns corpus + batch alike,
+    * exactly `Similarity.semanticDedupIncremental`'s frozen-model rule.
     */
-  private def sqlIvfCellCtesWith(limitExpr: String): String = {
+  private def sqlIvfCellCtesWith(
+      limitExpr: String, trainWhere: String = "TRUE"): String = {
     val sums = (1 to 64).map(i => s"sum(qv[$i])").mkString(", ")
     def asg(cent: String): String =
       s"""SELECT cid, qv, qn2, cell FROM (
          |  SELECT b.cid, b.qv, b.qn2, c.cell, row_number() OVER (PARTITION BY b.cid
          |    ORDER BY round(list_dot_product(b.qv, c.cv) / sqrt(b.qn2 * c.cn2), 4) DESC, c.cell) AS arn
-         |  FROM bn b, $cent c) WHERE arn = 1""".stripMargin
+         |  FROM bt b, $cent c) WHERE arn = 1""".stripMargin
     s"""base AS (SELECT vec_id AS cid,
        |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS qv,
        |    CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
        |bn AS (SELECT cid, qv, list_dot_product(qv, qv) AS qn2,
        |    v, list_dot_product(v, v) AS vn2 FROM base),
+       |bt AS (SELECT * FROM bn WHERE $trainWhere),
        |c0 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
-       |  SELECT cid AS cell, qv AS cv FROM bn
+       |  SELECT cid AS cell, qv AS cv FROM bt
        |  ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT $limitExpr)),
        |a1 AS (${asg("c0")}),
        |c1 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
@@ -3433,6 +3442,91 @@ object Queries {
             |  (dup_of IS NULL) AS kept
             |FROM af LEFT JOIN agg ON agg.db = af.cid""".stripMargin))
 
+  /** High-τ parameterization for [[qSemanticPrefilter]]: at 0.92 the
+    * SRP prefilter's auto Hamming cut (65/256 bits) sits 6σ above the
+    * boundary-pair band and 8σ below the random-pair band — the regime
+    * where code prefiltering prunes ~everything AND provably loses
+    * ~nothing. The exact-SQL oracle (no prefilter on the DuckDB side)
+    * pins recall-safety on the real data: one dropped qualifying pair
+    * hash-mismatches.
+    */
+  private val SemanticHiThreshold = 0.92
+
+  private val qSemanticPrefilter = Q(
+    "q_semantic_prefilter",
+    "SemDeDup at high threshold with the recall-safe SRP-code Hamming prefilter: in-cell pairs compare 256-bit codes first, only survivors pay the exact cosine",
+    (s, d) =>
+      // the generalizable within-cell-verify cut: candidates shuffle
+      // (id, cell, 4 longs) instead of full vectors, survivors join the
+      // vectors back by id; the decision rule (exact rounded cosine ≥ τ)
+      // is untouched, so the oracle is the same exact pair SQL as
+      // q_semantic_dedup at τ = 0.92 — prefilter recall loss would
+      // hash-mismatch. See Similarity.semanticDedupPrefiltered for the
+      // 6σ/8σ Hamming-band sizing and why τ = 0.4 cannot be prefiltered.
+      Similarity.semanticDedupPrefiltered(
+        t(s, d).embeddings, "vec_id", "embedding",
+        threshold = SemanticHiThreshold, numCells = 0),
+    Some(s"""WITH ${sqlIvfCellCtesWith(
+             "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM bn)")},
+            |p AS (SELECT a.cid AS da, b.cid AS db,
+            |    round(list_dot_product(a.v, b.v) / sqrt(a.vn2 * b.vn2), 4) AS cos
+            |  FROM af a JOIN af b ON a.cell = b.cell AND a.cid < b.cid),
+            |agg AS (SELECT db, CAST(count(*) AS BIGINT) AS n_prior_near,
+            |    min(da) AS dup_of
+            |  FROM p WHERE cos >= $SemanticHiThreshold GROUP BY 1)
+            |SELECT af.cid AS vec_id, af.cell,
+            |  COALESCE(n_prior_near, 0) AS n_prior_near,
+            |  COALESCE(dup_of, -1) AS dup_of,
+            |  (dup_of IS NULL) AS kept
+            |FROM af LEFT JOIN agg ON agg.db = af.cid""".stripMargin))
+
+  private val qSemanticIncr = Q(
+    "q_semantic_incr",
+    "incremental SemDeDup against a PERSISTED index: batch routed to frozen trained cells, verified against in-cell priors only (touched-cell partition pruning)",
+    (s, d) => {
+      // the streaming shape of semantic dedup: the index (trained
+      // centroids + cell-partitioned corpus assignment) is built ONCE
+      // on the first 60% of ids, one ingest batch ([60%, 80%)) is
+      // appended through the stamped store path, and the query's
+      // result is the incremental decision for the NEWEST batch
+      // ([80%, 100%)) — per-batch cost is |batch| assignment plus
+      // verifies against only the touched cells' directories. The
+      // oracle recomputes the same frozen-model rule from scratch:
+      // train on the 60% split, assign everything, decide the top 20%.
+      val e = t(s, d).embeddings
+      val n = e.count()
+      val b1 = 3L * n / 5L
+      val b2 = 4L * n / 5L
+      val dir = graft.functions.Stores.scratchDir(
+        "graft_semidx_", new java.io.File(d).getName)
+      Similarity.writeSemanticIndex(
+        e.filter(col("vec_id") < b1), "vec_id", "embedding", dir,
+        numCells = 0)
+      Similarity.appendSemanticBatch(s, dir,
+        e.filter(col("vec_id") >= b1 && col("vec_id") < b2),
+        "vec_id", "embedding", batchId = 0L)
+      Similarity.semanticDedupIncremental(s, dir,
+        e.filter(col("vec_id") >= b2), "vec_id", "embedding",
+        threshold = 0.4)
+    },
+    Some(s"""WITH ${sqlIvfCellCtesWith(
+             "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM bt)",
+             "cid < (SELECT 3 * count(*) // 5 FROM bn)")},
+            |bb AS (SELECT 4 * count(*) // 5 AS b2 FROM bn),
+            |p AS (SELECT a.cid AS da, b.cid AS db,
+            |    round(list_dot_product(a.v, b.v) / sqrt(a.vn2 * b.vn2), 4) AS cos
+            |  FROM af a JOIN af b ON a.cell = b.cell AND a.cid < b.cid
+            |  CROSS JOIN bb WHERE b.cid >= bb.b2),
+            |agg AS (SELECT db, CAST(count(*) AS BIGINT) AS n_prior_near,
+            |    min(da) AS dup_of
+            |  FROM p WHERE cos >= 0.4 GROUP BY 1)
+            |SELECT af.cid AS vec_id, af.cell,
+            |  COALESCE(n_prior_near, 0) AS n_prior_near,
+            |  COALESCE(dup_of, -1) AS dup_of,
+            |  (dup_of IS NULL) AS kept
+            |FROM af CROSS JOIN bb LEFT JOIN agg ON agg.db = af.cid
+            |WHERE af.cid >= bb.b2""".stripMargin))
+
   private val qClusterBalance = Q(
     "q_cluster_balance",
     "IVF cell-balance diagnostic: per-cell sizes vs the uniform ideal",
@@ -6283,7 +6377,7 @@ object Queries {
     qMinhashCluster,
     qBoilerplate, qVocabGrowth, qFertility, qUnicodeNfc,
     qKmvDistinct, qHllDistinct, qBlocklistFilter, qCurriculum, qSemanticDedup,
-    qClusterBalance,
+    qSemanticPrefilter, qSemanticIncr, qClusterBalance,
     qZorderLayout,
     qCmsFreq, qWinnowFp, qSnapshotCdc, qLmSurprisal,
     qWinnowCandidates, qPmiColloc, qTextrank, qSuffixArray, qSuffixLcp, qScd2History, qSpanScrub, qKmvOverlap,

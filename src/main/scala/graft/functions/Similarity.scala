@@ -100,12 +100,16 @@ object Similarity {
     * Scale shape: the corpus-scale work is [[knnCosine]] (one broadcast
     * pass, per-query window top-n); everything after runs on the
     * BOUNDED candidate table (|queries|·n rows, eagerly checkpointed
-    * once) — the n² pair similarities per query and k−1 plan-unrolled
-    * greedy rounds (anti-join + max-sim aggregate + per-query argmax
-    * window, the [[graft.functions.Graph.pageRank]] unrolling idiom;
-    * each round's selection is checkpointed and its predecessor freed,
-    * so the plan stays round-local). Queries are independent — the
-    * greedy is sequential in k but parallel across queries.
+    * once) — the n² pair similarities per query and ⌈k/pickBatch⌉
+    * plan-unrolled rounds (anti-join + max-sim aggregate + per-query
+    * top-`pickBatch` window, the [[graft.functions.Graph.pageRank]]
+    * unrolling idiom; each round's selection is checkpointed and its
+    * predecessor freed, so the plan stays round-local). Queries are
+    * independent — the greedy is sequential in rounds but parallel
+    * across queries. `pickBatch = 1` (default) is the exact greedy;
+    * larger batches hold the DRIVER ROUND LATENCY flat as k grows (the
+    * k = 64 knee, PERF round-15) at the documented approximation that
+    * within-round picks don't see each other's redundancy.
     *
     * Output: (query_id, mmr_rank 1‥k, neighbor_id, rel_sc, maxsim_sc,
     * score_sc).
@@ -117,9 +121,11 @@ object Similarity {
       vec: String,
       n: Int,
       k: Int,
-      lambdaBp: Int = 7000): DataFrame = {
+      lambdaBp: Int = 7000,
+      pickBatch: Int = 1): DataFrame = {
     require(n >= 1 && k >= 1 && k <= n, s"need 1 <= k <= n, got k=$k n=$n")
     require(lambdaBp >= 0 && lambdaBp <= 10000, s"lambdaBp in [0,10000], got $lambdaBp")
+    require(pickBatch >= 1, s"pickBatch must be >= 1, got $pickBatch")
     import org.apache.spark.sql.graftbridge.GraftBridge.localCheckpointHandle
     val muBp = 10000 - lambdaBp
 
@@ -149,19 +155,31 @@ object Similarity {
       try {
         val byScore = Window.partitionBy(col("query_id"))
           .orderBy(col("score_sc").desc, col("neighbor_id"))
-        def pick(scored: DataFrame, rank: Int): DataFrame = scored
+        // pickBatch = 1 IS the paper's greedy (each pick sees every
+        // earlier pick's redundancy). pickBatch = b > 1 trades that for
+        // round count: the top b marginal scorers are taken per round,
+        // and picks WITHIN a round do not see each other's similarity —
+        // a documented approximation (the PERF round-15 knee: at k = 64
+        // the greedy's 63 driver-sequenced rounds cost +40% per pick
+        // from checkpoint churn alone; b = k/8 holds rounds, and
+        // per-pick wall, ~constant). Ranks stay 1‥k in round-major,
+        // score-desc order, b = 1 reproduces greedy exactly (spec).
+        def pick(scored: DataFrame, baseRank: Int, take: Int): DataFrame = scored
           .withColumn("score_sc",
             lit(lambdaBp.toLong) * col("rel_sc") - lit(muBp.toLong) * col("maxsim_sc"))
           .withColumn("_rn", row_number().over(byScore))
-          .filter(col("_rn") === 1)
-          .select(col("query_id"), lit(rank.toLong).as("mmr_rank"),
+          .filter(col("_rn") <= take)
+          .select(col("query_id"),
+            (lit(baseRank.toLong) + col("_rn")).as("mmr_rank"),
             col("neighbor_id"), col("rel_sc"), col("maxsim_sc"), col("score_sc"))
 
+        var picked = math.min(pickBatch, k)
         val first = localCheckpointHandle(
-          pick(cands.withColumn("maxsim_sc", lit(0L)), 1))
+          pick(cands.withColumn("maxsim_sc", lit(0L)), 0, picked))
         var sel = first._1
         selRdd = first._2
-        for (i <- 2 to k) {
+        while (picked < k) {
+          val take = math.min(pickBatch, k - picked)
           val rem = cands
             .join(sel.select(col("query_id"), col("neighbor_id")),
               Seq("query_id", "neighbor_id"), "left_anti")
@@ -174,10 +192,11 @@ object Similarity {
             .groupBy(col("query_id"), col("neighbor_id"), col("rel_sc"))
             .agg(max(col("sim_sc")).as("maxsim_sc"))
           val (nextSel, nextRdd) = localCheckpointHandle(
-            sel.unionByName(pick(ms, i)))
+            sel.unionByName(pick(ms, picked, take)))
           selRdd.unpersist()
           sel = nextSel
           selRdd = nextRdd
+          picked += take
         }
         val (out, _) = localCheckpointHandle(sel)
         out
@@ -384,12 +403,16 @@ object Similarity {
     *    drop empty groups identically).
     *
     * Scale shape (100 TB): each iteration is one narrow map over the
-    * corpus (broadcast centroids, numCells dot products per row) plus one
+    * corpus (driver-held centroids embedded in one native argmax
+    * expression, numCells dot products per row, no row fan-out) plus one
     * partial-aggregated groupBy of `dims` sums into ≤ numCells rows —
     * no per-iteration shuffle of the corpus itself. The centroid table
-    * never exceeds numCells rows; in production persist it between
-    * iterations (here the lineage is left lazy so the oracle can replay
-    * it — the re-evaluation multiplier is a small constant).
+    * never exceeds numCells rows (√N at worst under [[autoCellCount]])
+    * and is collected per iteration — bounded model state, the same
+    * driver-side footprint the PQ codebooks already have; each
+    * iteration's collect is therefore exactly one corpus pass, and the
+    * returned table's lineage is one further pass (the final update
+    * aggregation over literal previous-round centroids).
     *
     * Returns (cell, cv, cn2) with `cv` in quantized space.
     */
@@ -421,27 +444,38 @@ object Similarity {
   }
 
   /** Argmax-cosine cell assignment: input (cid, qv, qn2, extra…) ×
-    * broadcast centroids (cell, cv, cn2) → input columns + cell.
-    * Similarity rounded to 4 dp, ties to the lowest cell label
-    * (deterministic total order).
+    * centroids (cell, cv, cn2) → input columns + cell. Similarity
+    * rounded to 4 dp, ties to the lowest cell label (deterministic
+    * total order).
+    *
+    * The centroid table is collected (bounded model state — ≤ numCells
+    * rows, √N at worst under semantic dedup's auto-sizing) and the
+    * argmax evaluated by one native [[
+    * graft.functions.expressions.NativeExpressions.cellArgmax]] pass:
+    * a narrow map with NO row fan-out, no aggregate, and no shuffle.
+    * The broadcast-join × `max_by(struct(carry…), struct(csim, -cell))`
+    * plan this replaces fanned every corpus row out to numCells joined
+    * rows, each paying a carry-struct copy through the aggregate —
+    * measured as the dominant term of q_semantic_dedup at sf10 once
+    * numCells reached √N (448 cells × 200k rows = 9·10⁷ struct copies
+    * per pass, five passes over the lazy lineage). The expression
+    * reproduces the join plan's semantics bit-exactly (same dot fold,
+    * same Spark `round`, same NaN-above-all/lowest-label total order) —
+    * every IVF-family oracle is unchanged.
     */
   private def assignToCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    // argmax as a max_by aggregation, not a row_number window: the window
-    // form sort-shuffles |vecs|·numCells rows with no partial aggregation,
-    // while max_by combines map-side down to one row per cid before the
-    // shuffle. The ordering struct (csim, -cell) is unique per cid (cell
-    // labels are distinct), so max_by is deterministic and reproduces the
-    // window's lowest-cell tie-break exactly.
-    val carry = vecs.columns.filterNot(_ == "cid").toSeq
-    vecs
-      .join(broadcast(cents))
-      .withColumn("csim",
-        round(dot(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")), 4))
-      .groupBy("cid")
-      .agg(max_by(
-        struct((carry.map(col) :+ col("cell")): _*),
-        struct(col("csim"), -col("cell"))).as("best"))
-      .select((col("cid") +: (carry :+ "cell").map(c => col(s"best.$c").as(c))): _*)
+    val rows = cents.select(col("cell"), col("cv"), col("cn2")).collect()
+    if (rows.isEmpty) {
+      // empty centroid table (empty corpus): the old inner join produced
+      // zero rows — preserve that
+      return vecs.limit(0).withColumn("cell", lit(0L))
+    }
+    val cells = rows.map(_.getLong(0)).toSeq
+    val cvs = rows.map(_.getSeq[Double](1)).toSeq
+    val cn2s = rows.map(_.getDouble(2)).toSeq
+    vecs.withColumn("cell",
+      graft.functions.expressions.NativeExpressions
+        .cellArgmax(col("qv"), col("qn2"), cells, cvs, cn2s))
   }
 
   /** IVF (inverted-file) approximate k-NN — the scale path for similarity
@@ -490,10 +524,10 @@ object Similarity {
 
   /** Trained-cell assignment of every corpus vector with the original
     * vector and its norm carried through: (cid, cell, v, vn2). Trains
-    * [[kmeansCentroids]], materializes the ≤ numCells centroid table
-    * into a LocalRelation (training runs exactly once regardless of how
-    * often the result plan is referenced), and broadcast-assigns.
-    * The shared front half of IVF search and semantic dedup.
+    * [[kmeansCentroids]] (driver-looped — training runs exactly once
+    * regardless of how often the result plan is referenced) and assigns
+    * with the native argmax expression. The shared front half of IVF
+    * search and semantic dedup.
     */
   def cellAssignments(
       corpus: DataFrame,
@@ -501,18 +535,24 @@ object Similarity {
       vec: String,
       dims: Int = 64,
       numCells: Int = 16,
-      iters: Int = 2): DataFrame = {
-    val cn = kmeansCentroids(corpus, id, vec, dims, numCells, iters)
-    val spark = corpus.sparkSession
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
-    val corp = corpus.select(
+      iters: Int = 2): DataFrame =
+    assignWithModel(corpus, id, vec,
+      kmeansCentroids(corpus, id, vec, dims, numCells, iters))
+
+  /** [[cellAssignments]] against an ALREADY-TRAINED centroid table —
+    * the serving shape: the model is read from a persisted index (or
+    * trained on a prior corpus snapshot) and new vectors are routed to
+    * its cells without retraining. (cid, cell, v, vn2).
+    */
+  def assignWithModel(
+      vecs: DataFrame, id: String, vec: String, cn: DataFrame): DataFrame = {
+    val corp = vecs.select(
         col(id).as("cid"),
         quantized(toDouble(col(vec))).as("qv"),
         toDouble(col(vec)).as("v"))
       .withColumn("qn2", norm2(col("qv")))
       .withColumn("vn2", norm2(col("v")))
-    assignToCells(corp, local)
+    assignToCells(corp, cn)
       .select(col("cid"), col("cell"), col("v"), col("vn2"))
   }
 
@@ -546,6 +586,21 @@ object Similarity {
     * [[autoCellCount]] from one narrow count — a FIXED cell count makes
     * the within-cell verify quadratic in the corpus; √N holds the whole
     * pipeline at N^1.5 with the assignment and verify terms balanced.
+    *
+    * Why the within-cell verify is NOT code-prefiltered at this
+    * threshold: a PQ/SRP code-agreement prefilter before the exact
+    * cosine is sound only when it cannot drop a pair the threshold
+    * keeps. At the catalog's τ = 0.4 the expected SRP bit-disagreement
+    * of a boundary pair is arccos(0.4)/π ≈ 37% vs 50% for orthogonal
+    * pairs — the same measurement [[srpNearDupPairs]] documents: every
+    * recall-complete parameterization at cos 0.4 makes ≥ 94% of pairs
+    * candidates, i.e. the prefilter prunes nothing and adds a pass.
+    * And the output needs `n_prior_near` (the COUNT of qualifying
+    * smaller-id neighbors), so every surviving pair's exact cosine is
+    * required regardless. The honest cost cut is upstream: the native
+    * argmax assignment (no |corpus|×√N row fan-out) and the
+    * checkpointed single assignment pass below. For high-τ dedup, where
+    * a code prefilter IS sound, see [[semanticDedupPrefiltered]].
     */
   def semanticDedup(
       corpus: DataFrame,
@@ -557,7 +612,12 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     val cells =
       if (numCells > 0) numCells else autoCellCount(corpus.count())
+    // the assignment is referenced three times (both sides of the
+    // within-cell pair join + the final keep/left join) — checkpoint it
+    // so it is computed once, exactly as production would persist the
+    // cell-partitioned assignment before the verify
     val asg = cellAssignments(corpus, id, vec, dims, cells, iters)
+      .localCheckpoint(eager = false)
     val a = asg.select(
       col("cid").as("doc_a"), col("cell"),
       col("v").as("va"), col("vn2").as("na"))
@@ -569,6 +629,16 @@ object Similarity {
       .withColumn("cos",
         round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
+    dedupDecision(asg, near, id)
+  }
+
+  /** Shared tail of [[semanticDedup]] and [[semanticDedupPrefiltered]]:
+    * fold the qualifying (doc_a < doc_b, cos ≥ τ) pairs into the
+    * keep-first decision — per vector the count of smaller-id qualifying
+    * neighbors, the smallest such neighbor, and kept = none exists.
+    */
+  private def dedupDecision(
+      asg: DataFrame, near: DataFrame, id: String): DataFrame = {
     val prior = near.groupBy(col("doc_b").as("cid"))
       .agg(count(lit(1)).as("n_prior_near"), min(col("doc_a")).as("dup_of"))
     asg.join(prior, Seq("cid"), "left")
@@ -577,6 +647,84 @@ object Similarity {
         coalesce(col("n_prior_near"), lit(0L)).as("n_prior_near"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
         col("dup_of").isNull.as("kept"))
+  }
+
+  /** [[semanticDedup]] with a recall-safe SRP-code Hamming prefilter on
+    * the within-cell pairs — the high-threshold production shape.
+    *
+    * Every in-cell pair first compares 256-bit SRP signatures (4×64-bit
+    * bands, one native [[graft.functions.expressions.SrpBank]] pass per
+    * vector, computed once on the checkpointed assignment): only pairs
+    * with Hamming distance ≤ `maxHamming` fetch full vectors and pay the
+    * exact cosine. The DECISION RULE is untouched — threshold on the
+    * exact rounded cosine — so the output is identical to
+    * [[semanticDedup]] whenever the prefilter loses no qualifying pair.
+    *
+    * Recall safety: a pair at exactly cos = τ disagrees on an expected
+    * arccos(τ)/π fraction of the 256 planes; `maxHamming < 0` auto-sizes
+    * to that mean plus six binomial standard deviations —
+    * ⌈256·p + 6·√(256·p(1−p))⌉, p = arccos(τ)/π — e.g. 65 bits at
+    * τ = 0.92, while orthogonal in-cell pairs sit at 128 ± 8, eight σ
+    * above the cut. Pairs ABOVE τ are safer still (their mean
+    * disagreement is lower), so the planted-boundary A/B spec plus the
+    * exact-SQL oracle pin equality in practice. The same sizing math is
+    * why this is refused below τ = 0.8: the boundary-pair band and the
+    * random-pair band overlap (see [[semanticDedup]]'s scaladoc) and the
+    * prefilter stops pruning long before it stops being safe.
+    *
+    * Pair-join width: the candidate scan shuffles (id, cell, 4 longs)
+    * instead of (id, cell, 64 doubles + norm) — ~16× narrower; survivors
+    * (a ~10⁻³ fraction at τ ≥ 0.9 on orthogonal-dominated cells) join
+    * the full vectors back by id.
+    */
+  def semanticDedupPrefiltered(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      dims: Int = 64,
+      numCells: Int = 0,
+      iters: Int = 2,
+      maxHamming: Int = -1): DataFrame = {
+    require(threshold >= 0.8,
+      s"SRP-code prefiltering is only recall-safe at high thresholds " +
+        s"(got $threshold): below ~0.8 the boundary-pair Hamming band " +
+        s"overlaps the random-pair band and pruning collapses — use " +
+        s"semanticDedup, whose exact verify is the honest cost there")
+    val bitsPerBand = 64
+    val numBands = 4
+    val bits = bitsPerBand * numBands
+    val h =
+      if (maxHamming >= 0) maxHamming
+      else {
+        val p = math.acos(threshold) / math.Pi
+        math.ceil(bits * p + 6.0 * math.sqrt(bits * p * (1.0 - p))).toInt
+      }
+    val cells =
+      if (numCells > 0) numCells else autoCellCount(corpus.count())
+    val asg = cellAssignments(corpus, id, vec, dims, cells, iters)
+      .withColumn("code", graft.functions.expressions.NativeExpressions
+        .srpBank(col("v"), dims, bitsPerBand, numBands))
+      .localCheckpoint(eager = false)
+    val a = asg.select(col("cid").as("doc_a"), col("cell"), col("code").as("ca"))
+    val b = asg.select(col("cid").as("doc_b"), col("cell"), col("code").as("cb"))
+    val ham = (1 to numBands)
+      .map(i => bit_count(element_at(col("ca"), i)
+        .bitwiseXOR(element_at(col("cb"), i))).cast("int"))
+      .reduce(_ + _)
+    val cand = a.join(b, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(ham <= lit(h))
+      .select(col("doc_a"), col("doc_b"))
+    val av = asg.select(col("cid").as("doc_a"), col("v").as("va"), col("vn2").as("na"))
+    val bv = asg.select(col("cid").as("doc_b"), col("v").as("vb"), col("vn2").as("nb"))
+    val near = cand
+      .join(av, Seq("doc_a"))
+      .join(bv, Seq("doc_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+    dedupDecision(asg, near, id)
   }
 
   /** The IVF inverted list: (cid, cell) assignment of every corpus vector
@@ -1753,12 +1901,15 @@ object Similarity {
     }
   }
 
-  /** The `codes/batch=<id>` directories of a persisted index. */
+  /** The `<sub>/batch=<id>` directories of a persisted index
+    * (`codes/` for IVF-PQ, `assign/` for the semantic-dedup index).
+    */
   private def listBatchDirs(
       spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Seq[String] = {
+      indexDir: String,
+      sub: String = "codes"): Seq[String] = {
     val fs = hadoopFs(spark, indexDir)
-    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
     if (!fs.exists(codes)) Seq.empty
     else fs.listStatus(codes).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
@@ -1774,8 +1925,9 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
       current: String,
-      op: String): Unit =
-    listBatchDirs(spark, indexDir).foreach { d =>
+      op: String,
+      sub: String = "codes"): Unit =
+    listBatchDirs(spark, indexDir, sub).foreach { d =>
       val v = readVersionMarker(spark, d)
       require(v.contains(current),
         s"$op: inverted-list directory $d was encoded under model " +
@@ -1883,27 +2035,177 @@ object Similarity {
           StructField(s"dt$mm", MapType(LongType, LongType))))
     val probeDf = spark.createDataFrame(probeRows, probeSchema)
 
-    // the literal probed-cell predicate → partition pruning on disk.
-    // Compare in the partition column's OWN type (directory-value
-    // inference may narrow long cell ids to int — or leave them STRING
-    // when partitionColumnTypeInference is disabled): a cast around the
-    // column would block the pruning, so the literals are rendered in
-    // whatever type discovery produced (ADVICE r8).
-    val probedCells = probes.map(_.getLong(1)).distinct.sorted
-    val codesRaw = spark.read.parquet(s"$indexDir/codes")
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
-    val cellLits: Seq[Any] = codesRaw.schema("cell").dataType match {
-      case IntegerType => probedCells.map(_.toInt).toSeq
-      case LongType    => probedCells.toSeq
-      case ShortType   => probedCells.map(_.toShort).toSeq
-      case ByteType    => probedCells.map(_.toByte).toSeq
-      case StringType  => probedCells.map(_.toString).toSeq
-      case other => throw new IllegalStateException(
-        s"ivfPqAnnIndexed: unexpected partition-column type $other for cell")
-    }
-    val codes = codesRaw
-      .filter(col("cell").isin(cellLits: _*))
-      .withColumn("cell", col("cell").cast("long"))
+    val codes = pruneToCells(
+      spark.read.parquet(s"$indexDir/codes"),
+      probes.map(_.getLong(1)).distinct.sorted, "ivfPqAnnIndexed")
     scoreProbed(codes, probeDf, numSub, k)
+  }
+
+  /** Restrict a cell-partitioned store scan to a driver-known cell set —
+    * a literal predicate the parquet source turns into PARTITION PRUNING
+    * (only the listed cells' directories are listed and read). Compare
+    * in the partition column's OWN type (directory-value inference may
+    * narrow long cell ids to int — or leave them STRING when
+    * partitionColumnTypeInference is disabled): a cast around the column
+    * would block the pruning, so the literals are rendered in whatever
+    * type discovery produced (ADVICE r8); the column is normalized back
+    * to long AFTER the pruned filter.
+    */
+  private def pruneToCells(
+      raw: DataFrame, cells: Seq[Long], op: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val lits: Seq[Any] = raw.schema("cell").dataType match {
+      case IntegerType => cells.map(_.toInt)
+      case LongType    => cells
+      case ShortType   => cells.map(_.toShort)
+      case ByteType    => cells.map(_.toByte)
+      case StringType  => cells.map(_.toString)
+      case other => throw new IllegalStateException(
+        s"$op: unexpected partition-column type $other for cell")
+    }
+    raw.filter(col("cell").isin(lits: _*))
+      .withColumn("cell", col("cell").cast("long"))
+  }
+
+  // ───────────────────────────────────────────────────────────────────
+  // Persisted semantic-dedup index + incremental batch dedup
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Fingerprint of a trained centroid table alone (the semantic-dedup
+    * index has no PQ codebooks) — same construction as [[modelVersion]].
+    */
+  private[graft] def centroidVersion(localCn: DataFrame): String =
+    modelVersion(localCn, Array.empty)
+
+  /** Build the persisted semantic-dedup index: trained centroids plus
+    * the corpus assignment partitioned by cell —
+    * `dir/centroids` and `dir/assign/batch=-1/cell=<c>/`, each batch
+    * directory stamped with the centroid fingerprint (same layout and
+    * staleness discipline as [[writeIvfPqIndex]]'s inverted lists; a
+    * retrain drops the whole assign/ tree first, and the stamp closes
+    * the ingest-races-retrain window).
+    *
+    * This is the production shape of [[semanticDedup]]'s front half:
+    * the assignment is computed ONCE, and every future batch pays only
+    * its own assignment plus in-cell verifies against the touched
+    * cells' directories (physical partition pruning).
+    */
+  def writeSemanticIndex(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      dir: String,
+      dims: Int = 64,
+      numCells: Int = 0,
+      iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    val cells =
+      if (numCells > 0) numCells else autoCellCount(corpus.count())
+    val cn = kmeansCentroids(corpus, id, vec, dims, cells, iters)
+    val localCn = spark.createDataFrame(
+      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+    val fs = hadoopFs(spark, dir)
+    // retrain invalidates every assignment encoded under the old cells
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/assign"), true)
+    // repartition BY cell: one task per cell → one file per cell
+    assignWithModel(corpus, id, vec, localCn)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assign/batch=-1")
+    writeVersionMarker(spark, s"$dir/assign/batch=-1", centroidVersion(localCn))
+    localCn.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** The trained centroid table of a persisted semantic-dedup index,
+    * materialized driver-side (bounded: ≤ √N rows under auto-sizing).
+    */
+  def readSemanticModel(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cn = spark.read.parquet(s"$dir/centroids")
+    spark.createDataFrame(
+      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+  }
+
+  /** Append a new batch's assignment to a persisted semantic-dedup
+    * index under `assign/batch=<batchId>` (encode-then-publish, stamped
+    * with the model fingerprint the batch was encoded under). Refuses
+    * if any existing directory carries a different fingerprint — an
+    * ingest must never stack batches from two different trainings.
+    * Replay-idempotent: an already-present batch id is a no-op.
+    */
+  def appendSemanticBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      batch: DataFrame,
+      id: String,
+      vec: String,
+      batchId: Long): Boolean = {
+    val localCn = readSemanticModel(spark, indexDir)
+    val version = centroidVersion(localCn)
+    requireCurrentModel(spark, indexDir, version, "appendSemanticBatch", "assign")
+    Stores.publishOnce(spark, s"$indexDir/assign/batch=$batchId") { tmp =>
+      assignWithModel(batch, id, vec, localCn)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      writeVersionMarker(spark, tmp, version)
+    }
+  }
+
+  /** Incremental SemDeDup of a NEW batch against a persisted index:
+    * the batch is routed to the index's trained cells (one native
+    * argmax pass — the model is NOT retrained), and each batch vector
+    * is marked a duplicate iff some smaller-id vector in its cell —
+    * indexed corpus prior OR batch-mate — has cosine ≥ `threshold`.
+    * Returns one row per BATCH vector with [[semanticDedup]]'s exact
+    * output shape; per-batch cost is |batch| assignment work plus
+    * verifies against ONLY the touched cells' directories (the batch's
+    * cell set is known driver-side, so the store scan partition-prunes
+    * — corpus I/O per batch is |corpus|·|touched cells|/numCells, not
+    * |corpus|).
+    *
+    * Under the append-only id discipline (batch ids above all indexed
+    * ids) this is exactly the decision [[semanticDedup]] over
+    * corpus ∪ batch would emit for the batch rows WITH cells frozen at
+    * the indexed training — the Kappa-style "replay == incremental"
+    * contract every streamed store in this repo carries, pinned by the
+    * q_semantic_incr oracle (which recomputes the same rule from
+    * scratch in SQL).
+    *
+    * Refuses when any assign/ directory was stamped under a superseded
+    * model (retrain raced an ingest) — verifying a batch against cells
+    * its priors were not encoded with silently under-dedups.
+    */
+  def semanticDedupIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      batch: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double): DataFrame = {
+    val localCn = readSemanticModel(spark, indexDir)
+    requireCurrentModel(spark, indexDir,
+      centroidVersion(localCn), "semanticDedupIncremental", "assign")
+    val bAsg = assignWithModel(batch, id, vec, localCn)
+      .localCheckpoint(eager = false)
+    // touched cells, driver-side (bounded by |batch|) → partition pruning
+    val touched = bAsg.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val priors = pruneToCells(
+      spark.read.parquet(s"$indexDir/assign"),
+      touched, "semanticDedupIncremental")
+      .select(col("cid"), col("cell"), col("v"), col("vn2"))
+    val a = priors.unionByName(
+        bAsg.select(col("cid"), col("cell"), col("v"), col("vn2")))
+      .select(col("cid").as("doc_a"), col("cell"),
+        col("v").as("va"), col("vn2").as("na"))
+    val b = bAsg.select(
+      col("cid").as("doc_b"), col("cell"),
+      col("v").as("vb"), col("vn2").as("nb"))
+    val near = a.join(b, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+    dedupDecision(bAsg, near, id)
   }
 }

@@ -75,6 +75,23 @@ object NativeExpressions {
   def srpBank(v: Column, dims: Int, bitsPerBand: Int, numBands: Int): Column =
     GraftBridge.column(SrpBank(GraftBridge.expression(v), dims, bitsPerBand, numBands))
 
+  /** Argmax-cosine cell assignment against a driver-held centroid table
+    * in one primitive loop per row — the native form of the broadcast
+    * join × `max_by(struct(carry, cell), struct(csim, -cell))` plan,
+    * whose joined-row fan-out (|corpus| × numCells rows, each paying a
+    * full carry-struct copy through the aggregate) dominates semantic
+    * dedup once numCells auto-sizes to √N. Bit-identical semantics:
+    * csim = round(dot(qv, cv)/sqrt(qn2·cn2), 4) with Spark's exact
+    * `round` (BigDecimal HALF_UP), ties to the LOWEST cell label, NaN
+    * ordered above every number (Spark's total order).
+    */
+  def cellArgmax(
+      qv: Column, qn2: Column,
+      cells: Seq[Long], cvs: Seq[Seq[Double]], cn2s: Seq[Double]): Column =
+    GraftBridge.column(CellArgmax(
+      GraftBridge.expression(qv), GraftBridge.expression(qn2),
+      cells, cvs, cn2s))
+
   /** All `numHashes` MinHash components of an array<string> token column
     * in one pass (one md5 per distinct token + k affine mixes — see
     * [[MinHashFamily]]); array<long>, NULL when the row has no tokens.
@@ -797,4 +814,130 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_nfc"
+}
+
+/** Argmax-cosine cell assignment of an array<double> quantized vector
+  * against a driver-held centroid table — the trained-model fast path of
+  * `Similarity.assignToCells`.
+  *
+  * Semantics are bit-identical to the broadcast-join formulation it
+  * replaces (`join(broadcast(cents))` + `round(dot/sqrt(qn2·cn2), 4)` +
+  * `max_by(struct(carry, cell), struct(csim, -cell))`):
+  *
+  *  - the per-cell dot is the same sequential left-to-right fold as
+  *    [[DotProduct]] (lengths clamped to the shorter input);
+  *  - the similarity is rounded with Spark's exact `round(_, 4)` rule —
+  *    `BigDecimal.valueOf(x).setScale(4, HALF_UP)` with NaN/Infinity
+  *    passed through (`java.math.BigDecimal.valueOf` and Scala's
+  *    `BigDecimal(Double)` both go through `Double.toString`, so the
+  *    interpreted and codegen paths of Spark's Round agree with this);
+  *  - the winner is the LOWEST cell label among cells with the maximum
+  *    rounded similarity, under Spark's total order (NaN above every
+  *    number, NaN == NaN, -0.0 == 0.0 — primitive `>` plus explicit NaN
+  *    arms reproduce it exactly).
+  *
+  * Why it exists: with numCells = √N (semantic dedup's auto-sizing) the
+  * join form fans every corpus row out to √N joined rows, each paying a
+  * codegen'd struct copy through the max_by aggregate — measured as THE
+  * dominant term of q_semantic_dedup at sf10. This expression does the
+  * same numCells×dims multiply-adds in a tight primitive loop with zero
+  * row fan-out, no aggregate, and no shuffle.
+  *
+  * Rounding cost containment: `BigDecimal.valueOf` goes through
+  * `Double.toString` (~100 ns) — per cell per row that would dominate
+  * the arithmetic, so the loop first finds the maximum RAW similarity
+  * and only rounds cells within 1.25e-4 of it (rounding to 4 dp moves a
+  * value by at most 5e-5 + ulp slack, so no cell below that band can
+  * reach the rounded maximum); typically exactly one candidate rounds.
+  */
+case class CellArgmax(
+    vec: Expression,
+    n2: Expression,
+    cells: Seq[Long],
+    cvs: Seq[Seq[Double]],
+    cn2s: Seq[Double])
+    extends BinaryExpression {
+  require(cells.nonEmpty && cells.length == cvs.length &&
+    cells.length == cn2s.length,
+    "CellArgmax needs one (cv, cn2) per non-empty cell list")
+
+  override def left: Expression = vec
+  override def right: Expression = n2
+  override def dataType: DataType = LongType
+
+  // centroids iterated in ascending cell-label order so "first wins"
+  // below IS the lowest-label tie-break
+  @transient private lazy val order: Array[Int] =
+    cells.indices.sortBy(cells).toArray
+  @transient private lazy val cellArr: Array[Long] = cells.toArray
+  @transient private lazy val cvArr: Array[Array[Double]] =
+    cvs.map(_.toArray).toArray
+  @transient private lazy val cn2Arr: Array[Double] = cn2s.toArray
+  @transient private lazy val rawBuf =
+    new ThreadLocal[Array[Double]] {
+      override def initialValue(): Array[Double] = new Array[Double](cells.length)
+    }
+
+  private def round4(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+  /** Public entry point shared by interpreted eval and generated code. */
+  def compute(qv: ArrayData, qn2: Double): Long = {
+    val raws = rawBuf.get()
+    val m = order.length
+    // pass 1: raw similarities; track the raw max and whether any NaN
+    var rawMax = Double.NegativeInfinity
+    var nanAt = -1
+    var oi = 0
+    while (oi < m) {
+      val ci = order(oi)
+      val cv = cvArr(ci)
+      val n = math.min(qv.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += qv.getDouble(i) * cv(i); i += 1 }
+      val raw = s / math.sqrt(qn2 * cn2Arr(ci))
+      raws(oi) = raw
+      if (java.lang.Double.isNaN(raw)) { if (nanAt < 0) nanAt = oi }
+      else if (raw > rawMax) rawMax = raw
+      oi += 1
+    }
+    // NaN sorts above every number in Spark's total order and
+    // round(NaN) = NaN, so the first (lowest-label) NaN cell wins
+    if (nanAt >= 0) return cellArr(order(nanAt))
+    // pass 2: only cells whose raw similarity is within the rounding
+    // band of the raw max can have the maximum ROUNDED similarity;
+    // first (lowest label) strict-greater scan reproduces max_by's
+    // (csim desc, cell asc) order
+    val band = rawMax - 1.25e-4
+    var bestCell = 0L
+    var best = 0.0
+    var first = true
+    oi = 0
+    while (oi < m) {
+      val raw = raws(oi)
+      if (raw >= band) {
+        val csim = round4(raw)
+        if (first || csim > best) { best = csim; bestCell = cellArr(order(oi)); first = false }
+      }
+      oi += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("cellArgmaxExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $expr.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, n2 = newRight)
+
+  override def prettyName: String = "graft_cell_argmax"
 }

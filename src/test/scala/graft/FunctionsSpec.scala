@@ -1574,6 +1574,61 @@ class FunctionsSpec extends SparkSpec {
     one shouldBe knn.map { case (q, ids) => q -> ids.head }
   }
 
+  test("mmrRerank pickBatch: b=1 identical to greedy; batched rounds keep shape and first-round relevance order") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 2L)
+    val corpus  = df.filter(col("vec_id") >= 2L)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2)).toSeq
+    // explicit pickBatch = 1 must be EXACTLY the default greedy — the
+    // batched loop's rank arithmetic and <=-take window degenerate to
+    // the paper's one-pick rounds
+    val greedy = rows(Similarity.mmrRerank(queries, corpus,
+      "vec_id", "embedding", n = 16, k = 9, lambdaBp = 7000))
+    val b1 = rows(Similarity.mmrRerank(queries, corpus,
+      "vec_id", "embedding", n = 16, k = 9, lambdaBp = 7000, pickBatch = 1))
+    b1 shouldBe greedy
+    // batched (b = 4, k = 9 -> rounds of 4/4/1): k distinct picks per
+    // query, ranks 1..k, and the FIRST round is the relevance top-b
+    // (documented semantics: within-round picks share the prior rounds'
+    // max-sim, the first round's is 0 = pure relevance)
+    val b4 = rows(Similarity.mmrRerank(queries, corpus,
+      "vec_id", "embedding", n = 16, k = 9, lambdaBp = 7000, pickBatch = 4))
+    b4.groupBy(_._1).foreach { case (q, rs) =>
+      withClue(s"query $q: ") {
+        rs.map(_._2) shouldBe (1L to 9L)
+        rs.map(_._3).distinct.length shouldBe 9
+      }
+    }
+    val knn = Similarity.knnCosine(queries, corpus, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong, r.getLong(1)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    b4.filter(_._2 <= 4L).map(t => (t._1, t._2, t._3)) shouldBe knn
+    // every pick's maxsim must reflect ONLY previous rounds: rank 5-8
+    // rows (round 2) have maxsim computed over the first four picks
+    val byQ = b4.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      val firstRound = rs.filter(_._2 <= 4L).map(_._3).toSet
+      def cos4(x: Array[Float], y: Array[Float]): Long = {
+        def dot(u: Array[Float], v: Array[Float]) =
+          u.zip(v).foldLeft(0.0) { case (a, (p, q2)) => a + p.toDouble * q2.toDouble }
+        val c = dot(x, y) / math.sqrt(dot(x, x) * dot(y, y))
+        math.round(BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble * 10000)
+      }
+      val byId = vecs.toMap
+      rs.filter(r => r._2 >= 5L && r._2 <= 8L).foreach { r =>
+        val expMs = firstRound.map(s => cos4(byId(r._3), byId(s))).max
+        withClue(s"query $q neighbor ${r._3}: ") { r._5 shouldBe expMs }
+      }
+    }
+  }
+
   test("jsDivergenceBySource: zero on identical sources, scalar-model parity, disjoint-vocab ceiling") {
     import graft.functions.Quality
     // identical token distributions -> exactly 0 (log2(1) before rounding)

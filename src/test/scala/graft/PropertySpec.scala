@@ -120,6 +120,102 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupPrefiltered == semanticDedup with planted BOUNDARY near-dups") {
+    // recall-safety A/B at the threshold edge: pairs planted at cosine
+    // just above and just below tau must land on the same side of the
+    // decision under both paths — the prefilter may only prune pairs
+    // the exact verify would reject anyway
+    val tau = 0.92
+    def vec(tag: String, i: Int): Array[Double] = Array.tabulate(64) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag$i:$d".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 0xffffffffL.toDouble - 0.5
+    }
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // v2 = c*unit(v1) + sqrt(1-c^2)*unit(u_perp): cos(v1, v2) = c exactly
+    // (up to double rounding, well inside the 4 dp decision rounding)
+    def planted(i: Int, c: Double): Array[Double] = {
+      val v1 = unit(vec("bnd", i))
+      val w = vec("prp", i)
+      val proj = v1.zip(w).map { case (a, b) => a * b }.sum
+      val u = unit(w.zipWithIndex.map { case (x, d) => x - proj * v1(d) })
+      val s = math.sqrt(1.0 - c * c)
+      v1.zipWithIndex.map { case (x, d) => c * x + s * u(d) }
+    }
+    val base = (0 until 120).map(i => (i.toLong, vec("bnd", i)))
+    val above = (0 until 20).map(i => (2000L + i, planted(i, tau + 0.0004)))
+    val below = (20 until 40).map(i => (3000L + i, planted(i, tau - 0.0004)))
+    val df = (base ++ above ++ below).toDF("vec_id", "embedding")
+    val exact = Similarity
+      .semanticDedup(df, "vec_id", "embedding", threshold = tau, numCells = 0)
+      .collect().map(_.toSeq).toSet
+    val pre = Similarity
+      .semanticDedupPrefiltered(df, "vec_id", "embedding", threshold = tau,
+        numCells = 0)
+      .collect().map(_.toSeq).toSet
+    pre shouldBe exact
+    // the planted-above pairs actually exercised the keep rule (same
+    // direction => same cell as the source for the dominant component)
+    val dupped = exact.filter(r => !r(4).asInstanceOf[Boolean])
+    withClue("boundary-above pairs must produce dups: ") {
+      dupped.count(r => r.head.asInstanceOf[Long] >= 2000L) should be >= 15
+    }
+    // below 0.8 the prefilter is refused (the Hamming bands overlap)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.semanticDedupPrefiltered(
+        df, "vec_id", "embedding", threshold = 0.4)
+  }
+
+  test("native cellArgmax equals the broadcast-join + max_by argmax formulation") {
+    // bit-parity pin for the assignment fast path: same dot fold, same
+    // Spark round, same (csim desc, cell asc) total order — including
+    // the NaN row (zero vector: 0/0 cosine) and exact rounded ties
+    import graft.functions.expressions.NativeExpressions
+    def vec(i: Int): Array[Double] = Array.tabulate(16) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"am$i:$d".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 0xffffffffL.toDouble - 0.5
+    }
+    val rows = (0 until 300).map(i => (i.toLong, vec(i)))
+    val cents = (0 until 23).map { c =>
+      val cv = vec(5000 + c)
+      (c.toLong * 7L, cv, cv.map(x => x * x).sum) // non-contiguous labels
+    }
+    val vecs = rows.toDF("cid", "qv")
+      .withColumn("qn2", NativeExpressions.dot(col("qv"), col("qv")))
+    val centDf = cents.toDF("cell", "cv", "cn2")
+    val joined = vecs
+      .join(broadcast(centDf))
+      .withColumn("csim", round(
+        NativeExpressions.dot(col("qv"), col("cv")) /
+          sqrt(col("qn2") * col("cn2")), 4))
+      .groupBy("cid")
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = vecs
+      .withColumn("cell", NativeExpressions.cellArgmax(
+        col("qv"), col("qn2"),
+        cents.map(_._1), cents.map(_._2.toSeq), cents.map(_._3)))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cell")).toMap
+    native shouldBe joined
+    // zero vector: the join formulation CRASHES under ANSI (0/0 double
+    // division errors in Spark 4); the native path is strictly more
+    // lenient — all-NaN similarities tie, Spark's total order puts NaN
+    // above every number, tie-break picks the LOWEST cell label
+    val zeroRow = Seq((999L, Array.fill(16)(0.0))).toDF("cid", "qv")
+      .withColumn("qn2", NativeExpressions.dot(col("qv"), col("qv")))
+      .withColumn("cell", NativeExpressions.cellArgmax(
+        col("qv"), col("qn2"),
+        cents.map(_._1), cents.map(_._2.toSeq), cents.map(_._3)))
+      .collect()
+    zeroRow.head.getAs[Long]("cell") shouldBe cents.map(_._1).min
+  }
+
   test("autoCellCount: sqrt rule with floor 16; numCells=0 equals the explicit sqrt call") {
     // the sizing rule the 100-TB claim rests on: fixed cells make the
     // within-cell verify quadratic; sqrt(N) balances assignment and

@@ -979,6 +979,86 @@ class StreamingSpec extends SparkSpec {
     ex2.getMessage should include("superseded")
   }
 
+  test("semantic-dedup index: build/append/incremental decisions, replay no-op, stale-model refusal") {
+    import graft.functions.Similarity
+    def mkVec(i: Long): Array[Double] = {
+      val c = (i % 8).toInt
+      Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 5.0 else 0.0
+        base + ((i * 31 + d * 7) % 11 - 5) / 10.0
+      }
+    }
+    // md5-sign directions no axis cluster (or other tag) approaches:
+    // pairwise cos ≤ 0.5 and ≤ 0.36 against every cluster member — the
+    // only pairs clearing τ = 0.99 are the planted scaled copies
+    def dirVec(tag: String): Array[Double] = Array.tabulate(16) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$d".getBytes("UTF-8")).head
+      if ((h & 1) == 0) 4.0 else -4.0
+    }
+    val corpus = ((0L until 120L).filter(_ != 5L).map(i => (i, mkVec(i))) :+
+      (5L -> dirVec("ca"))).toDF("vec_id", "embedding")
+    val dir = tmpDir("semidx")
+    Similarity.writeSemanticIndex(corpus, "vec_id", "embedding", dir, dims = 16)
+    // appended ingest batch (priors for later batches)
+    val b0 = (200L until 220L).map(i =>
+      (i, if (i == 205L) dirVec("cb") else mkVec(i)))
+    Similarity.appendSemanticBatch(spark, dir,
+      b0.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      batchId = 0L) shouldBe true
+    // REPLAY: same batch id again is a no-op, rows not doubled
+    Similarity.appendSemanticBatch(spark, dir,
+      b0.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      batchId = 0L) shouldBe false
+    spark.read.parquet(s"$dir/assign").count() shouldBe 140L
+
+    // incremental batch: a copy of a CORPUS vector, a copy of an
+    // APPENDED-batch vector, a novel direction, and a copy of the novel
+    // batch-mate — decisions must route to the right smaller id
+    val b1 = Seq(
+      300L -> dirVec("ca").map(_ * 1.01),
+      301L -> dirVec("cb").map(_ * 1.01),
+      302L -> dirVec("cc"),
+      303L -> dirVec("cc").map(_ * 1.01))
+    val out = Similarity.semanticDedupIncremental(spark, dir,
+        b1.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    out(300L) shouldBe (5L, false)
+    out(301L) shouldBe (205L, false)
+    out(302L) shouldBe (-1L, true)
+    out(303L) shouldBe (302L, false)
+
+    // RETRAIN drops the assign/ tree (old-model batches are meaningless
+    // against new cells); a stale batch landing AFTER the clear (ingest
+    // raced the retrain) is refused by both the reader and the appender
+    val retrained = (0L until 120L).map(i => (i, mkVec(i + 7L)))
+      .toDF("vec_id", "embedding")
+    val oldCn = Similarity.readSemanticModel(spark, dir)
+    Similarity.writeSemanticIndex(retrained, "vec_id", "embedding", dir, dims = 16)
+    new java.io.File(s"$dir/assign").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet shouldBe Set("batch=-1")
+    Similarity.centroidVersion(Similarity.readSemanticModel(spark, dir)) should not be
+      Similarity.centroidVersion(oldCn)
+    Similarity.assignWithModel(b0.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", oldCn)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$dir/assign/batch=1")
+    Similarity.writeVersionMarker(spark, s"$dir/assign/batch=1",
+      Similarity.centroidVersion(oldCn))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupIncremental(spark, dir,
+        b1.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.99).collect()
+    }
+    ex.getMessage should include("superseded")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.appendSemanticBatch(spark, dir,
+        b1.toDF("vec_id", "embedding"), "vec_id", "embedding", batchId = 2L)
+    }
+    ex2.getMessage should include("superseded")
+  }
+
   test("embedDedupIngest: vectors classify against the growing SRP index") {
     val in = memStream[(Long, Array[Double])]
     val state = tmpDir("embdedup_state")
