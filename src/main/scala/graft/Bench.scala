@@ -24,6 +24,9 @@ object Bench {
     require(unknownNames.isEmpty,
       s"unknown query name(s): ${unknownNames.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // reap nonce scratch stranded by crashed/killed prior runs (the
+    // shutdown hook only covers clean exits)
+    graft.functions.Stores.sweepStaleScratch()
     val spark = GraftSession.local("graft-bench")
 
     // warm-up: session + codegen + parquet footer caches

@@ -6,6 +6,8 @@ package graft
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
+    // reap nonce scratch stranded by crashed/killed prior runs
+    graft.functions.Stores.sweepStaleScratch()
     val spark = GraftSession.local("graft-smoke")
     val df = SparkEntry.entry(spark)
     val n = df.count()

@@ -13,6 +13,8 @@ object Verify {
     // (the driver always passes exactly two args → full catalog)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // reap nonce scratch stranded by crashed/killed prior runs
+    graft.functions.Stores.sweepStaleScratch()
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -672,6 +672,15 @@ object Similarity {
     * random-pair band overlap (see [[semanticDedup]]'s scaladoc) and the
     * prefilter stops pruning long before it stops being safe.
     *
+    * The 6σ cut is a PER-PAIR probabilistic bound, not a guarantee: a
+    * boundary pair lands beyond mean + 6σ with probability ~1e-9, so at
+    * catalog scale (≤ 10⁶ in-cell pairs) an expected zero qualifying
+    * pairs are dropped, but at 10¹² candidate pairs the expectation is
+    * ~10³ dropped boundary pairs. At that scale pass an explicit
+    * `maxHamming` sized at 8σ (~1e-15 per pair, still ≥ 4σ below the
+    * random band at τ ≥ 0.9) — the prune rate degrades only marginally
+    * and the expected drops return to zero.
+    *
     * Pair-join width: the candidate scan shuffles (id, cell, 4 longs)
     * instead of (id, cell, 64 doubles + norm) — ~16× narrower; survivors
     * (a ~10⁻³ fraction at τ ≥ 0.9 on orthogonal-dominated cells) join
@@ -1901,6 +1910,60 @@ object Similarity {
     }
   }
 
+  /** Stamp a batch directory with the max id it contains — the cheap
+    * driver-side record that lets [[requireAppendOnlyIds]] enforce the
+    * append-only id discipline without scanning the store's data files.
+    */
+  private[graft] def writeMaxIdMarker(
+      spark: org.apache.spark.sql.SparkSession,
+      batchDir: String,
+      maxId: Long): Unit = {
+    val out = hadoopFs(spark, batchDir)
+      .create(new org.apache.hadoop.fs.Path(s"$batchDir/_max_cid"), true)
+    try out.write(maxId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMaxIdMarker(
+      spark: org.apache.spark.sql.SparkSession,
+      batchDir: String): Option[Long] = {
+    val fs = hadoopFs(spark, batchDir)
+    val p = new org.apache.hadoop.fs.Path(s"$batchDir/_max_cid")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Enforce the append-only id discipline the incremental semantic
+    * paths' "replay == incremental" contract rests on: every id in the
+    * incoming batch must lie ABOVE every id already in the index. A
+    * violating batch would silently diverge from the documented
+    * full-recompute equivalence — an indexed vector can never be marked
+    * duplicate of a batch vector, so a batch id below an indexed prior
+    * flips which side of a near-pair survives. Max indexed id comes from
+    * the per-batch `_max_cid` stamps (O(#batches) tiny driver reads, no
+    * data scan); directories without a stamp (none are produced by this
+    * code) are skipped rather than failing closed.
+    */
+  private def requireAppendOnlyIds(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      batchMinId: Long,
+      op: String): Unit = {
+    val maxIndexed = listBatchDirs(spark, indexDir, "assign")
+      .flatMap(d => readMaxIdMarker(spark, d))
+    maxIndexed.reduceOption(_ max _).foreach { m =>
+      require(batchMinId > m,
+        s"$op: batch min id $batchMinId is not above the max indexed id " +
+          s"$m — the incremental decision is only equivalent to a full " +
+          "recompute under append-only ids (an indexed vector can never " +
+          "be marked dup of a batch vector); renumber the batch or " +
+          "rebuild the index over the union")
+    }
+  }
+
   /** The `<sub>/batch=<id>` directories of a persisted index
     * (`codes/` for IVF-PQ, `assign/` for the semantic-dedup index).
     */
@@ -2081,9 +2144,18 @@ object Similarity {
     * the corpus assignment partitioned by cell —
     * `dir/centroids` and `dir/assign/batch=-1/cell=<c>/`, each batch
     * directory stamped with the centroid fingerprint (same layout and
-    * staleness discipline as [[writeIvfPqIndex]]'s inverted lists; a
-    * retrain drops the whole assign/ tree first, and the stamp closes
-    * the ingest-races-retrain window).
+    * staleness discipline as [[writeIvfPqIndex]]'s inverted lists; the
+    * stamp closes the ingest-races-retrain window).
+    *
+    * A retrain REPLACES the whole index directory atomically
+    * ([[Stores.publishReplace]] on `dir`): the new centroids + base
+    * assignment are fully staged in the hidden temp sibling before the
+    * swap, so a crash mid-retrain leaves the previous index intact and
+    * readable — never a deleted assign/ tree with no recoverable copy.
+    * Appended `batch=<id>` trees under the old training are
+    * deliberately discarded by the swap (they were encoded under
+    * superseded cells; [[requireCurrentModel]] would refuse them
+    * anyway).
     *
     * This is the production shape of [[semanticDedup]]'s front half:
     * the assignment is computed ONCE, and every future batch pays only
@@ -2104,16 +2176,22 @@ object Similarity {
     val cn = kmeansCentroids(corpus, id, vec, dims, cells, iters)
     val localCn = spark.createDataFrame(
       java.util.Arrays.asList(cn.collect(): _*), cn.schema)
-    val fs = hadoopFs(spark, dir)
-    // retrain invalidates every assignment encoded under the old cells
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/assign"), true)
-    // repartition BY cell: one task per cell → one file per cell
-    assignWithModel(corpus, id, vec, localCn)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/assign/batch=-1")
-    writeVersionMarker(spark, s"$dir/assign/batch=-1", centroidVersion(localCn))
-    localCn.write.mode("overwrite").parquet(s"$dir/centroids")
+    // stage the complete new index (assignment + marker + centroids +
+    // max-id stamp) in the hidden temp sibling, then one atomic swap —
+    // a retrain invalidates every assignment encoded under the old
+    // cells, but the old index must survive until the new one is whole
+    Stores.publishReplace(spark, dir) { tmp =>
+      // repartition BY cell: one task per cell → one file per cell
+      assignWithModel(corpus, id, vec, localCn)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/assign/batch=-1")
+      writeVersionMarker(spark, s"$tmp/assign/batch=-1", centroidVersion(localCn))
+      val mx = corpus.agg(max(col(id).cast("long"))).head()
+      if (!mx.isNullAt(0))
+        writeMaxIdMarker(spark, s"$tmp/assign/batch=-1", mx.getLong(0))
+      localCn.write.mode("overwrite").parquet(s"$tmp/centroids")
+    }
   }
 
   /** The trained centroid table of a persisted semantic-dedup index,
@@ -2132,6 +2210,9 @@ object Similarity {
     * if any existing directory carries a different fingerprint — an
     * ingest must never stack batches from two different trainings.
     * Replay-idempotent: an already-present batch id is a no-op.
+    * Refuses a batch whose min id is not above every indexed id
+    * ([[requireAppendOnlyIds]] — the incremental contract's
+    * precondition, enforced rather than assumed).
     */
   def appendSemanticBatch(
       spark: org.apache.spark.sql.SparkSession,
@@ -2143,11 +2224,20 @@ object Similarity {
     val localCn = readSemanticModel(spark, indexDir)
     val version = centroidVersion(localCn)
     requireCurrentModel(spark, indexDir, version, "appendSemanticBatch", "assign")
+    // replay no-op BEFORE the id guard: a re-delivered batch's own ids
+    // are already indexed, so the guard would (wrongly) refuse it
+    if (hadoopFs(spark, indexDir).exists(new org.apache.hadoop.fs.Path(
+        s"$indexDir/assign/batch=$batchId"))) return false
+    val bounds = batch.agg(
+      min(col(id).cast("long")), max(col(id).cast("long"))).head()
+    if (bounds.isNullAt(0)) return false // empty batch: nothing to publish
+    requireAppendOnlyIds(spark, indexDir, bounds.getLong(0), "appendSemanticBatch")
     Stores.publishOnce(spark, s"$indexDir/assign/batch=$batchId") { tmp =>
       assignWithModel(batch, id, vec, localCn)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       writeVersionMarker(spark, tmp, version)
+      writeMaxIdMarker(spark, tmp, bounds.getLong(1))
     }
   }
 
@@ -2169,7 +2259,10 @@ object Similarity {
     * the indexed training — the Kappa-style "replay == incremental"
     * contract every streamed store in this repo carries, pinned by the
     * q_semantic_incr oracle (which recomputes the same rule from
-    * scratch in SQL).
+    * scratch in SQL). The discipline is ENFORCED, not assumed: the
+    * index stamps each batch directory's max id, and a batch whose min
+    * id is not above every indexed id is refused here and in
+    * [[appendSemanticBatch]] ([[requireAppendOnlyIds]]).
     *
     * Refuses when any assign/ directory was stamped under a superseded
     * model (retrain raced an ingest) — verifying a batch against cells
@@ -2187,6 +2280,12 @@ object Similarity {
       centroidVersion(localCn), "semanticDedupIncremental", "assign")
     val bAsg = assignWithModel(batch, id, vec, localCn)
       .localCheckpoint(eager = false)
+    bAsg.agg(min(col("cid"))).head() match {
+      case r if !r.isNullAt(0) =>
+        requireAppendOnlyIds(spark, indexDir, r.getLong(0),
+          "semanticDedupIncremental")
+      case _ => ()
+    }
     // touched cells, driver-side (bounded by |batch|) → partition pruning
     val touched = bAsg.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq

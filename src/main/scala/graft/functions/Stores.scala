@@ -37,16 +37,61 @@ object Stores {
     */
   private val scratchRegistry =
     java.util.Collections.synchronizedSet(new java.util.LinkedHashSet[String]())
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree)
+    f.delete(); ()
+  }
   private lazy val scratchHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       scratchRegistry.forEach { p =>
-        def rm(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(p))
+        rmTree(new java.io.File(p))
+        sentinelFor(p).delete()
       }
     }, "graft-scratch-sweep"))
+  }
+
+  /** Sentinel files recording every registered scratch path, one tiny
+    * file per nonce under `<tmpdir>/.graft_scratch/` (name = a hash of
+    * the path, content = the path). The shutdown hook removes the
+    * sentinel with the dir on clean exit; a KILLED JVM (OOM, SIGKILL —
+    * exactly the runs most likely to strand large nonce stores) leaves
+    * both behind for [[sweepStaleScratch]] to reap at the next start.
+    * Sweeping only sentinel-recorded paths — never a name-pattern scan
+    * of /tmp — is what makes the sweep safe: sibling `graft_sf*` scaled
+    * DATA directories share the name prefix and must never be touched.
+    */
+  private def sentinelDir: java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"), ".graft_scratch")
+  private def sentinelFor(path: String): java.io.File =
+    new java.io.File(sentinelDir,
+      java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString)
+
+  /** Best-effort reap of scratch dirs stranded by crashed/killed JVMs:
+    * delete every sentinel-recorded path whose sentinel is older than
+    * `maxAgeHours` and that this JVM does not own. Called at Bench /
+    * Verify / Smoke startup. The age gate (default 6 h, ≥ any single
+    * run's lifetime here) keeps a CONCURRENT healthy run's live scratch
+    * out of reach; errors are swallowed — a failed sweep must never
+    * fail the run it piggybacks on.
+    */
+  def sweepStaleScratch(maxAgeHours: Double = 6.0): Int = {
+    val cutoff = System.currentTimeMillis() - (maxAgeHours * 3600e3).toLong
+    var n = 0
+    try {
+      val ms = Option(sentinelDir.listFiles()).getOrElse(Array.empty)
+      ms.foreach { m =>
+        if (m.isFile && m.lastModified() < cutoff) {
+          val target = new String(
+            java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim
+          if (target.nonEmpty && !scratchRegistry.contains(target)) {
+            rmTree(new java.io.File(target))
+            m.delete()
+            n += 1
+          }
+        }
+      }
+    } catch { case _: Exception => () }
+    n
   }
 
   /** A fresh per-invocation-unique local scratch directory path
@@ -69,6 +114,12 @@ object Stores {
   def registerScratch(path: String): Unit = {
     scratchHook
     scratchRegistry.add(path)
+    try {
+      sentinelDir.mkdirs()
+      java.nio.file.Files.write(
+        sentinelFor(path).toPath, path.getBytes("UTF-8"))
+      ()
+    } catch { case _: Exception => () } // sentinel is best-effort
     ()
   }
 

@@ -836,6 +836,15 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   *    number, NaN == NaN, -0.0 == 0.0 — primitive `>` plus explicit NaN
   *    arms reproduce it exactly).
   *
+  * One DELIBERATE divergence, outside the parity claim: a NULL input
+  * (null vector or null n2) yields cell = NULL via the standard
+  * `nullSafeEval` contract, whereas the join formulation would still
+  * emit a winning cell (the null-csim struct falls through max_by's
+  * comparison to the -cell tie-break — an accident of struct ordering,
+  * not a semantic anyone relies on). Null-in → null-out is the sane
+  * rule; all current callers feed non-null vectors (assignment inputs
+  * are filtered upstream), and the spec pins this arm explicitly.
+  *
   * Why it exists: with numCells = √N (semantic dedup's auto-sizing) the
   * join form fans every corpus row out to √N joined rows, each paying a
   * codegen'd struct copy through the max_by aggregate — measured as THE

@@ -214,6 +214,20 @@ class PropertySpec extends SparkSpec {
         cents.map(_._1), cents.map(_._2.toSeq), cents.map(_._3)))
       .collect()
     zeroRow.head.getAs[Long]("cell") shouldBe cents.map(_._1).min
+    // null input: null-in → null-out via nullSafeEval — the DOCUMENTED
+    // divergence from the join formulation (whose null-csim struct falls
+    // through max_by to the -cell tie-break); all production callers
+    // feed non-null vectors, so this pin is the intended semantics, not
+    // parity
+    val nullRows = Seq(
+      (998L, Some(vec(998)), None: Option[Double]), // null n2
+      (997L, None: Option[Array[Double]], Some(1.0)) // null vector
+    ).toDF("cid", "qv", "qn2")
+      .withColumn("cell", NativeExpressions.cellArgmax(
+        col("qv"), col("qn2"),
+        cents.map(_._1), cents.map(_._2.toSeq), cents.map(_._3)))
+      .collect()
+    all(nullRows.map(r => r.isNullAt(r.fieldIndex("cell")))) shouldBe true
   }
 
   test("autoCellCount: sqrt rule with floor 16; numCells=0 equals the explicit sqrt call") {

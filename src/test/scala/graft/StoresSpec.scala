@@ -264,4 +264,49 @@ class StoresSpec extends SparkSpec {
     probeIndexed() shouldBe Curation.phraseMatches(
       b1, "doc_id", "text", phrases).collect().map(_.toSeq).toSet
   }
+
+  test("sweepStaleScratch reaps only sentinel-recorded, age-expired, unowned paths") {
+    // simulates a CRASHED prior JVM: its shutdown hook never ran, so
+    // both the nonce dir and its sentinel survive; this JVM's sweep
+    // must reap exactly that — and must NEVER touch an unrecorded
+    // sibling (the graft_sf* scaled-data dirs share the name prefix)
+    val tmpRoot = System.getProperty("java.io.tmpdir")
+    val sentinels = new java.io.File(tmpRoot, ".graft_scratch")
+    sentinels.mkdirs()
+    def mkDir(name: String): java.io.File = {
+      val d = new java.io.File(tmpRoot, name)
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-0").toPath, "x".getBytes("UTF-8"))
+      d
+    }
+    def mkSentinel(target: java.io.File, ageHours: Double): java.io.File = {
+      val s = new java.io.File(sentinels,
+        java.util.UUID.nameUUIDFromBytes(
+          target.getPath.getBytes("UTF-8")).toString)
+      java.nio.file.Files.write(s.toPath, target.getPath.getBytes("UTF-8"))
+      s.setLastModified(
+        System.currentTimeMillis() - (ageHours * 3600e3).toLong)
+      s
+    }
+    val nonce8 = java.util.UUID.randomUUID().toString.take(8)
+    val stale     = mkDir(s"graft_swp${nonce8}_stale")   // crashed run: reap
+    val staleSent = mkSentinel(stale, ageHours = 7.0)
+    val fresh     = mkDir(s"graft_swp${nonce8}_fresh")   // live run: keep
+    val freshSent = mkSentinel(fresh, ageHours = 0.0)
+    val data      = mkDir(s"graft_swp${nonce8}_sfdata")  // no sentinel: keep
+    try {
+      Stores.sweepStaleScratch(maxAgeHours = 6.0) should be >= 1
+      stale.exists() shouldBe false
+      staleSent.exists() shouldBe false
+      fresh.exists() shouldBe true
+      data.exists() shouldBe true
+      new java.io.File(data, "part-0").exists() shouldBe true
+    } finally {
+      // hand the survivors to the normal exit sweep
+      Stores.registerScratch(fresh.getPath)
+      Stores.registerScratch(data.getPath)
+      freshSent.delete()
+    }
+  }
 }

@@ -1059,6 +1059,50 @@ class StreamingSpec extends SparkSpec {
     ex2.getMessage should include("superseded")
   }
 
+  test("semantic-dedup index: append-only id discipline enforced; replay still a no-op") {
+    import graft.functions.Similarity
+    def v(i: Long): Array[Double] =
+      Array.tabulate(16)(d => ((i * 31 + d * 7) % 11 - 5) / 10.0 +
+        (if (d % 8 == (i % 8).toInt) 5.0 else 0.0))
+    val dir = tmpDir("semidx_ids")
+    Similarity.writeSemanticIndex(
+      (0L until 50L).map(i => (i, v(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, dims = 16)
+    Similarity.appendSemanticBatch(spark, dir,
+      (100L until 120L).map(i => (i, v(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", batchId = 0L) shouldBe true
+    // a batch reaching BELOW the indexed ids breaks the incremental ==
+    // full-recompute equivalence (an indexed vector can never be marked
+    // dup of a batch vector) — refused by appender and reader alike
+    val low = Seq(10L -> v(10L), 200L -> v(200L)).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendSemanticBatch(spark, dir, low,
+        "vec_id", "embedding", batchId = 1L)
+    }
+    e1.getMessage should include("append-only")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupIncremental(spark, dir, low,
+        "vec_id", "embedding", threshold = 0.99)
+    }
+    e2.getMessage should include("append-only")
+    // id 119 == the appended max is also refused (must be STRICTLY above)
+    val eq = Seq(119L -> v(119L)).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedupIncremental(spark, dir, eq,
+        "vec_id", "embedding", threshold = 0.99)
+    }.getMessage should include("append-only")
+    // a REPLAY of batch 0 no-ops (false) instead of tripping the guard
+    // on its own already-indexed ids
+    Similarity.appendSemanticBatch(spark, dir,
+      (100L until 120L).map(i => (i, v(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", batchId = 0L) shouldBe false
+    // strictly-above batches still flow
+    Similarity.semanticDedupIncremental(spark, dir,
+      Seq(300L -> v(300L)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.99)
+      .count() shouldBe 1L
+  }
+
   test("embedDedupIngest: vectors classify against the growing SRP index") {
     val in = memStream[(Long, Array[Double])]
     val state = tmpDir("embdedup_state")
