@@ -842,6 +842,81 @@ object Queries {
     }.mkString(",\n")
   }
 
+  /** [[qMmrBatched]] constants — k/b chosen so the unrolled oracle has
+    * both full rounds and a PARTIAL last round (16 = 6 + 6 + 4 at
+    * b = 6), exercising the short-take arm a divisible k would skip.
+    */
+  private val MmrBatchN = 24
+  private val MmrBatchK = 16
+  private val MmrBatchB = 6 // rounds take 6, 6, 4 — last round is partial
+
+  /** The BATCHED MMR unrolled as DuckDB CTEs — round-major: each round
+    * takes the top `b` marginal scorers against the PRIOR rounds'
+    * selection (within-round picks don't see each other — the
+    * documented [[graft.functions.Similarity.mmrRerank]] `pickBatch`
+    * approximation), ranks assigned round-major in score order.
+    */
+  private def sqlMmrBatchedSteps(k: Int, b: Int, lambdaBp: Int): String = {
+    val mu = 10000 - lambdaBp
+    val rounds = (k + b - 1) / b
+    (2 to rounds).map { j =>
+      val base = (j - 1) * b
+      val take = math.min(b, k - base)
+      s"""ms$j AS (SELECT r.query_id, r.neighbor_id, r.rel_sc,
+         |    CAST(max(ps.sim_sc) AS BIGINT) AS maxsim_sc
+         |  FROM cand r JOIN ps ON ps.query_id = r.query_id AND ps.a = r.neighbor_id
+         |  JOIN sel${j - 1} s ON s.query_id = ps.query_id AND s.neighbor_id = ps.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} z
+         |    WHERE z.query_id = r.query_id AND z.neighbor_id = r.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |pick$j AS (SELECT query_id, CAST($base + rn AS BIGINT) AS mmr_rank,
+         |    neighbor_id, rel_sc, maxsim_sc,
+         |    $lambdaBp * rel_sc - $mu * maxsim_sc AS score_sc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $lambdaBp * rel_sc - $mu * maxsim_sc DESC, neighbor_id) AS rn
+         |  FROM ms$j) WHERE rn <= $take),
+         |sel$j AS (SELECT * FROM sel${j - 1} UNION ALL SELECT * FROM pick$j)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  private val qMmrBatched = Q(
+    "q_mmr_batched",
+    "batched MMR (pickBatch=6: 6 picks per round against prior rounds' selection) — the deep-list serving knob, round-major semantics oracle-pinned",
+    (s, d) => {
+      val e = t(s, d).embeddings
+      Similarity.mmrRerank(e.filter(col("vec_id") < MmrQueries), e,
+        "vec_id", "embedding", n = MmrBatchN, k = MmrBatchK,
+        lambdaBp = MmrLambdaBp, pickBatch = MmrBatchB)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            |  FROM embeddings WHERE vec_id < $MmrQueries),
+            |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            |  FROM embeddings),
+            |s AS (SELECT query_id, neighbor_id, cv,
+            |  round(list_dot_product(qv, cv)
+            |    / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 4) AS cos_sim
+            |FROM q, c),
+            |cand AS (SELECT query_id, neighbor_id, cv,
+            |    CAST(round(cos_sim * 10000) AS BIGINT) AS rel_sc FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM s) WHERE rnk <= $MmrBatchN),
+            |ps AS (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+            |    CAST(round(round(list_dot_product(x.cv, y.cv)
+            |      / sqrt(list_dot_product(x.cv, x.cv) * list_dot_product(y.cv, y.cv)), 4)
+            |      * 10000) AS BIGINT) AS sim_sc
+            |  FROM cand x JOIN cand y
+            |    ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id),
+            |sel1 AS (SELECT query_id, CAST(rn AS BIGINT) AS mmr_rank, neighbor_id,
+            |    rel_sc, CAST(0 AS BIGINT) AS maxsim_sc,
+            |    $MmrLambdaBp * rel_sc AS score_sc FROM (
+            |  SELECT query_id, neighbor_id, rel_sc,
+            |    row_number() OVER (PARTITION BY query_id
+            |      ORDER BY $MmrLambdaBp * rel_sc DESC, neighbor_id) AS rn
+            |  FROM cand) WHERE rn <= $MmrBatchB),
+            |${sqlMmrBatchedSteps(MmrBatchK, MmrBatchB, MmrLambdaBp)}
+            |SELECT query_id, mmr_rank, neighbor_id, rel_sc, maxsim_sc, score_sc
+            |FROM sel${(MmrBatchK + MmrBatchB - 1) / MmrBatchB}""".stripMargin))
+
   private val qMmrRerank = Q(
     "q_mmr_rerank",
     "maximal-marginal-relevance diversification of the cosine top-n (greedy λ·rel − (1−λ)·max-sim)",
@@ -6391,6 +6466,7 @@ object Queries {
     qArgmaxLatest, qUnionSummary, qPricing, qJoinBroadcast, qJoinSemiAnti,
     qDistinctAgg, qWindowRank, qRollup, qDedupExact, qDedupJaccard,
     qDedupMinhash, qMinhashEst, qDedupSimhash, qSetsimPrefix, qKnnCosine, qMmrRerank,
+    qMmrBatched,
     qEmbedNearDup, qNearDupBanded,
     qTextQuality,
     qLangProfile, qMediaStats, qMediaDecode, qMediaFrames, qKnnIvf,

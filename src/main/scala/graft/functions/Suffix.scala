@@ -137,18 +137,23 @@ object Suffix {
     val base = docs.filter(length(col(text)) >= 1)
       .select(col(id).as("did"), col(text).as("txt"))
     // hash-partition by document id ONCE; every window pass below runs
-    // exchange-free on this partitioning (preserved across checkpoints)
+    // exchange-free on this partitioning (preserved across checkpoints).
+    // The 2-gram is cut from txt BEFORE the repartition: the ladder
+    // never needs the text again, and shuffling (did, pos, 2 chars)
+    // instead of (did, pos, whole document) drops the exchange payload
+    // by ~100× (measured: init12 4.5 → ~1.5 s at 1.5M chars)
     val posed = base
       .select(col("did"), explode(sequence(lit(1), length(col("txt")))).as("pos"),
         col("txt"))
-      .select(col("did"), col("pos").cast("long").as("pos"), col("txt"))
+      .select(col("did"), col("pos").cast("long").as("pos"),
+        expr("substring(txt, pos, 2)").as("g2"))
       .repartition(col("did"))
     // gram ranks: the intentionally tiny single-partition windows
     // (distinct 1/2-grams — bounded by the alphabet, not the corpus).
     // When the walk needs BOTH the 1-gram and 2-gram levels they are
     // materialized as two views over ONE checkpointed table (one
     // action, one cached copy) — Level.df is just a projection.
-    val a2base = posed.select(expr("substring(txt, pos, 2)").as("g")).distinct()
+    val a2base = posed.select(col("g2").as("g")).distinct()
     def ranked2(df: DataFrame): DataFrame =
       df.withColumn("r", dense_rank().over(Window.orderBy(col("g")))
         .cast("long") - 1)
@@ -164,9 +169,7 @@ object Suffix {
         val a2 = ranked2(a2base)
           .select(col("g").as("g2"), col("r").as("r_2"))
         prof("init12")(localCheckpointHandle(
-          posed.select(col("did"), col("pos"),
-            expr("substring(txt, pos, 1)").as("g1"),
-            expr("substring(txt, pos, 2)").as("g2"))
+          posed.withColumn("g1", expr("substring(g2, 1, 1)"))
             .join(broadcast(a1), Seq("g1"))
             .join(broadcast(a2), Seq("g2"))
             .select(col("did"), col("pos"), col("r_1"), col("r_2"))))
@@ -174,8 +177,7 @@ object Suffix {
         val a2 = ranked2(a2base)
           .select(col("g").as("g2"), col("r").as("r_2"))
         prof("init2")(localCheckpointHandle(
-          posed.select(col("did"), col("pos"),
-            expr("substring(txt, pos, 2)").as("g2"))
+          posed
             .join(broadcast(a2), Seq("g2"))
             .select(col("did"), col("pos"), col("r_2"))))
       }
@@ -537,13 +539,17 @@ object Suffix {
     * always have LCP ≤ 2·cap − 1, within what the walked levels
     * (1 … cap, summing to 2·cap − 1) measure exactly up to the cap.
     *
-    * Scale shape: one suffix-index build + capped walk (shared via
-    * [[lcpWalk]], the rank table's checkpoint protected), ONE per-rank
-    * aggregate pass (walk representative + multiplicity together,
-    * checkpointed once for both consumers), then rank-keyed equi-joins
-    * (per-rank lcp/multiplicity onto positions) and doc-partitioned
-    * windows for the interval merge — no all-pairs, nothing beyond the
-    * index build's own cost class.
+    * Scale shape: one suffix-index build (keepLevels = false — no walk
+    * levels), ONE per-rank aggregate pass (pair representative +
+    * multiplicity together, checkpointed once for both consumers), the
+    * capped LCP by DIRECT slice comparison (adjacent-rank representative
+    * pairs join their cap-char substrings and run one codegen'd
+    * character compare — exact because the consumed value is clamped at
+    * the cap anyway, so the unbounded-LCP walk machinery is pure
+    * overhead here), then one rank-keyed equi-join (pre-merged per-rank
+    * lcp/multiplicity onto positions) and doc-partitioned windows for
+    * the interval merge — no all-pairs, nothing beyond the index
+    * build's own cost class.
     */
   def dupSpans(
       docs: DataFrame,
@@ -585,7 +591,7 @@ object Suffix {
     * (the complement substrings concatenated in order).
     *
     * Scale shape: everything [[dupSpans]] costs (one suffix-index build +
-    * capped walk + interval merge), then ONE per-doc interval
+    * direct-compare capped LCP + interval merge), then ONE per-doc interval
     * `collect_list` (bounded by len/minSpan intervals per doc — the merge
     * guarantees a non-duplicated character between consecutive spans)
     * joined back to the docs and folded map-side into the kept string —
@@ -654,33 +660,60 @@ object Suffix {
     require(cap >= minSpan, s"cap ($cap) must be >= minSpan ($minSpan) — " +
       "the capped union argument needs a length-minSpan interval to fit " +
       "inside the cap")
-    require(cap <= Long.MaxValue / 2, s"cap ($cap) overflows the 2*cap rank horizon")
-    val levels = build(docs, id, text, buckets, keepLevels = true,
-      maxPrefix = 2 * cap, keepUpTo = cap)
-    val sr = levels.last.df // (did, pos, r) — checkpoint protected below
+    require(cap <= Int.MaxValue / 2, s"cap ($cap) overflows the 2*cap rank horizon")
+    // no kept levels: the span arithmetic only consumes LCPs CLAMPED at
+    // the cap, and a cap-clamped LCP is computable by DIRECT character
+    // comparison of the two cap-char suffix slices (one codegen'd pass)
+    // — the log₂(cap)-round LCP walk, its per-level pair-state shuffles,
+    // its kept-level carries through the densify, and the 1-gram level
+    // all exist to serve UNBOUNDED LCP ([[adjacentLcp]]'s contract) and
+    // are skipped here entirely (measured sf0.1 full-table: 17 → 11 s).
+    val levels = build(docs, id, text, buckets, keepLevels = false,
+      maxPrefix = 2 * cap)
+    val sr = levels.last.df // (did, pos, r) — checkpoint freed below
     // ONE aggregate pass over the rank table serves both consumers —
-    // the walk's pair representatives and the per-rank multiplicity the
-    // span arithmetic needs — checkpointed so neither recomputes it
-    // (previously two separate groupBys over the same (did,pos,r) table
-    // on the same key: one inside the walk's first cut, one in the
-    // final per-doc job).
+    // the pair representatives and the per-rank multiplicity the span
+    // arithmetic needs — checkpointed so neither recomputes it.
     val (rstats, rstatsRdd) = localCheckpointHandle(
       sr.groupBy(col("r"))
         .agg(min(struct(col("did"), col("pos"))).as("m"),
           count(lit(1)).as("cnt")))
     val reps = rstats
       .select(col("r"), col("m.did").as("did"), col("m.pos").as("pos"))
-    val (lcp, lcpRdd) = lcpWalk(levels, reps, cap, protectLast = true)
-    val lcpByRank = lcp.select(col("srank"), least(col("lcp"), lit(cap)).as("l"))
-    val mult = rstats.select(col("r"), col("cnt").as("m"))
-    val byDoc = Window.partitionBy(col("did"))
-    val per = sr
-      .withColumn("len", max(col("pos")).over(byDoc))
-      .join(mult, Seq("r"))
+    // adjacent-rank representative pairs fetch their cap-char slices and
+    // compare once. Equivalence to least(walk_lcp, cap): true LCP < cap
+    // is measured exactly by both; true LCP ≥ cap saturates both the
+    // walk (clamped) and the slice compare (slices are cap chars).
+    // Checkpointed because the span arithmetic joins it TWICE (lu/ld).
+    val slices = docs.filter(length(col(text)) >= 1)
+      .select(col(id).as("did"), col(text).as("_txt"))
+    val capLen = lit(cap.toInt)
+    val (lcpByRank, lcpRdd) = localCheckpointHandle(
+      reps.select(col("r").as("srank"), col("did").as("da"), col("pos").as("pa"))
+        .join(reps.select((col("r") - 1).as("srank"),
+          col("did").as("db"), col("pos").as("pb")), Seq("srank"))
+        .join(slices.select(col("did").as("da"), col("_txt").as("_ta")), Seq("da"))
+        .select(col("srank"), col("db"), col("pb"),
+          col("_ta").substr(col("pa").cast("int"), capLen).as("_sa"))
+        .join(slices.select(col("did").as("db"), col("_txt").as("_tb")), Seq("db"))
+        .select(col("srank"),
+          graft.functions.expressions.NativeExpressions.commonPrefixChars(
+            col("_sa"),
+            col("_tb").substr(col("pb").cast("int"), capLen)).as("l")))
+    // rank-keyed inputs (multiplicity + up/down LCP) pre-joined into ONE
+    // rank-side table so the corpus-sized sr streams through a single
+    // rank join, not three; the doc length comes from the docs table
+    // (positions are 1..len) instead of a max-window over every position
+    val rankSide = rstats.select(col("r"), col("cnt").as("m"))
       .join(lcpByRank.select(col("srank").as("r"), col("l").as("lu")),
         Seq("r"), "left")
       .join(lcpByRank.select((col("srank") + 1).as("r"), col("l").as("ld")),
         Seq("r"), "left")
+    val docLens = docs.filter(length(col(text)) >= 1)
+      .select(col(id).as("did"), length(col(text)).cast("long").as("len"))
+    val per = sr
+      .join(rankSide, Seq("r"))
+      .join(docLens, Seq("did"))
       .select(col("did"), col("pos"),
         greatest(
           when(col("m") >= 2,
@@ -701,7 +734,8 @@ object Suffix {
     val free = () => {
       levels.last.rdd.unpersist(blocking = false)
       rstatsRdd.unpersist(blocking = false)
-      lcpRdd.foreach(_.unpersist(blocking = false))
+      lcpRdd.unpersist(blocking = false)
+      ()
     }
     (spans, free)
   }

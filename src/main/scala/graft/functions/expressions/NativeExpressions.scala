@@ -105,6 +105,14 @@ object NativeExpressions {
   def nfcNormalize(c: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
 
+  /** Codegen'd CHARACTER-level common-prefix length of two string
+    * columns (byte compare + UTF-8 lead-byte char count — exact on
+    * multi-byte text; see [[CommonPrefixChars]]).
+    */
+  def commonPrefixChars(a: Column, b: Column): Column =
+    GraftBridge.column(CommonPrefixChars(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Misra-Gries heavy-hitters aggregate over a string column: at most
     * `k` (item, cnt) counters, mergeable across partitions; exact when
     * the column has ≤ k distinct values (see [[HeavyHitters]]).
@@ -814,6 +822,58 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_nfc"
+}
+
+/** CHARACTER-level common-prefix length of two strings — the direct
+  * capped-LCP comparator of `Suffix.dupSpans` (adjacent-rank suffix
+  * slices, each pre-truncated to the cap, compared once; replaces the
+  * log₂(cap)-round LCP walk whose per-level joins re-shuffled the whole
+  * pair state).
+  *
+  * Bytes are compared first (UTF-8 is prefix-monotone: equal chars ⇔
+  * equal byte runs), then the matched byte run is converted to a
+  * character count by walking UTF-8 lead bytes — a char straddling the
+  * first mismatching byte is NOT counted, so multi-byte text is exact.
+  */
+case class CommonPrefixChars(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CommonPrefixChars.compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.CommonPrefixChars.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_common_prefix_chars"
+}
+
+object CommonPrefixChars {
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(
+      a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = math.min(a.numBytes(), b.numBytes())
+    var k = 0
+    while (k < n && a.getByte(k) == b.getByte(k)) k += 1
+    var i = 0
+    var chars = 0L
+    while (i < k) {
+      val w = org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(a.getByte(i))
+      if (i + w <= k) { chars += 1; i += w }
+      else i = k // char straddles the mismatch boundary: not common
+    }
+    chars
+  }
 }
 
 /** Argmax-cosine cell assignment of an array<double> quantized vector

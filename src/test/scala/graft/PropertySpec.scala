@@ -230,6 +230,46 @@ class PropertySpec extends SparkSpec {
     all(nullRows.map(r => r.isNullAt(r.fieldIndex("cell")))) shouldBe true
   }
 
+  test("property: commonPrefixChars equals the code-point reference, incl. multi-byte boundaries") {
+    import graft.functions.expressions.NativeExpressions
+    // reference: count equal leading CODE POINTS (what Spark's
+    // substring/length count — not UTF-16 units, not bytes)
+    def ref(a: String, b: String): Long = {
+      val xa = a.codePoints().toArray
+      val xb = b.codePoints().toArray
+      xa.zip(xb).takeWhile { case (x, y) => x == y }.length.toLong
+    }
+    val cases = Seq(
+      ("", ""), ("", "a"), ("abc", "abc"), ("abcdef", "abcxyz"),
+      ("the quick brown fox", "the quick brown fax"),
+      // 2-byte chars: é = C3A9, è = C3A8 share their FIRST byte — the
+      // straddling char must not count
+      ("aé", "aè"), ("éé", "éè"), ("é", "é"),
+      // 3-byte CJK and 4-byte supplementary (UTF-16 surrogate pairs:
+      // the code-point count differs from String#length here)
+      ("中文文本", "中文文字"), ("a😀b", "a😀c"), ("😀😁", "😀😂"),
+      ("mix中é😀end", "mix中é😀fin"))
+    val df = cases.toDF("a", "b")
+      .withColumn("l", NativeExpressions.commonPrefixChars(col("a"), col("b")))
+    df.collect().foreach { r =>
+      withClue(s"(${r.getString(0)}, ${r.getString(1)}): ") {
+        r.getLong(2) shouldBe ref(r.getString(0), r.getString(1))
+      }
+    }
+    // random property sweep over a small alphabet (forces long shared
+    // prefixes) with multi-byte letters mixed in
+    val alpha = Array("a", "b", "é", "中", "😀")
+    val gen = Gen.listOfN(2, Gen.listOf(Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    val rows = (1 to 200).map { s2 =>
+      val Seq(a, b) = sample(gen, s2.toLong): @unchecked
+      (a, b)
+    }
+    val out = rows.toDF("a", "b")
+      .withColumn("l", NativeExpressions.commonPrefixChars(col("a"), col("b")))
+      .collect()
+    out.foreach(r => r.getLong(2) shouldBe ref(r.getString(0), r.getString(1)))
+  }
+
   test("autoCellCount: sqrt rule with floor 16; numCells=0 equals the explicit sqrt call") {
     // the sizing rule the 100-TB claim rests on: fixed cells make the
     // within-cell verify quadratic; sqrt(N) balances assignment and
