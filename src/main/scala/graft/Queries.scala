@@ -2364,12 +2364,26 @@ object Queries {
          |WHERE rank <= 3""".stripMargin
     })
 
+  /** Input bound of the single-code SRP bucketing diagnostic: at a FIXED
+    * 8-bit code the 256 buckets fill linearly with the corpus, so the
+    * emitted intra-bucket pair list is inherently quadratic (measured
+    * 5.7 s at sf10 → 467 s at sf100, 82× for 10× data — the worst
+    * scaler in the r16 sf100 bench). 50 000 vectors = 2.5× the entire
+    * sf1 embedding table, full-corpus through sf1 and a fixed slice
+    * above. The unbounded production shape is [[qNearDupBanded]]:
+    * multi-band 16-bit codes + threshold verify, whose output is the
+    * near-dup pairs themselves (linear at real thresholds; measured
+    * 5.6 → 32.6 s over the same decade).
+    */
+  private val LshSrpMaxVec = 50000L
+
   private val qLshSrp = Q(
     "q_lsh_srp",
-    "SRP-LSH bucketed candidates: pairs sharing a sign-random-projection code",
+    "SRP-LSH bucketed candidates: pairs sharing one sign-random-projection code (quadratic diagnostic over a bounded slice; production = q_neardup_banded)",
     (s, d) =>
       Similarity.lshCandidates(
-        t(s, d).embeddings, "vec_id", "embedding", dims = 64, bitsB = 8)
+        t(s, d).embeddings.filter(col("vec_id") < LshSrpMaxVec),
+        "vec_id", "embedding", dims = 64, bitsB = 8)
         .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim")),
     Some {
       // the hyperplanes as shortest-round-trip double literals — parse back
@@ -2379,7 +2393,8 @@ object Queries {
           val lits = plane.map(_.toString).mkString(", ")
           s"(CASE WHEN list_dot_product(v, [$lits]) > 0 THEN ${1L << p} ELSE 0 END)"
       }.mkString(" +\n  ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id < $LshSrpMaxVec),
          |coded AS (SELECT vec_id, v,
          |  $codeBits AS code
          |FROM e)
@@ -2399,14 +2414,18 @@ object Queries {
   /** Distinct (doc_id, window-hash) rows — the shared CTE for the
     * substring-dedup family. Mirrors [[Clustering.sharedWindowPairs]]'s
     * window generation exactly: offsets 1, 1+stride, … ≤ len−win+1.
+    * `extraWhere` appends an input bound (the uncapped pair-evidence
+    * diagnostic runs a bounded slice — see [[SubstrPairMaxDoc]]).
     */
-  private def sqlWindows: String =
+  private def sqlWindowsWhere(extraWhere: String): String =
     s"""SELECT DISTINCT doc_id,
        |  CAST('0x' || substr(md5(substr(text, CAST(i AS INT), $SubstrWin)), 1, 15)
        |    AS BIGINT) AS wh
        |FROM documents CROSS JOIN LATERAL
        |  unnest(range(1, len(text) - ${SubstrWin - 1} + 1, $SubstrStride)) AS g(i)
-       |WHERE len(text) >= $SubstrWin""".stripMargin
+       |WHERE len(text) >= $SubstrWin$extraWhere""".stripMargin
+
+  private def sqlWindows: String = sqlWindowsWhere("")
 
   private def sqlWindowEdges: String =
     s"""wdw AS ($sqlWindows),
@@ -2427,7 +2446,8 @@ object Queries {
 
   private def windowPairs(s: SparkSession, d: String) =
     Clustering.sharedWindowPairs(
-      t(s, d).documents, "doc_id", "text", SubstrWin, SubstrStride)
+      t(s, d).documents.filter(col("doc_id") < SubstrPairMaxDoc),
+      "doc_id", "text", SubstrWin, SubstrStride)
 
   // connectivity-only edges for the component queries: identical
   // components, k−1 star edges per window bucket instead of k(k−1)/2
@@ -2436,11 +2456,24 @@ object Queries {
     Clustering.sharedWindowStarEdges(
       t(s, d).documents, "doc_id", "text", SubstrWin, SubstrStride)
 
+  /** Input bound of the UNCAPPED pair-evidence diagnostic: its output is
+    * inherently quadratic on clique-heavy corpora (a k-doc dup clique
+    * emits C(k,2) pairs; the 100× scaling corpus has k = 1000 cliques by
+    * construction — measured 5.5 s at sf10 → 263 s at sf100, 48× for
+    * 10× data). 50 000 docs = the ENTIRE sf1 corpus, so the diagnostic
+    * is full-corpus through sf1 and a fixed verifier slice above — the
+    * same exhaustive-ground-truth convention as `q_embed_neardup`. The
+    * unbounded production paths are [[qSubstrCapped]] (pair evidence
+    * under the boilerplate cap, linear output) and [[qSubstrWinnow]]
+    * (winnowed long-span candidates under the same cap).
+    */
+  private val SubstrPairMaxDoc = 50000L
+
   private val qSubstrDedup = Q(
     "q_substr_dedup",
-    "repeated-substring dedup evidence: doc pairs sharing verbatim windows (Lee et al. ACL'22)",
+    "repeated-substring dedup evidence, UNCAPPED (quadratic diagnostic over a bounded slice; production = q_substr_capped)",
     (s, d) => windowPairs(s, d),
-    Some(s"""WITH wdw AS ($sqlWindows)
+    Some(s"""WITH wdw AS (${sqlWindowsWhere(s" AND doc_id < $SubstrPairMaxDoc")})
             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
             |FROM wdw a JOIN wdw b ON a.wh = b.wh AND a.doc_id < b.doc_id
             |GROUP BY 1, 2""".stripMargin))
@@ -2478,10 +2511,18 @@ object Queries {
 
   private val qSubstrWinnow = Q(
     "q_substr_winnow",
-    "winnowed long-span dedup candidates: fingerprint-selected window minima (Schleimer SIGMOD'03 over Lee ACL'22 windows)",
+    "winnowed long-span dedup candidates under the boilerplate cap (Schleimer SIGMOD'03 over Lee ACL'22 windows; linear output)",
+    // the SAME boilerplate-frequency cap as q_substr_capped: a
+    // fingerprint shared by > maxFreq docs is a header/license/replica
+    // signature whose bucket would emit C(k,2) pairs — excluding it is
+    // both the curation semantics (boilerplate is not dup evidence) and
+    // what keeps this the LINEAR long-span scale path (uncapped it
+    // measured 6.3 s at sf10 → 241 s at sf100, 38× for 10× data; the
+    // uncapped quadratic diagnostic lives at q_substr_dedup's slice)
     (s, d) =>
       Clustering.winnowedSpanCandidates(
-        t(s, d).documents, "doc_id", "text", SubstrWin, SubstrStride, WinnowSpanW),
+        t(s, d).documents, "doc_id", "text", SubstrWin, SubstrStride,
+        WinnowSpanW, maxFpFreq = SubstrMaxFreq),
     Some(s"""WITH wseq AS (
             |  SELECT doc_id,
             |    list_transform(range(1, len(text) - ${SubstrWin - 1} + 1, $SubstrStride),
@@ -2492,9 +2533,11 @@ object Queries {
             |  SELECT DISTINCT doc_id,
             |    unnest(list_transform(range(0, greatest(len(whs) - $WinnowSpanW, 0) + 1),
             |      s -> list_min(whs[CAST(s + 1 AS INT):CAST(s + $WinnowSpanW AS INT)]))) AS fp
-            |  FROM wseq)
+            |  FROM wseq),
+            |hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > $SubstrMaxFreq),
+            |kept AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fp
-            |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
             |GROUP BY 1, 2""".stripMargin))
 
   private val qDupClusters = Q(
