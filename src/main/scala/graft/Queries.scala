@@ -4042,10 +4042,12 @@ object Queries {
     * distributed work contributes alongside driver round latency
     * (rounds are capped at ~log₂ cap by the 2·cap rank truncation;
     * data volume grows the per-round linear carry, hash-partitioned).
-    * The raise spends most of the catalog's 10-s-bound headroom on
-    * this one query (worst sf0.1 wall moved ~1.0× → ~1.8× the bound)
-    * and is kept because full-corpus exactness at the gate SF is what
-    * the accounting query is FOR.
+    * The raise initially spent most of the catalog's 10-s-bound
+    * headroom on this one query (worst sf0.1 wall ~1.0× → ~1.8× the
+    * bound); the round-17 direct-compare LCP (see
+    * [[graft.functions.Suffix.dupSpans]] — the walk is gone) bought it
+    * back to ~11.7 s ≈ 1.2×. Kept at full corpus because exactness at
+    * the gate SF is what the accounting query is FOR.
     *
     * Why NOT doc-sharding with a fingerprint bridge (the r13-verdict
     * sketch): to stay EXACT at minSpan = 20 the bridge must catch every
