@@ -4111,15 +4111,16 @@ object Queries {
       // length >= L iff some adjacent pair here has lcp >= L. The cap
       // is the operational span threshold a dedup consumer queries at
       // (and keeps the oracle's brute-force per-character probe
-      // affordable), so the WALK is capped too: only the ≤ LcpCap
-      // doubling levels are consumed — least(lcp, cap) is exact under
-      // the cap by the level-sum argument in adjacentLcp's doc
-      // (uncapped exactness is spec-pinned vs Scala brute force)
-      graft.functions.Suffix.adjacentLcp(
+      // affordable), so the query consumes the CLAMPED LCP — which the
+      // capped operator computes by direct slice comparison, with no
+      // level walk and no kept levels (adjacentLcpCapped's doc; output
+      // spec-pinned identical to the walk + least(lcp, cap), and the
+      // uncapped walk stays spec-pinned vs Scala brute force)
+      graft.functions.Suffix.adjacentLcpCapped(
         t(s, d).documents.filter(col("doc_id") < SuffixMaxDoc),
         "doc_id", "text", maxLcp = LcpCap)
         .select(col("srank"), col("doc_a"), col("pos_a"), col("doc_b"),
-          col("pos_b"), least(col("lcp"), lit(LcpCap)).as("lcp_c")),
+          col("pos_b"), col("lcp").as("lcp_c")),
     Some(
       raw"""WITH p AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
            |    substr(text, g.i) AS suf

@@ -91,6 +91,26 @@ object Suffix {
       println(f"PROF $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
+  /** Hash-repartition with an EXPLICIT partition count (the session's
+    * `spark.sql.shuffle.partitions`, i.e. the conf the driver/cluster
+    * operator sizes): a bare `repartition(col)` leaves the count to AQE,
+    * whose coalescing is BYTE-based and blind to two properties of this
+    * ladder — (1) the pre-explode doc shuffle is ~1 byte/char but the
+    * explode amplifies rows ~avg-doc-length×, so sizing partitions on
+    * the exchange's bytes serializes the compute-bound stage after it
+    * (round-15 stage audit: the 0.9 MB doc exchange coalesced to ONE
+    * partition and the 1.5M-row explode+join ran single-threaded,
+    * 3.3 s); (2) a coalesced exchange reports a partitioning the
+    * checkpoint cannot preserve as hash(key), so every downstream
+    * consumer of the cached state re-shuffled it (55 + 45 MB
+    * re-exchanges of the already-bucketed kb state). Explicit counts
+    * keep the exchange recognizable and the post-shuffle parallelism
+    * sized by configuration, not by pre-amplification bytes.
+    */
+  private def repartitionFixed(df: DataFrame, c: org.apache.spark.sql.Column)
+      : DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, c)
+
   private final case class Level(
       df: DataFrame, // (did, pos, r): rank of the prefix of length `len`
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
@@ -136,18 +156,29 @@ object Suffix {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val base = docs.filter(length(col(text)) >= 1)
       .select(col(id).as("did"), col(text).as("txt"))
-    // hash-partition by document id ONCE; every window pass below runs
-    // exchange-free on this partitioning (preserved across checkpoints).
-    // The 2-gram is cut from txt BEFORE the repartition: the ladder
-    // never needs the text again, and shuffling (did, pos, 2 chars)
-    // instead of (did, pos, whole document) drops the exchange payload
-    // by ~100× (measured: init12 4.5 → ~1.5 s at 1.5M chars)
-    val posed = base
+    // hash-partition the WHOLE DOCUMENTS by id — BEFORE the explode.
+    // Generate/Project/BroadcastHashJoin all preserve the child's
+    // partitioning, so the exploded positions, their 2-grams and the
+    // joined gram ranks are already clustered by did and every window
+    // pass below runs exchange-free (partitioning preserved across
+    // checkpoints too). This replaces the previous post-explode
+    // exchange of (did, pos, 2 chars) — ~24 bytes per character — with
+    // a pre-explode exchange of the raw text at ~1 byte per character,
+    // and it parallelizes the explode+join across the full core count
+    // instead of the scan's few input splits (the docs table is one
+    // small parquet split at the gate SFs, so everything upstream of
+    // the first exchange used to run near-serial). The previous shape
+    // additionally shipped the exploded table through the did exchange
+    // TWICE — the alphabet branch's copy of the exchange is
+    // column-pruned differently and AQE stage reuse keys on the exact
+    // subtree (round-15 CP-plan audit: two
+    // `Exchange hashpartitioning(did)` nodes per init action); here
+    // the duplicated branch carries only the pre-explode docs.
+    val posed = repartitionFixed(base, col("did"))
       .select(col("did"), explode(sequence(lit(1), length(col("txt")))).as("pos"),
         col("txt"))
       .select(col("did"), col("pos").cast("long").as("pos"),
         expr("substring(txt, pos, 2)").as("g2"))
-      .repartition(col("did"))
     // gram ranks: the intentionally tiny single-partition windows
     // (distinct 1/2-grams — bounded by the alphabet, not the corpus).
     // When the walk needs BOTH the 1-gram and 2-gram levels they are
@@ -172,14 +203,16 @@ object Suffix {
           posed.withColumn("g1", expr("substring(g2, 1, 1)"))
             .join(broadcast(a1), Seq("g1"))
             .join(broadcast(a2), Seq("g2"))
-            .select(col("did"), col("pos"), col("r_1"), col("r_2"))))
+            .select(col("did"), col("pos"), col("r_1"), col("r_2")),
+          Seq("did")))
       } else {
         val a2 = ranked2(a2base)
           .select(col("g").as("g2"), col("r").as("r_2"))
         prof("init2")(localCheckpointHandle(
           posed
             .join(broadcast(a2), Seq("g2"))
-            .select(col("did"), col("pos"), col("r_2"))))
+            .select(col("did"), col("pos"), col("r_2")),
+          Seq("did")))
       }
     val init2df =
       init._1.select(col("did"), col("pos"), col("r_2").as("r"))
@@ -270,44 +303,87 @@ object Suffix {
         width *= 2
         curMaterialized = false
       } else {
-        // densify: one action, TWO real exchanges — offsets are
-        // in-plan, no driver collect. The single shuffle on `bkt` is
-        // shared by the distinct, the rank window, the offset
-        // aggregate AND the join-back (bkt is a monotone function of
-        // the major key r0 — and of the full tuple order, since r0 is
-        // its first component — and subset co-partitioning is enabled
-        // in GraftSession, so every downstream op's clustering
-        // requirement is already satisfied by hash(bkt)).
+        // densify. Shared structure: bucket by the major key (bkt =
+        // r0 DIV blockSize is monotone in the pair order — and in the
+        // full tuple order, since r0 is its first component), shuffle
+        // once on bkt, and rank per bucket with a window DIRECTLY over
+        // the full rows — per-bucket dense_rank over
+        // rows-with-duplicates equals dense_rank over the distinct
+        // tuples, so the previous shape's distinct-pairs table and its
+        // sort-merge join BACK onto the state were pure overhead (that
+        // join-back also self-referenced the bucketed state, and the
+        // analyzer's self-join expr-id dedup plus divergent column
+        // pruning produced THREE non-reusable instantiations of the
+        // bucket exchange — round-15 CP-plan audit: 3×
+        // `Exchange hashpartitioning(bkt)` at ~45-55 MB shuffle write
+        // each, per densify, at sf0.1).
+        //
+        // INTERMEDIATE densifies (the overflow valve) need only an
+        // ORDER-ISOMORPHIC compression, not a dense one — the next
+        // combine round just packs it arithmetically. `bkt·(n+1) + rk`
+        // is order-isomorphic (bkt is the major order; rk ≤ n within a
+        // bucket) with domain ≤ (buckets+1)·(n+1), so the cross-bucket
+        // offset machinery (per-bucket distinct counts, prefix-sum
+        // window, broadcast join) drops out entirely: ONE action, one
+        // bkt exchange, one window, one did exchange.
+        //
+        // The FINAL round's output must be dense (the suffix-rank
+        // contract): there the per-bucket ranks are offset by the
+        // prefix sum of per-bucket distinct counts — in-plan (a
+        // bounded-by-`buckets` aggregate + single-partition window),
+        // no driver collect. The bucketed state is consumed twice
+        // (rank window + offset aggregate), so it is eagerly
+        // checkpointed once; the offs branch then reads the cached
+        // copy instead of re-instantiating the exchange.
         val tupleCols = rCols ++ sCols
         val blockSize = ((dom / buckets) + 1).min(MaxDom).toLong
-        dom = BigInt(math.max(n, 1L))
-        val kb = keyed
-          .withColumn("bkt", expr(s"r0 DIV $blockSize"))
-          .repartition(col("bkt"))
-        val dPairs = kb.select((col("bkt") +: tupleCols.map(col)): _*).distinct()
-        val rk = dPairs.withColumn("rk",
-          dense_rank().over(
-            Window.partitionBy(col("bkt")).orderBy(tupleCols.map(col): _*))
-            .cast("long"))
-        // per-bucket distinct-tuple counts straight off the shared
-        // exchange (no dependence on the rank window, so the broadcast
-        // subtree never recomputes it)
-        val offs = kb.groupBy(col("bkt"))
-          .agg(count_distinct(col(tupleCols.head),
-            tupleCols.tail.map(col): _*).as("cnt"))
-          .withColumn("off",
-            coalesce(sum(col("cnt")).over(
-              Window.orderBy(col("bkt"))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("bkt"), col("off"))
-        val ranked = rk.join(broadcast(offs), Seq("bkt"))
-          .select((col("bkt") +: tupleCols.map(col)) :+
-            (col("off") + col("rk") - 1).as("nr"): _*)
-        val outCols = carryCols :+ col("nr").as("r0")
-        val h = prof(s"densify k=$k")(localCheckpointHandle(
-          kb.join(ranked, "bkt" +: tupleCols)
-            .select(outCols: _*)
-            .repartition(col("did"))))
+        val rkW = Window.partitionBy(col("bkt")).orderBy(tupleCols.map(col): _*)
+        val nn = math.max(n, 1L)
+        val h =
+          if (!isLast) {
+            val packedDom = (BigInt(buckets) + 1) * (BigInt(nn) + 1)
+            require(packedDom <= MaxDom,
+              s"packed intermediate rank domain $packedDom overflows int64 " +
+                s"(n=$n, buckets=$buckets) — lower the bucket count")
+            dom = packedDom
+            prof(s"densify-packed k=$k")(localCheckpointHandle(
+              repartitionFixed(
+                repartitionFixed(
+                  keyed.withColumn("bkt", expr(s"r0 DIV $blockSize")),
+                  col("bkt"))
+                  .withColumn("rk", dense_rank().over(rkW).cast("long"))
+                  .select(carryCols :+
+                    (col("bkt") * (nn + 1) + col("rk") - 1).as("r0"): _*),
+                col("did")),
+              Seq("did")))
+          } else {
+            dom = BigInt(nn)
+            val (kb, kbRdd) = prof(s"densify-kb k=$k")(localCheckpointHandle(
+              repartitionFixed(
+                keyed.withColumn("bkt", expr(s"r0 DIV $blockSize")),
+                col("bkt")),
+              Seq("bkt")))
+            val rk = kb.withColumn("rk", dense_rank().over(rkW).cast("long"))
+            // per-bucket distinct-tuple counts straight off the cached
+            // state (no dependence on the rank window, so the broadcast
+            // subtree never recomputes it)
+            val offs = kb.groupBy(col("bkt"))
+              .agg(count_distinct(col(tupleCols.head),
+                tupleCols.tail.map(col): _*).as("cnt"))
+              .withColumn("off",
+                coalesce(sum(col("cnt")).over(
+                  Window.orderBy(col("bkt"))
+                    .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+              .select(col("bkt"), col("off"))
+            val outCols = carryCols :+ (col("off") + col("rk") - 1).as("r0")
+            val hh = prof(s"densify k=$k")(localCheckpointHandle(
+              repartitionFixed(
+                rk.join(broadcast(offs), Seq("bkt")).select(outCols: _*),
+                col("did")),
+              Seq("did")))
+            kbRdd.unpersist(blocking = false)
+            hh
+          }
         if (!keepLevels) lastCp.unpersist(blocking = false)
         // every pending combine level materialized with this action:
         // emit each as a projection view of the one checkpointed table
@@ -394,6 +470,55 @@ object Suffix {
     val levels = build(docs, id, text, buckets, keepLevels = true,
       keepUpTo = maxLcp)
     lcpWalk(levels, repsOf(levels.last.df), maxLcp, protectLast = false)._1
+  }
+
+  /** [[adjacentLcp]] with the LCP CLAMPED at `maxLcp` — the shape a
+    * threshold consumer (`least(lcp, cap)`) actually needs, computed
+    * WITHOUT the level walk: a cap-clamped LCP is one codegen'd
+    * character comparison of the two `maxLcp`-char suffix slices of
+    * each adjacent-rank representative pair (the [[dupSpans]]
+    * equivalence: true LCP < cap is measured exactly by both the walk
+    * and the slice compare; true LCP ≥ cap saturates both). Dropping
+    * the walk drops its ~log₂ cap levels × 2 equi-joins, the kept-level
+    * carries through the ladder's densifies, and the 1-gram init level
+    * (`keepLevels = false` — the build is exactly [[suffixRanks]]'s).
+    * Output identical to
+    * `adjacentLcp(maxLcp = cap).withColumn("lcp", least(lcp, cap))`
+    * (spec-pinned); `srank` is still the FULL-suffix dense rank.
+    */
+  def adjacentLcpCapped(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      maxLcp: Long,
+      buckets: Int = 512): DataFrame = {
+    require(maxLcp >= 1 && maxLcp <= Int.MaxValue,
+      s"maxLcp must be in [1, Int.MaxValue], got $maxLcp")
+    val levels = build(docs, id, text, buckets, keepLevels = false)
+    val sr = levels.last.df
+    // the per-rank representative is consumed TWICE (both sides of the
+    // adjacent-rank self-join) — checkpoint it once, or the analyzer's
+    // self-join expr-id dedup re-instantiates the aggregate (and its
+    // corpus-sized exchange) per side
+    val (reps, _) = localCheckpointHandle(repsOf(sr))
+    // the rank table is consumed by nothing else — release it as soon
+    // as the representative snapshot has materialized
+    levels.last.rdd.unpersist(blocking = false)
+    val slices = docs.filter(length(col(text)) >= 1)
+      .select(col(id).as("did"), col(text).as("_txt"))
+    val capLen = lit(maxLcp.toInt)
+    reps.select(col("r").as("srank"), col("did").as("da"), col("pos").as("pa"))
+      .join(reps.select((col("r") - 1).as("srank"),
+        col("did").as("db"), col("pos").as("pb")), Seq("srank"))
+      .join(slices.select(col("did").as("da"), col("_txt").as("_ta")), Seq("da"))
+      .select(col("srank"), col("pa"), col("db"), col("pb"),
+        col("da"), col("_ta").substr(col("pa").cast("int"), capLen).as("_sa"))
+      .join(slices.select(col("did").as("db"), col("_txt").as("_tb")), Seq("db"))
+      .select(col("srank"), col("da").as("doc_a"), col("pa").as("pos_a"),
+        col("db").as("doc_b"), col("pb").as("pos_b"),
+        graft.functions.expressions.NativeExpressions.commonPrefixChars(
+          col("_sa"),
+          col("_tb").substr(col("pb").cast("int"), capLen)).as("lcp"))
   }
 
   /** The (doc,pos)-minimal representative of each rank — the walk's pair

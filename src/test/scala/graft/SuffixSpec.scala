@@ -102,6 +102,28 @@ class SuffixSpec extends SparkSpec {
     }
   }
 
+  test("adjacentLcpCapped == adjacentLcp + least(lcp, cap), full rows, every cap") {
+    // the direct-slice-compare path must be bit-identical to the walk
+    // formulation it replaces in q_suffix_lcp: same srank (full-suffix
+    // dense rank), same representative pair, lcp clamped at the cap
+    val rnd = new scala.util.Random(83)
+    val docs = (0 until 18).map { i =>
+      (i.toLong,
+        (0 until (4 + rnd.nextInt(36)))
+          .map(_ => "ab".charAt(rnd.nextInt(2))).mkString) // long repeats
+    } :+ (99L -> "") // empty doc: contributes nothing, must not break
+    def rows(df: org.apache.spark.sql.DataFrame, cap: Long) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), math.min(r.getLong(5), cap))).toSet
+    Seq(1L, 4L, 7L, 64L).foreach { cap =>
+      val walk = rows(Suffix.adjacentLcp(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxLcp = cap), cap)
+      val direct = rows(Suffix.adjacentLcpCapped(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxLcp = cap), cap)
+      withClue(s"cap $cap: ") { direct shouldBe walk }
+    }
+  }
+
   test("duplicated spans surface as adjacent LCP >= span length; disjoint corpora stay at 0") {
     // the Lee-et-al criterion: the 8-char span shared by two docs MUST
     // show up as an adjacent pair with lcp >= 8 (any suffixes between
