@@ -18,6 +18,22 @@ object Bench {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** (total jiffies, steal jiffies) from /proc/stat — this sandbox is a
+    * VM with erratic hypervisor CPU steal (observed: the same query 5×
+    * slower in a stolen window with zero plan change), so every bench
+    * line carries the steal fraction measured across the run; numbers
+    * from windows with non-trivial steal are not comparable. (0, 0) on
+    * non-Linux / unreadable /proc.
+    */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val parts = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (parts.take(8).sum, if (parts.length >= 8) parts(7) else 0L)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     // validate pure arguments before paying session bootstrap + warm-up
     val unknownNames = args.filterNot(a => Queries.all.exists(_.name == a))
@@ -84,6 +100,7 @@ object Bench {
       if (args.isEmpty) Queries.all
       else Queries.all.filter(q => args.contains(q.name))
     val loadBefore = loadAvg1m()
+    val (jt0, js0) = cpuJiffies()
     val results = selected.map { q =>
       // min over SUCCESSFUL runs only: one flaky run must not convert a
       // measured query into failed:-1, and a flaky FIRST run must not
@@ -94,6 +111,10 @@ object Bench {
       r
     }
     val loadAfter = loadAvg1m()
+    val (jt1, js1) = cpuJiffies()
+    // steal fraction (%) of all CPU jiffies across the measured span
+    val stealPct =
+      if (jt1 > jt0) 100.0 * (js1 - js0) / (jt1 - jt0) else -1.0
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -109,7 +130,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val load = s"""{"before":$loadBefore,"after":$loadAfter}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir","load":$load,"runs_per_query":2,"drive":"materialize-noop"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir","load":$load,"steal_pct":$stealPct,"runs_per_query":2,"drive":"materialize-noop"}""")
     spark.stop()
   }
 }

@@ -5924,14 +5924,25 @@ object Queries {
       // corpus, same generators: predicted components from the LSH band
       // edges, true components from exact Jaccard >= 0.8 pairs.
       val docs = t(s, d).documents.filter(col("doc_id") < 500)
-      val pred = Clustering.clustersOf(docs,
+      // the predicted and ground-truth component builds are INDEPENDENT
+      // iterative pipelines (each: candidate join → CC rounds, every
+      // round a checkpoint action) — run them as concurrent driver
+      // threads so one chain's per-round latency back-fills the other's
+      // (guide §2.6: actions are only sequential because the driver
+      // calls them sequentially). The clusters are consumed only after
+      // both futures complete.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val predF = Future(Clustering.clustersOf(docs,
         Dedup.minhashCandidates(docs, "doc_id", "text",
           MinhashHashes, MinhashBands, maxBucket = 0),
-        "doc_id").select(col("doc_id"), col("cluster_id"))
-      val truth = Clustering.clustersOf(docs,
+        "doc_id").select(col("doc_id"), col("cluster_id")))
+      val truthF = Future(Clustering.clustersOf(docs,
         Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
           .select(col("doc_a"), col("doc_b")),
-        "doc_id").select(col("doc_id"), col("cluster_id"))
+        "doc_id").select(col("doc_id"), col("cluster_id")))
+      val pred = Await.result(predF, scala.concurrent.duration.Duration.Inf)
+      val truth = Await.result(truthF, scala.concurrent.duration.Duration.Inf)
       graft.functions.Quality.bcubed(pred, truth)
     },
     Some(s"""WITH RECURSIVE toks AS (${sqlDocToks(500)}),
