@@ -145,7 +145,12 @@ object Dedup {
     val sizes = toks.groupBy(col(id)).agg(count(lit(1)).as("nt"))
     val a = toks.select(col(id).as("doc_a"), col("tok"))
     val b = toks.select(col(id).as("doc_b"), col("tok"))
+    // same compute-after-tiny-shuffle pin as [[prefixCandidates]]: the
+    // token buckets' quadratic pair fan-out must not run on the one
+    // partition AQE coalesces the byte-small token exchange into
     val common = a
+      .repartition(a.sparkSession.sessionState.conf.numShufflePartitions,
+        col("tok"))
       .join(b, Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
@@ -256,9 +261,20 @@ object Dedup {
       .filter(col("rn") <=
         expr(s"nt - (nt * $thresholdBp + 9999) DIV 10000 + 1"))
       .select(col(id), col("tok"), col("rn"), col("nt"))
+    // the prefix table is BYTE-small (≤ (1−t)·|d| + 1 tokens per doc),
+    // so AQE coalesces its exchange to ~one partition — and the pair
+    // fan-out AFTER it is the quadratic part of the join (per-bucket
+    // k² candidate rows built, length-filtered and aggregated). That is
+    // the compute-bound-after-byte-small-shuffle trap (PERF.md r4, the
+    // Levenshtein verify): measured round 15, the whole candidate+verify
+    // chain ran as ONE 4.9 s task with 31 cores idle. An explicit-count
+    // repartition on the join key pins the fan-out wide; the other side
+    // co-partitions at the same count.
+    val lanes = toks.sparkSession.sessionState.conf.numShufflePartitions
     prefix
       .select(col(id).as("doc_a"), col("tok"),
         col("rn").as("pa"), col("nt").as("na"))
+      .repartition(lanes, col("tok"))
       .join(
         prefix.select(col(id).as("doc_b"), col("tok"),
           col("rn").as("pb"), col("nt").as("nb")),
