@@ -117,9 +117,14 @@ object Dedup {
       text: String,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val sigs = df
+    // same cheap-predicate + parallelism-floor shape as [[bandTable]]
+    // (a filter on the sig column would duplicate the signature
+    // expression below the projection; the single-split scan would
+    // serialize it)
+    val sigs = Spread.floor(
+        df.select(col(id), col(text)).filter(length(trim(col(text))) > 0),
+        col(id))
       .select(col(id), minhashSig(col(text), numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
     val cand = minhashCandidates(df, id, text, numHashes, bands, maxBucket = 0)
     val a = sigs.select(col(id).as("doc_a"), col("sig").as("sig_a"))
     val b = sigs.select(col(id).as("doc_b"), col("sig").as("sig_b"))
@@ -451,7 +456,10 @@ object Dedup {
       text: String,
       maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
-    val sh = df.select(col(id), simhashExpr(col(text)).as("simhash"))
+    // parallelism floor before the md5-per-token sketch map — same
+    // single-split-scan serialization as [[bandTable]] (guide §2.5)
+    val sh = Spread.floor(df.select(col(id), col(text)), col(id))
+      .select(col(id), simhashExpr(col(text)).as("simhash"))
     // all band buckets from ONE evaluation of the sketch (a per-band
     // union would re-tokenize and re-hash the corpus `bands` times)
     val keys = array((0 until bands).map { bnd =>
@@ -727,10 +735,20 @@ object Dedup {
     // per-row native signature: no explode, no aggregation — the only
     // shuffle left in candidate generation is the band-bucket join.
     // Tokenless docs (null sig) have no signature to band, exactly like
-    // the absent groupBy rows of the aggregation formulation.
-    val sigs = df
+    // the absent groupBy rows of the aggregation formulation. The
+    // tokenless test is applied as a CHEAP text predicate BELOW the
+    // signature projection — `sig IS NOT NULL ⇔ length(trim(text)) > 0`
+    // (minhashSig is null iff its token array holds no non-null token,
+    // and `tokens` of any non-empty trimmed text is non-empty) — because
+    // a filter ON the sig column gets pushed beneath the projection and
+    // duplicates the whole md5-per-token expression per row (guide §4.4;
+    // the before-plan carried graft_minhash_sig in Filter AND Project).
+    // Spread.floor then parallelizes the signature map past the
+    // single-split scan (measured: one 0.9 s task at sf0.1).
+    val sigs = Spread.floor(
+        df.select(col(id), col(text)).filter(length(trim(col(text))) > 0),
+        col(id))
       .select(col(id), minhashSig(col(text), numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
     // all band keys from ONE evaluation of the signature (a per-band
     // union would recompute the signatures `bands` times — same pattern
     // as simhashBucketCandidates)
