@@ -1084,6 +1084,42 @@ object Similarity {
     graft.functions.expressions.NativeExpressions.pqAssignAll(
       qv, books.toIndexedSeq.map(_.map { case (c, cv) => (c, cv.toSeq) }), sub)
 
+  /** Coarse (IVF centroid) and fine (PQ codebook) quantizers trained
+    * CONCURRENTLY from two driver threads (guide §2.6 — actions are
+    * only sequential because the driver calls them sequentially): the
+    * two training chains read the same corpus but share no state, and
+    * each is a short ladder of small driver-bound jobs (seed
+    * TakeOrdered, per-iteration aggregate + collect) whose per-action
+    * planning/codegen latency otherwise serializes. One chain's driver
+    * gaps back-fill the other's — measured on q_ivfpq_indexed at sf0.1,
+    * the 26-job build spent more wall in inter-job driver time than in
+    * the jobs themselves. Results are identical to the sequential
+    * calls (both trainers are deterministic and independent).
+    */
+  private def trainIvfAndPq(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int,
+      numCells: Int,
+      ivfIters: Int,
+      numSub: Int,
+      codesPerSub: Int,
+      pqIters: Int): (DataFrame, Array[Seq[(Long, Array[Long])]]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spark = corpus.sparkSession
+    val cnF = Future {
+      val cn = kmeansCentroids(corpus, id, vec, dims, numCells, ivfIters)
+      spark.createDataFrame(
+        java.util.Arrays.asList(cn.collect(): _*), cn.schema)
+    }
+    val booksF = Future(
+      pqTrain(corpus, id, vec, dims, numSub, codesPerSub, pqIters))
+    (Await.result(cnF, scala.concurrent.duration.Duration.Inf),
+      Await.result(booksF, scala.concurrent.duration.Duration.Inf))
+  }
+
   /** (cid, qv) projection into quantized int64 space — the shared front
     * of [[pqTrain]] / [[pqEncode]] / [[pqAnn]].
     */
@@ -1345,14 +1381,11 @@ object Similarity {
     val spark = corpus.sparkSession
     val qRows = collectPqQueries(queries, id, vec) // fail fast before training
 
-    // coarse quantizer: trained IVF centroids, materialized driver-side
-    // (≤ numCells rows — the ivfKnnCosine index-build collect)
-    val cn = kmeansCentroids(corpus, id, vec, dims, numCells, ivfIters)
-    val localCn = spark.createDataFrame(
-      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
-
-    // fine quantizer: PQ codebooks (driver-side, ≤ numSub × codesPerSub)
-    val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, pqIters)
+    // coarse quantizer (trained IVF centroids, ≤ numCells rows driver-
+    // side) and fine quantizer (PQ codebooks, ≤ numSub × codesPerSub)
+    // trained concurrently — independent chains, see [[trainIvfAndPq]]
+    val (localCn, books) = trainIvfAndPq(
+      corpus, id, vec, dims, numCells, ivfIters, numSub, codesPerSub, pqIters)
 
     // corpus index: ONE pass assigns each vector to its IVF cell
     // (broadcast argmax) AND encodes its PQ codes (literal-codebook
@@ -1749,10 +1782,9 @@ object Similarity {
     val spark = corpus.sparkSession
     val qRows = collectPqQueries(queries, id, vec)
 
-    val cn = kmeansCentroids(corpus, id, vec, dims, numCells, ivfIters)
-    val localCn = spark.createDataFrame(
-      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
-    val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, pqIters)
+    // both quantizers trained concurrently (see [[trainIvfAndPq]])
+    val (localCn, books) = trainIvfAndPq(
+      corpus, id, vec, dims, numCells, ivfIters, numSub, codesPerSub, pqIters)
     val codes = encodeWithModel(corpus, localCn, books, id, vec)
       .localCheckpoint(eager = false) // one assignment+encode pass for all arms
 
@@ -1829,10 +1861,9 @@ object Similarity {
       numCells: Int = 16,
       ivfIters: Int = 2): Unit = {
     val spark = corpus.sparkSession
-    val cn = kmeansCentroids(corpus, id, vec, dims, numCells, ivfIters)
-    val localCn = spark.createDataFrame(
-      java.util.Arrays.asList(cn.collect(): _*), cn.schema)
-    val books = pqTrain(corpus, id, vec, dims, numSub, codesPerSub, pqIters)
+    // both quantizers trained concurrently (see [[trainIvfAndPq]])
+    val (localCn, books) = trainIvfAndPq(
+      corpus, id, vec, dims, numCells, ivfIters, numSub, codesPerSub, pqIters)
     // a RETRAIN invalidates every inverted list encoded under the old
     // model — streamed batch=<id> directories included (their codes AND
     // cell routings are meaningless against new centroids/codebooks), so
@@ -1847,7 +1878,12 @@ object Similarity {
     // (graft.streaming.Pipelines.ivfPqIngest) appends batch=<id>
     // directories with the SAME two-level batch=/cell= layout, so
     // partition discovery stays uniform and cell pruning spans both
+    // explicit-count cell repartition: without it the write inherits
+    // the scan's partitioning (one split at bench SFs) and a single
+    // task opens every cell file sequentially; the explicit count
+    // spreads file creation while keeping one file per cell
     encodeWithModel(corpus, localCn, books, id, vec)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes/batch=-1")
     writeVersionMarker(spark, s"$dir/codes/batch=-1", modelVersion(localCn, books))
@@ -2025,12 +2061,14 @@ object Similarity {
     val tmpPath   = new org.apache.hadoop.fs.Path(s"$indexDir/codes_compacting")
     fs.delete(tmpPath, true)
     // repartition BY the cell column: each cell's rows land in exactly
-    // one task, so partitionBy writes exactly one file per cell
+    // one task, so partitionBy writes exactly one file per cell (the
+    // explicit count keeps AQE from coalescing the byte-small shuffle
+    // into a couple of tasks that would create the files sequentially)
     val cols = col("neighbor_id") +:
       (0 until numSub).map(mm => col(s"code$mm")) :+ col("cell")
     spark.read.parquet(codesPath.toString)
       .select(cols: _*)
-      .repartition(col("cell"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$tmpPath/batch=-1")
     writeVersionMarker(spark, s"$tmpPath/batch=-1", version)
@@ -2181,13 +2219,24 @@ object Similarity {
     // a retrain invalidates every assignment encoded under the old
     // cells, but the old index must survive until the new one is whole
     Stores.publishReplace(spark, dir) { tmp =>
-      // repartition BY cell: one task per cell → one file per cell
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // the max-id scan is independent of the assignment write — overlap
+      // the two jobs (guide §2.6); the marker is only written after both
+      val mxF = Future(corpus.agg(max(col(id).cast("long"))).head())
+      // EXPLICIT-COUNT repartition by cell: a bare repartition(col) is
+      // AQE-coalescible and the ~√N-cell assignment is byte-small, so
+      // the dynamic-partition write collapsed to 2 tasks each opening
+      // ~½ the cell files sequentially (measured 0.5 s of the build).
+      // The explicit count spreads the file creation across the conf
+      // width while keeping every cell's rows in exactly one task —
+      // still one file per cell.
       assignWithModel(corpus, id, vec, localCn)
-        .repartition(col("cell"))
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$tmp/assign/batch=-1")
       writeVersionMarker(spark, s"$tmp/assign/batch=-1", centroidVersion(localCn))
-      val mx = corpus.agg(max(col(id).cast("long"))).head()
+      val mx = Await.result(mxF, scala.concurrent.duration.Duration.Inf)
       if (!mx.isNullAt(0))
         writeMaxIdMarker(spark, s"$tmp/assign/batch=-1", mx.getLong(0))
       localCn.write.mode("overwrite").parquet(s"$tmp/centroids")
@@ -2233,8 +2282,10 @@ object Similarity {
     if (bounds.isNullAt(0)) return false // empty batch: nothing to publish
     requireAppendOnlyIds(spark, indexDir, bounds.getLong(0), "appendSemanticBatch")
     Stores.publishOnce(spark, s"$indexDir/assign/batch=$batchId") { tmp =>
+      // explicit-count cell repartition — same serialized-file-creation
+      // fix as [[writeSemanticIndex]], same one-file-per-cell layout
       assignWithModel(batch, id, vec, localCn)
-        .repartition(col("cell"))
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       writeVersionMarker(spark, tmp, version)
       writeMaxIdMarker(spark, tmp, bounds.getLong(1))
